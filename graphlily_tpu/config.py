@@ -1,0 +1,80 @@
+"""Engine configuration.
+
+One dataclass replaces the reference's three config mechanisms — compile-time
+constants in global.h:56-64, synthesizer-injected buffer sizes
+(graphlily/synthesizer/overlay_synthesizer.h:35-48), and module-constructor
+mirrors (graphlily/module/spmv_module.h:95-102) — eliminating the
+host/device-disagreement bug class called out in SURVEY.md §5.6.
+
+The mapping from reference knobs:
+  * NUM_HBM_CHANNEL x PACK_SIZE (parallel PEs)  -> pallas grid + vreg lanes (implicit)
+  * SPMV_OUT_BUF_LEN (URAM out tile)            -> row_window * out windows in VMEM
+  * VEC_BUF_LEN (URAM vector slice)             -> col_tile (x slice in VMEM)
+  * SPMV_ROW_INTERLEAVE_FACTOR                  -> n/a (no PE latency to hide)
+  * val_t = ap_ufixed<32,8>                     -> dtype (float32 default)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    # --- layout geometry (SpMV pallas engine) ---
+    row_window: int = 128        # rows per one-hot accumulate window (fixed by kernel)
+    col_tile: int = 1024         # x elements resident per chunk gather (dg reach)
+    chunk_sublanes: int = 8      # sublanes per chunk (ax0 dynamic-gather table limit)
+    lanes: int = 128             # TPU lane count (fixed)
+
+    # --- numerics ---
+    dtype: str = "float32"       # value dtype
+    idx_dtype: str = "int32"
+    mxu_precision: str = "highest"   # "highest" (f32-accurate) | "default" (bf16 MXU)
+
+    # --- engine selection ---
+    engine: str = "auto"         # "auto" | "xla" | "pallas"
+    interpret: Optional[bool] = None  # pallas interpret mode; None = auto (CPU->True)
+
+    # --- formatter behavior ---
+    sort_rows_by_degree: bool = False  # SELL-sigma style row reordering
+    skip_empty_rows: bool = True       # parity knob (reference csr2cpsr flag)
+
+    # --- sparse-vector (SpMSpV) static capacity ---
+    # results/frontier buffers get a static capacity = num_rows (worst case) unless set
+    frontier_capacity: Optional[int] = None
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def jidx(self):
+        return jnp.dtype(self.idx_dtype)
+
+    @property
+    def chunk_size(self) -> int:
+        return self.chunk_sublanes * self.lanes
+
+    def resolve_interpret(self) -> bool:
+        if self.interpret is not None:
+            return self.interpret
+        return not _on_tpu()
+
+    def resolve_engine(self) -> str:
+        if self.engine != "auto":
+            return self.engine
+        return "pallas"
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,278 @@
+"""Matrix formatting: host-side preprocessing + TPU device layouts.
+
+Counterpart of the reference's data formatter (graphlily/io/data_formatter.h).
+The reference builds CPSR — HBM-channel-packed streams of rows with IDX_MARKER
+row terminators — for a 16-channel x 8-PE dataflow overlay. The TPU-native
+layout here ("chunked dual-gather", `ChunkedSpMVLayout`) instead packs nnz into
+(8,128) chunks shaped for the v5e's vector unit:
+
+  * chunks are grouped by (row_window, col_tile): the row window (128 rows) is
+    the unit the kernel one-hot-accumulates into (VMEM out tile ~ URAM out
+    buffer, SPMV_OUT_BUF_LEN analog), the col tile (1024 x-elements) is the
+    slice of the dense vector resident for gathers (VEC_BUF_LEN analog,
+    graphlily/hw/kernel_spmv_impl.h:470-472).
+  * within a group, nnz are binned by x-bucket (col>>7 within the tile) mod 8
+    into sublanes, so the kernel's two-stage dynamic-gather
+    (x2[q[s,l], l] then [s, r[s,l]]) is valid: q is constant per sublane.
+  * row-local ids are stored pre-transposed (128,8) so the one-hot reduce
+    needs no in-kernel transpose.
+
+Empty-row skipping, row reordering, and dimension rounding mirror the
+reference's utilities (data_formatter.h:19-33, 37-51, 330-360) as host-side
+functions over CSR.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from .matrix import CSRMatrix, CSCMatrix
+
+
+# --------------------------------------------------------------------------
+# Host-side CSR utilities (parity with reference data_formatter utils)
+# --------------------------------------------------------------------------
+
+def util_round_csr_matrix_dim(csr: CSRMatrix, row_divisor: int, col_divisor: int) -> CSRMatrix:
+    """Pad rows/cols up to divisors (in place, returns csr).
+
+    Reference: graphlily/io/data_formatter.h:19-33 — padded rows are empty,
+    padded cols are just a num_cols bump.
+    """
+    if csr.num_rows % row_divisor != 0:
+        pad = row_divisor - csr.num_rows % row_divisor
+        csr.adj_indptr = np.concatenate(
+            [csr.adj_indptr,
+             np.full(pad, csr.adj_indptr[csr.num_rows], dtype=csr.adj_indptr.dtype)])
+        csr.num_rows += pad
+    if csr.num_cols % col_divisor != 0:
+        csr.num_cols += col_divisor - csr.num_cols % col_divisor
+    return csr
+
+
+def util_normalize_csr_matrix_by_outdegree(csr: CSRMatrix) -> CSRMatrix:
+    """Set data[i] = 1 / (#nnz in that column). Reference: data_formatter.h:37-51.
+
+    (For a graph adjacency where A[dst,src]=edge, column count = outdegree.)
+    """
+    nnz_each_col = np.zeros(csr.num_cols, dtype=np.int64)
+    cols = csr.adj_indices[: csr.nnz].astype(np.int64)
+    np.add.at(nnz_each_col, cols, 1)
+    with np.errstate(divide="ignore"):
+        inv = 1.0 / nnz_each_col
+    csr.adj_data = inv[cols].astype(csr.adj_data.dtype)
+    return csr
+
+
+def util_reorder_rows_ascending_nnz(csr: CSRMatrix):
+    """Sort rows by ascending nnz; returns (reordered_csr, row_perm).
+
+    row_perm[i] = original row id now at position i.
+    Reference: graphlily/io/data_formatter.h:330-360 (built + tested there,
+    unused by modules; here it is the SELL-sigma-style balance lever).
+    """
+    counts = np.diff(csr.adj_indptr.astype(np.int64))
+    perm = np.argsort(counts, kind="stable")
+    return permute_rows(csr, perm), perm
+
+
+def permute_rows(csr: CSRMatrix, perm: np.ndarray) -> CSRMatrix:
+    """Return CSR with rows reordered so new row i = old row perm[i]."""
+    counts = np.diff(csr.adj_indptr.astype(np.int64))
+    new_counts = counts[perm]
+    new_indptr = np.zeros(csr.num_rows + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=new_indptr[1:])
+    nnz = csr.nnz
+    starts = csr.adj_indptr[:-1].astype(np.int64)[perm]
+    # gather each row's slice
+    idx = np.repeat(starts - new_indptr[:-1], new_counts) + np.arange(nnz)
+    return CSRMatrix(csr.num_rows, csr.num_cols,
+                     csr.adj_data[idx], csr.adj_indices[idx],
+                     new_indptr.astype(np.uint32))
+
+
+def add_self_edges_for_sssp(csr: CSRMatrix) -> CSRMatrix:
+    """Insert zero-weight self edges (and zero existing diagonals).
+
+    Reference SSSP preprocessing: graphlily/app/sssp.h:16-62. Vectorized:
+    zero any existing diagonal entries, then insert missing ones.
+    """
+    n = min(csr.num_rows, csr.num_cols)
+    nnz = csr.nnz
+    rows = csr.row_ids()
+    cols = csr.adj_indices[:nnz].astype(np.int64)
+    data = csr.adj_data[:nnz].astype(np.float32).copy()
+    diag = rows == cols
+    data[diag] = 0.0
+    have_diag = np.zeros(csr.num_rows, dtype=bool)
+    have_diag[rows[diag]] = True
+    missing = np.nonzero(~have_diag[:n])[0]
+    all_rows = np.concatenate([rows, missing])
+    all_cols = np.concatenate([cols, missing])
+    all_data = np.concatenate([data, np.zeros(len(missing), np.float32)])
+    # stable sort by (row, col) to keep deterministic layout
+    order = np.lexsort((all_cols, all_rows))
+    all_rows, all_cols, all_data = all_rows[order], all_cols[order], all_data[order]
+    indptr = np.zeros(csr.num_rows + 1, dtype=np.int64)
+    np.add.at(indptr, all_rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    return CSRMatrix(csr.num_rows, csr.num_cols, all_data,
+                     all_cols.astype(np.uint32), indptr.astype(np.uint32))
+
+
+# --------------------------------------------------------------------------
+# TPU device layout: chunked dual-gather SpMV format
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ChunkedSpMVLayout:
+    """Device arrays for the pallas SpMV engine (all numpy until shipped).
+
+    Shapes (NC = number of chunks, S = 8 sublanes, L = 128 lanes):
+      q      (NC, S, L) int32 : x-bucket within col tile; constant per sublane
+      r      (NC, S, L) int32 : x-lane (col & 127)
+      rows_t (NC, L, S) int32 : row - window_base, pre-transposed
+      vals   (NC, S, L)       : nnz values (padding = semiring-safe fill)
+      code   (NC,)     int32  : packed (window_group, window_sub, col_tile) id
+    Plus geometry for the kernel grid.
+    """
+
+    q: np.ndarray
+    r: np.ndarray
+    rows_t: np.ndarray
+    vals: np.ndarray
+    code: np.ndarray
+    num_rows: int          # padded
+    num_cols: int          # padded
+    nnz: int               # real nnz packed
+    num_col_tiles: int
+    num_window_groups: int  # out blocks: (num_window_groups, 8, 128)
+    row_window: int
+    col_tile: int
+    fill: float            # nnz / slots
+    row_perm: Optional[np.ndarray] = None  # if rows were reordered
+
+    @property
+    def num_chunks(self) -> int:
+        return self.q.shape[0]
+
+
+def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
+                    pad_val: float = 0.0) -> ChunkedSpMVLayout:
+    """Pack a CSR matrix into the chunked dual-gather layout.
+
+    `pad_val` must be the semiring's <x> annihilator (semiring.zero): 0 for
+    arithmetic/logical, FLOAT_INF for tropical — padding then contributes the
+    <+> identity after mul (cf. the reference's semiring-zero column padding,
+    graphlily/io/data_formatter.h:675-680).
+    """
+    W = config.row_window
+    C = config.col_tile
+    S = config.chunk_sublanes
+    L = config.lanes
+    assert W == 128 and S == 8 and L == 128, "kernel geometry is fixed at (128,8,128)"
+
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 8 * W, C)
+    nrows, ncols = work.num_rows, work.num_cols
+    nnz = work.nnz
+
+    rr = work.row_ids().astype(np.int64)
+    cc = work.adj_indices[:nnz].astype(np.int64)
+    vv = work.adj_data[:nnz]
+
+    nct = ncols // C
+    wid = rr // W
+    cid = cc // C
+    sub = ((cc % C) >> 7) % S
+
+    order = np.lexsort((cc, sub, cid, wid))
+    rr, cc, vv, wid, cid, sub = (a[order] for a in (rr, cc, vv, wid, cid, sub))
+
+    gkey = wid * nct + cid
+    ckey = gkey * S + sub
+    _, cstart, ccount = np.unique(ckey, return_index=True, return_counts=True)
+    rank = np.arange(nnz, dtype=np.int64) - np.repeat(cstart, ccount)
+    k = rank // L
+    lane = rank % L
+
+    guniq = np.unique(gkey)
+    class_need = (ccount + L - 1) // L
+    gidx_of_class = np.searchsorted(guniq, ckey[cstart] // S)
+    gneed = np.zeros(len(guniq), np.int64)
+    np.maximum.at(gneed, gidx_of_class, class_need)
+    goff = np.concatenate([[0], np.cumsum(gneed)])
+    nchunk = max(int(goff[-1]), 1)
+
+    gidx = np.searchsorted(guniq, gkey)
+    chunk_id = goff[gidx] + k
+
+    q = np.tile(np.arange(S, dtype=np.int32)[None, :, None], (nchunk, 1, L))
+    r = np.zeros((nchunk, S, L), np.int32)
+    rows = np.zeros((nchunk, S, L), np.int32)
+    vals = np.full((nchunk, S, L), pad_val, dtype=np.float32)
+
+    qv = ((cc % C) >> 7).astype(np.int32)
+    q[chunk_id, sub, lane] = qv
+    r[chunk_id, sub, lane] = (cc & 127).astype(np.int32)
+    rows[chunk_id, sub, lane] = (rr % W).astype(np.int32)
+    vals[chunk_id, sub, lane] = vv
+
+    # padding lanes in a partially-filled sublane must keep q == that sublane's
+    # class value; the tile init above sets q=s which is each sublane's class
+    # only when the class is exactly s. Classes are (bucket % 8)==s by
+    # construction, but bucket itself may exceed 8 (col_tile > 1024). With
+    # C=1024 bucket==s always; assert to catch config drift.
+    assert C == 1024, "col_tile != 1024 requires page-select kernel support"
+
+    cwid = np.zeros(nchunk, np.int64)
+    ccid = np.zeros(nchunk, np.int64)
+    cwid[chunk_id] = wid
+    ccid[chunk_id] = cid
+    # empty (all-padding) chunks can only occur when nchunk was clamped to 1
+    code = (cwid * nct + ccid).astype(np.int32)  # = (wgrp*8 + wsub)*nct + cid since wid=wgrp*8+wsub
+
+    rows_t = np.ascontiguousarray(rows.transpose(0, 2, 1))
+    dtype = np.dtype(config.dtype)
+    return ChunkedSpMVLayout(
+        q=q, r=r, rows_t=rows_t, vals=vals.astype(dtype), code=code,
+        num_rows=nrows, num_cols=ncols, nnz=nnz,
+        num_col_tiles=nct, num_window_groups=nrows // (8 * W),
+        row_window=W, col_tile=C,
+        fill=nnz / (nchunk * S * L),
+    )
+
+
+# --------------------------------------------------------------------------
+# SpMSpV device layout (CSC, statically padded column slices)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FormattedCSC:
+    """CSC shipped to device as flat arrays with per-column extents.
+
+    TPU counterpart of the reference's FormattedCSCMatrix
+    (graphlily/io/data_formatter.h:544-591): instead of packet streams, plain
+    (data, row-index, indptr) arrays consumed by gather/segment kernels.
+    """
+
+    num_rows: int
+    num_cols: int
+    adj_data: np.ndarray     # (nnz,)
+    adj_rows: np.ndarray     # (nnz,) int32
+    adj_indptr: np.ndarray   # (num_cols+1,) int32
+    max_col_nnz: int
+
+
+def format_csc(csc: CSCMatrix, config: EngineConfig = DEFAULT_CONFIG) -> FormattedCSC:
+    counts = np.diff(csc.adj_indptr.astype(np.int64))
+    return FormattedCSC(
+        num_rows=csc.num_rows, num_cols=csc.num_cols,
+        adj_data=csc.adj_data.astype(config.dtype),
+        adj_rows=csc.adj_indices.astype(np.int32),
+        adj_indptr=csc.adj_indptr.astype(np.int32),
+        max_col_nnz=int(counts.max()) if len(counts) else 0,
+    )

@@ -1,0 +1,83 @@
+"""PageRank.
+
+Counterpart of graphlily/app/pagerank.h: arithmetic semiring, no mask.
+The matrix is outdegree-normalized and pre-scaled by the damping factor at
+format time (pagerank.h:60-72); one iteration is rank = A_scaled @ rank +
+(1-d)/N (SpMV + eWiseAdd, pagerank.h:80-90).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..semiring import ArithmeticSemiring, MaskType
+from ..io.matrix import CSRMatrix, load_csr_matrix_from_float_npz
+from ..io.formatter import (util_round_csr_matrix_dim,
+                            util_normalize_csr_matrix_by_outdegree)
+from ..module import SpMVModule, eWiseAddModule
+from ..ops.reference import ewise_add_scalar
+from .module_collection import ModuleCollection
+
+
+class PageRank(ModuleCollection):
+    def __init__(self, config: EngineConfig = DEFAULT_CONFIG, *legacy_args):
+        super().__init__(config)
+        self.semiring_ = ArithmeticSemiring
+        self.SpMV_ = SpMVModule(config)
+        self.SpMV_.set_semiring(self.semiring_)
+        self.SpMV_.set_mask_type(MaskType.NO_MASK)
+        self.add_module(self.SpMV_)
+        self.eWiseAdd_ = eWiseAddModule(config)
+        self.add_module(self.eWiseAdd_)
+        self.matrix_num_rows_ = 0
+        self.matrix_num_cols_ = 0
+
+    def get_nnz(self) -> int:
+        return self.SpMV_.get_nnz()
+
+    def load_and_format_matrix(self, csr_matrix, damping: float = 0.9,
+                               skip_empty_rows: bool = False):
+        if not isinstance(csr_matrix, CSRMatrix):
+            csr_matrix = load_csr_matrix_from_float_npz(csr_matrix)
+        csr_matrix = csr_matrix.copy()
+        util_round_csr_matrix_dim(csr_matrix, 1024, 1024)
+        util_normalize_csr_matrix_by_outdegree(csr_matrix)
+        csr_matrix.adj_data = (csr_matrix.adj_data * damping).astype(
+            csr_matrix.adj_data.dtype)
+        self.SpMV_.load_and_format_matrix(csr_matrix, skip_empty_rows)
+        self.matrix_num_rows_ = self.SpMV_.get_num_rows()
+        self.matrix_num_cols_ = self.SpMV_.get_num_cols()
+        assert self.matrix_num_rows_ == self.matrix_num_cols_
+        self._build_fused()
+
+    def send_matrix_host_to_device(self):
+        self.SpMV_.send_matrix_host_to_device()
+
+    def _build_fused(self):
+        spmv = self.SpMV_.apply
+
+        @jax.jit
+        def pull_fused(rank, offset, num_iterations):
+            def body(_i, r):
+                return ewise_add_scalar(spmv(r), offset)
+            return jax.lax.fori_loop(0, num_iterations, body, rank)
+
+        self._pull_fused = pull_fused
+
+    def pull(self, damping: float, num_iterations: int):
+        n = self.matrix_num_rows_
+        rank = jnp.full(n, 1.0 / n, self.config.jdtype)
+        offset = jnp.asarray((1 - damping) / n, self.config.jdtype)
+        return np.asarray(self._pull_fused(rank, offset,
+                                           jnp.asarray(num_iterations)))
+
+    def compute_reference_results(self, damping: float, num_iterations: int):
+        """pagerank.h:150-159."""
+        n = self.matrix_num_rows_
+        rank = np.full(n, 1.0 / n, np.float64)
+        for _ in range(num_iterations):
+            rank = self.SpMV_.compute_reference_results(rank)
+            rank = rank + (1 - damping) / n
+        return rank

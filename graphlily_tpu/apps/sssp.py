@@ -1,0 +1,174 @@
+"""SSSP as tropical-semiring linear algebra.
+
+Counterpart of graphlily/app/sssp.h: tropical (+,min) semiring, no mask.
+Preprocessing inserts zero-weight self edges so distances are monotone under
+relaxation (sssp.h:16-62). `push` chains SpMSpV with the frontier-generating
+sparse assign (mode-6 kernel): candidates that improve a distance are written
+and become the next frontier — the reference wires three device buffers in a
+cycle (sssp.h:185-191); here the cycle is the `lax.while_loop` carry.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..semiring import TropicalSemiring, MaskType
+from ..io.matrix import CSRMatrix, csr2csc, load_csr_matrix_from_float_npz
+from ..io.formatter import util_round_csr_matrix_dim, add_self_edges_for_sssp
+from ..module import (SpMVModule, SpMSpVModule, eWiseAddModule,
+                      AssignVectorSparseModule)
+from ..ops.vector import SparseVector, sparse_from_entries
+from ..ops.reference import assign_vector_sparse_new_frontier, ewise_add_scalar
+from .module_collection import ModuleCollection
+
+
+class SSSP(ModuleCollection):
+    def __init__(self, config: EngineConfig = DEFAULT_CONFIG, *legacy_args):
+        super().__init__(config)
+        self.semiring_ = TropicalSemiring
+
+        self.SpMV_ = SpMVModule(config)
+        self.SpMV_.set_semiring(self.semiring_)
+        self.SpMV_.set_mask_type(MaskType.NO_MASK)
+        self.add_module(self.SpMV_)
+
+        self.SpMSpV_ = SpMSpVModule(config)
+        self.SpMSpV_.set_semiring(self.semiring_)
+        self.SpMSpV_.set_mask_type(MaskType.NO_MASK)
+        self.add_module(self.SpMSpV_)
+
+        self.SparseAssign_ = AssignVectorSparseModule(
+            generate_new_frontier=True, config=config)
+        self.add_module(self.SparseAssign_)
+
+        self.eWiseAdd_ = eWiseAddModule(config)
+        self.add_module(self.eWiseAdd_)
+
+        self.matrix_num_rows_ = 0
+        self.matrix_num_cols_ = 0
+
+    def get_nnz(self) -> int:
+        return self.SpMV_.get_nnz()
+
+    def load_and_format_matrix(self, csr_matrix, skip_empty_rows: bool = False,
+                               unit_weights: bool = True):
+        """Reference flow (sssp.h:132-147): preprocess (self edges; unit
+        weights so SSSP == BFS levels when `unit_weights`), round, CSC twin."""
+        if not isinstance(csr_matrix, CSRMatrix):
+            csr_matrix = load_csr_matrix_from_float_npz(csr_matrix)
+        csr_matrix = csr_matrix.copy()
+        if unit_weights:
+            csr_matrix.adj_data = np.ones_like(csr_matrix.adj_data)
+        csr_matrix = add_self_edges_for_sssp(csr_matrix)
+        util_round_csr_matrix_dim(csr_matrix, 1024, 1024)
+        csc_matrix = csr2csc(csr_matrix)
+        self.SpMV_.load_and_format_matrix(csr_matrix, skip_empty_rows)
+        self.SpMSpV_.load_and_format_matrix(csc_matrix)
+        self.matrix_num_rows_ = self.SpMV_.get_num_rows()
+        self.matrix_num_cols_ = self.SpMV_.get_num_cols()
+        assert self.matrix_num_rows_ == self.matrix_num_cols_
+        self._build_fused()
+
+    def send_matrix_host_to_device(self):
+        self.SpMV_.send_matrix_host_to_device()
+        self.SpMSpV_.send_matrix_host_to_device()
+
+    # ---- fused programs --------------------------------------------------
+    def _build_fused(self):
+        n = self.matrix_num_rows_
+        spmv = self.SpMV_.apply
+        spmspv = self.SpMSpV_.apply
+
+        @jax.jit
+        def pull_fused(distance, num_iterations):
+            def body(_i, d):
+                return spmv(d)   # tropical SpMV relaxes all distances
+            return jax.lax.fori_loop(0, num_iterations, body, distance)
+
+        def push_step(frontier, distance):
+            sv_res, _ = spmspv(frontier, distance)
+            distance, new_frontier = assign_vector_sparse_new_frontier(
+                distance, sv_res)
+            return new_frontier, distance
+
+        @jax.jit
+        def push_fused(frontier: SparseVector, distance, num_iterations):
+            def body(_i, st):
+                fr, dist = st
+                return push_step(fr, dist)
+            frontier, distance = jax.lax.fori_loop(
+                0, num_iterations, body, (frontier, distance))
+            return distance
+
+        @jax.jit
+        def pull_push_fused(frontier: SparseVector, distance, num_iterations,
+                            threshold):
+            # do-while push (sssp.h:222-229): iteration j==1 always, then
+            # while j < num_iterations and last frontier still sparse.
+            def push_cond(carry):
+                it, fr, _d = carry
+                sparse = fr.nnz.astype(jnp.float32) / n < threshold
+                return jnp.logical_or(
+                    it == 0,
+                    jnp.logical_and(it + 1 < num_iterations, sparse))
+
+            def push_body(carry):
+                it, fr, dist = carry
+                fr, dist = push_step(fr, dist)
+                return (it + 1, fr, dist)
+
+            it, _fr, dist = jax.lax.while_loop(
+                push_cond, push_body,
+                (jnp.asarray(0, jnp.int32), frontier, distance))
+
+            # switch: pull directly on the dense distance vector (sssp.h:233-236)
+            def pull_cond(carry):
+                it2, _d = carry
+                return it2 < num_iterations
+
+            def pull_body(carry):
+                it2, d = carry
+                return (it2 + 1, spmv(d))
+
+            _, dist = jax.lax.while_loop(pull_cond, pull_body, (it, dist))
+            return dist
+
+        self._pull_fused = pull_fused
+        self._push_fused = push_fused
+        self._pull_push_fused = pull_push_fused
+
+    def _init_distance(self, source: int):
+        d = np.full(self.matrix_num_rows_, self.semiring_.zero,
+                    self.config.dtype)
+        d[source] = 0
+        return jnp.asarray(d)
+
+    # ---- public API ------------------------------------------------------
+    def pull(self, source: int, num_iterations: int):
+        return np.asarray(self._pull_fused(self._init_distance(source),
+                                           jnp.asarray(num_iterations)))
+
+    def push(self, source: int, num_iterations: int):
+        frontier = sparse_from_entries([source], [0.0], self.SpMSpV_.capacity,
+                                       dtype=self.config.jdtype)
+        return np.asarray(self._push_fused(frontier,
+                                           self._init_distance(source),
+                                           jnp.asarray(num_iterations)))
+
+    def pull_push(self, source: int, num_iterations: int,
+                  threshold: float = 0.05):
+        frontier = sparse_from_entries([source], [0.0], self.SpMSpV_.capacity,
+                                       dtype=self.config.jdtype)
+        return np.asarray(self._pull_push_fused(
+            frontier, self._init_distance(source),
+            jnp.asarray(num_iterations), jnp.asarray(threshold, jnp.float32)))
+
+    # ---- CPU oracle (sssp.h:248-256) -------------------------------------
+    def compute_reference_results(self, source: int, num_iterations: int):
+        d = np.full(self.matrix_num_rows_, self.semiring_.zero, np.float64)
+        d[source] = 0
+        for _ in range(num_iterations):
+            d = self.SpMV_.compute_reference_results(d)
+        return d

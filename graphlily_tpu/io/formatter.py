@@ -232,10 +232,29 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     ccid = np.zeros(nchunk, np.int64)
     cwid[chunk_id] = wid
     ccid[chunk_id] = cid
-    # empty (all-padding) chunks can only occur when nchunk was clamped to 1
-    code = (cwid * nct + ccid).astype(np.int32)  # = (wgrp*8 + wsub)*nct + cid since wid=wgrp*8+wsub
+    code = (cwid * nct + ccid).astype(np.int64)  # = (wgrp*8+wsub)*nct + cid
+
+    # Every 1024-row window group needs >= 1 chunk: the kernel initializes an
+    # out block on its first visit, so a group with no chunks would leave
+    # uninitialized output. Add all-padding filler chunks for missing groups.
+    nwgrp = nrows // (8 * W)
+    present = np.zeros(nwgrp, bool)
+    present[(code // (S * nct)).astype(np.int64)] = True
+    missing = np.nonzero(~present)[0]
+    if len(missing):
+        nm = len(missing)
+        q = np.concatenate([q, np.tile(np.arange(S, dtype=np.int32)[None, :, None],
+                                       (nm, 1, L))])
+        r = np.concatenate([r, np.zeros((nm, S, L), np.int32)])
+        rows = np.concatenate([rows, np.zeros((nm, S, L), np.int32)])
+        vals = np.concatenate([vals, np.full((nm, S, L), pad_val, np.float32)])
+        code = np.concatenate([code, missing * (S * nct)])
+        order2 = np.argsort(code, kind="stable")
+        q, r, rows, vals, code = q[order2], r[order2], rows[order2], vals[order2], code[order2]
+        nchunk += nm
 
     rows_t = np.ascontiguousarray(rows.transpose(0, 2, 1))
+    code = code.astype(np.int32)
     dtype = np.dtype(config.dtype)
     return ChunkedSpMVLayout(
         q=q, r=r, rows_t=rows_t, vals=vals.astype(dtype), code=code,

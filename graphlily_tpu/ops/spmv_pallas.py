@@ -1,0 +1,193 @@
+"""Pallas SpMV engine: chunked dual-gather masked semiring SpMV.
+
+TPU-native replacement for the reference's 16-channel x 8-PE SpMV dataflow
+(graphlily/hw/kernel_spmv_impl.h). Mapping of the reference architecture onto
+the v5e (measured-primitive driven; see SURVEY.md section 7):
+
+  reference                               this kernel
+  ---------                               -----------
+  CPSR channel streams (matrix loader)    chunk grid: (8,128) nnz tiles streamed
+                                          HBM->VMEM by the pallas pipeline
+  vector URAM + shuffle-1 + gather        x col-tile (1024 elems) as a VMEM
+  (hw/kernel_spmv_impl.h:165-216)         (8,128) block; per-element gather =
+                                          two chained `tpu.dynamic_gather`s:
+                                          sublane pick x2[q[s,l], l], then lane
+                                          pick [s, r[s,l]] (valid because the
+                                          formatter bins nnz so q is constant
+                                          per sublane)
+  shuffle-2 + forwarding PE accumulate    one-hot MXU matmul into a 128-row
+  (hw/ufixed_pe_fwd.h:346-462)            window (add semirings) or transposed
+                                          masked-min (tropical); no hazards --
+                                          the TPU grid is sequential
+  output URAM row partitions              out blocks (8,128)=1024 rows, revisited
+  (SPMV_OUT_BUF_LEN)                      across chunks, zeroed on first visit
+  masked write_to_out_ddr                 jnp.where epilogue outside the kernel
+  (hw/kernel_spmv_impl.h:361-385)
+
+Throughput notes (v5e, measured): dynamic_gather ax0 ~79 G/s, ax1 ~35 G/s;
+XLA's own gather ~0.1 G/s (hence this kernel exists).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..semiring import Semiring, OpType, MaskType, apply_mask, FLOAT_INF
+from ..io.formatter import ChunkedSpMVLayout
+
+W = 128   # row window (one-hot width)
+S = 8     # chunk sublanes
+L = 128   # lanes
+
+
+def _gather_x(x2, q, r):
+    """Two-stage dynamic gather: g[s,l] = x2[q[s,l], r[s,l]] given q constant
+    per sublane. x2/q/r all (8,128)."""
+    v = jnp.take_along_axis(x2, q, axis=0)   # x2[q[s,l], l]  (sublane pick)
+    return jnp.take_along_axis(v, r, axis=1)  # v[s, r[s,l]]   (lane pick)
+
+
+def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
+    nct8 = S * nct
+
+    def kernel(code_ref, q_ref, r_ref, rt_ref, v_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        first = jnp.logical_or(
+            i == 0, code_ref[jnp.maximum(i - 1, 0)] // nct8 != code_ref[i] // nct8)
+
+        @pl.when(first)
+        def _():
+            o_ref[...] = jnp.full_like(o_ref, zero)
+
+        x2 = x_ref[0]
+        g = _gather_x(x2, q_ref[0], r_ref[0])
+        vals = v_ref[0]
+        rt = rt_ref[0]                       # (128, 8) row-locals, pre-transposed
+        wsub = (code_ref[i] // nct) % S
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
+
+        if op == OpType.MULADD or op == OpType.ANDOR:
+            if op == OpType.MULADD:
+                g = g * vals
+            else:
+                g = jnp.logical_and(vals != 0, g != 0).astype(vals.dtype)
+            lane_t = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+            if fuse_dots:
+                oh = jnp.concatenate(
+                    [(lane_t == rt[:, s:s + 1]).astype(g.dtype) for s in range(S)],
+                    axis=0)                                       # (1024, W)
+                gf = jnp.concatenate([g[s:s + 1, :] for s in range(S)], axis=1)
+                acc = jax.lax.dot_general(gf, oh, (((1,), (0,)), ((), ())),
+                                          precision=precision,
+                                          preferred_element_type=jnp.float32)
+            else:
+                acc = jnp.zeros((1, W), jnp.float32)
+                for s in range(S):
+                    ohs = (lane_t == rt[:, s:s + 1]).astype(g.dtype)
+                    acc = acc + jax.lax.dot_general(
+                        g[s:s + 1, :], ohs, (((1,), (0,)), ((), ())),
+                        precision=precision, preferred_element_type=jnp.float32)
+            acc = acc.astype(o_ref.dtype)
+            o_ref[0] += jnp.where(sub_ids == wsub,
+                                  jnp.broadcast_to(acc, (S, W)), 0.0)
+        elif op == OpType.ADDMIN:
+            inf = jnp.asarray(zero, vals.dtype)
+            g = jnp.minimum(g + vals, inf)   # saturating tropical mul
+            gt = g.T                         # (128, 8)
+            lane_t = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+            acc = jnp.full((1, W), inf, vals.dtype)
+            for s in range(S):
+                masked = jnp.where(lane_t == rt[:, s:s + 1], gt[:, s:s + 1], inf)
+                acc = jnp.minimum(acc, jnp.min(masked, axis=0, keepdims=True))
+            o_ref[0] = jnp.minimum(
+                o_ref[0],
+                jnp.where(sub_ids == wsub, jnp.broadcast_to(acc, (S, W)), inf))
+        else:
+            raise ValueError(op)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nct", "nwgrp", "nchunk", "op", "mxu_precision",
+                     "zero", "interpret", "fuse_dots", "dtype"))
+def _spmv_pallas_call(code, q, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
+                      op, mxu_precision, zero, interpret, fuse_dots, dtype):
+    precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
+                 else jax.lax.Precision.DEFAULT)
+    kernel = _make_kernel(nct, op, precision, zero, fuse_dots)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunk,),
+        in_specs=[
+            pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, S), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, L), lambda i, code: (code[i] % nct, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, W), lambda i, code: (code[i] // (S * nct), 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    f = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nwgrp, S, W), jnp.dtype(dtype)),
+        interpret=interpret,
+    )
+    return f(code, q, r, rows_t, vals, x2)
+
+
+class PallasSpMV:
+    """Compiled SpMV over a fixed ChunkedSpMVLayout.
+
+    Holds device copies of the layout; `__call__(x, mask)` runs the kernel and
+    epilogues. Whole object is jit-cache friendly: geometry is static.
+    """
+
+    def __init__(self, layout: ChunkedSpMVLayout, semiring: Semiring,
+                 config: EngineConfig = DEFAULT_CONFIG,
+                 mask_type: MaskType = MaskType.NO_MASK):
+        self.layout = layout
+        self.semiring = semiring
+        self.mask_type = mask_type
+        self.config = config
+        self.num_rows = layout.num_rows
+        self.num_cols = layout.num_cols
+        self.code = jnp.asarray(layout.code)
+        self.q = jnp.asarray(layout.q)
+        self.r = jnp.asarray(layout.r)
+        self.rows_t = jnp.asarray(layout.rows_t)
+        self.vals = jnp.asarray(layout.vals, dtype=config.jdtype)
+        self._static = dict(
+            nct=layout.num_col_tiles,
+            nwgrp=layout.num_window_groups,
+            nchunk=layout.num_chunks,
+            op=self.semiring.op,
+            mxu_precision=config.mxu_precision,
+            zero=float(self.semiring.zero),
+            interpret=config.resolve_interpret(),
+            fuse_dots=True,
+            dtype=config.dtype,
+        )
+
+    def __call__(self, x, mask=None, mask_type: MaskType | None = None):
+        """y = mask(A (x) x). `x` is a dense (num_cols,) vector."""
+        mt = self.mask_type if mask_type is None else mask_type
+        x2 = x.reshape(self.layout.num_col_tiles, S, L)
+        out = _spmv_pallas_call(self.code, self.q, self.r, self.rows_t,
+                                self.vals, x2, **self._static)
+        y = out.reshape(self.num_rows)
+        if self.semiring.op == OpType.ANDOR:
+            y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))
+        if mask is not None and mt != MaskType.NO_MASK:
+            y = apply_mask(y, mask, mt, self.semiring.zero)
+        return y

@@ -1,0 +1,88 @@
+"""App-level integration tests — counterpart of the reference's
+tests/test_app.cpp: BFS pull/push/pull_push, SSSP pull/push/pull_push,
+PageRank pull, each against the app's CPU reference on a uniform random graph
+(the reference uses uniform_10K_10; scaled down for interpret-mode speed)."""
+import numpy as np
+import pytest
+
+from graphlily_tpu import EngineConfig
+from graphlily_tpu.apps import BFS, SSSP, PageRank
+from graphlily_tpu.io import uniform_csr
+
+CFG = EngineConfig(interpret=True)
+NUM_ITER = 6
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return uniform_csr(1200, 1200, 10, seed=42)
+
+
+@pytest.fixture(scope="module")
+def bfs_app(graph):
+    app = BFS(CFG)
+    app.load_and_format_matrix(graph)
+    app.send_matrix_host_to_device()
+    return app
+
+
+def test_bfs_pull(bfs_app):
+    got = bfs_app.pull(0, NUM_ITER)
+    want = bfs_app.compute_reference_results(0, NUM_ITER)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_bfs_push(bfs_app):
+    got = bfs_app.push(0, NUM_ITER)
+    want = bfs_app.compute_reference_results(0, NUM_ITER)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_bfs_pull_push(bfs_app):
+    got = bfs_app.pull_push(0, NUM_ITER, threshold=0.1)
+    want = bfs_app.compute_reference_results(0, NUM_ITER)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_bfs_chained_matches_fused(bfs_app):
+    fused = bfs_app.pull(3, 4)
+    chained = bfs_app.pull(3, 4, chained=True)
+    np.testing.assert_allclose(fused, chained, atol=1e-4)
+    fused_p = bfs_app.push(3, 4)
+    chained_p = bfs_app.push(3, 4, chained=True)
+    np.testing.assert_allclose(fused_p, chained_p, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def sssp_app(graph):
+    app = SSSP(CFG)
+    app.load_and_format_matrix(graph)
+    app.send_matrix_host_to_device()
+    return app
+
+
+def test_sssp_pull(sssp_app):
+    got = sssp_app.pull(0, NUM_ITER)
+    want = sssp_app.compute_reference_results(0, NUM_ITER)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sssp_push(sssp_app):
+    got = sssp_app.push(0, NUM_ITER)
+    want = sssp_app.compute_reference_results(0, NUM_ITER)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sssp_pull_push(sssp_app):
+    got = sssp_app.pull_push(0, NUM_ITER, threshold=0.1)
+    want = sssp_app.compute_reference_results(0, NUM_ITER)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pagerank_pull(graph):
+    app = PageRank(CFG)
+    app.load_and_format_matrix(graph, damping=0.9)
+    app.send_matrix_host_to_device()
+    got = app.pull(0.9, 10)
+    want = app.compute_reference_results(0.9, 10)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-6)

@@ -1,0 +1,78 @@
+"""Pallas SpMV engine vs the XLA oracle (interpret mode on CPU).
+
+TPU counterpart of the reference's hardware-unit testbenches
+(tests/test_pe_cluster.cpp, tests/test_shuffle.cpp): the kernel is driven
+directly against an independent implementation, including the adversarial
+conflict fixture (all columns collide mod 128).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graphlily_tpu import (ArithmeticSemiring, LogicalSemiring, TropicalSemiring,
+                           MaskType, EngineConfig)
+from graphlily_tpu.io import (uniform_csr, dense_csr, conflict_csr, rmat_csr,
+                              pack_csr_chunks)
+from graphlily_tpu.ops import coo_from_csr, spmv_coo
+from graphlily_tpu.ops.spmv_pallas import PallasSpMV
+
+SEMIRINGS = [ArithmeticSemiring, LogicalSemiring, TropicalSemiring]
+
+
+def run_both(csr, semiring, mask_type, rng, config=None):
+    config = config or EngineConfig(interpret=True)
+    lay = pack_csr_chunks(csr, config, pad_val=semiring.zero)
+    eng = PallasSpMV(lay, semiring, config, mask_type)
+    x = rng.random(lay.num_cols).astype(np.float32) + 0.5
+    x[rng.random(lay.num_cols) < 0.3] = semiring.zero
+    mask = (rng.random(lay.num_rows) < 0.5).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x), jnp.asarray(mask)))
+    # oracle on the same padded matrix
+    padded = csr.copy()
+    from graphlily_tpu.io import util_round_csr_matrix_dim
+    util_round_csr_matrix_dim(padded, 1024, 1024)
+    coo = coo_from_csr(padded)
+    want = np.asarray(spmv_coo(coo, jnp.asarray(x), semiring,
+                               jnp.asarray(mask), mask_type))
+    return y, want
+
+
+@pytest.mark.parametrize("semiring", SEMIRINGS, ids=lambda s: s.name)
+@pytest.mark.parametrize("mask_type",
+                         [MaskType.NO_MASK, MaskType.WRITE_TO_ZERO,
+                          MaskType.WRITE_TO_ONE], ids=lambda m: m.name)
+def test_pallas_spmv_semirings_masks(semiring, mask_type, rng):
+    csr = uniform_csr(1500, 1500, 4, seed=21)
+    y, want = run_both(csr, semiring, mask_type, rng)
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("maker,kw", [
+    (dense_csr, dict(num_rows=256, num_cols=256)),
+    (conflict_csr, dict(num_rows=1024, num_cols=2048)),
+    (rmat_csr, dict(num_rows=3000, nnz=40000, seed=5)),
+    (uniform_csr, dict(num_rows=900, num_cols=2100, degree=3, seed=6)),
+])
+def test_pallas_spmv_shapes(maker, kw, rng):
+    csr = maker(**kw)
+    y, want = run_both(csr, ArithmeticSemiring, MaskType.NO_MASK, rng)
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_spmv_empty_windows(rng):
+    """Rows beyond 1024 empty -> filler chunks must still zero those windows."""
+    csr = uniform_csr(100, 3000, 4, seed=9)  # only first 100 rows have nnz
+    from graphlily_tpu.io import util_round_csr_matrix_dim
+    util_round_csr_matrix_dim(csr, 4096, 1024)  # 4 window groups, 3 empty
+    y, want = run_both(csr, ArithmeticSemiring, MaskType.NO_MASK, rng)
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+    assert (y[1024:] == 0).all()
+
+
+def test_pallas_spmv_tropical_empty_rows(rng):
+    """Empty rows must produce the tropical zero (INF), not garbage."""
+    csr = uniform_csr(64, 1024, 3, seed=10)
+    y, want = run_both(csr, TropicalSemiring, MaskType.NO_MASK, rng)
+    np.testing.assert_allclose(y, want, rtol=2e-3)
+    from graphlily_tpu import FLOAT_INF
+    assert (y[64:] == FLOAT_INF).all()

@@ -174,8 +174,11 @@ class PallasSpMV:
             op=self.semiring.op,
             mxu_precision=config.mxu_precision,
             zero=float(self.semiring.zero),
+            # fuse_dots concatenates the 8 per-sublane dots into one MXU call;
+            # Mosaic (2026-08 libtpu) rejects the lane-concat ("offset mismatch
+            # on non-concat dimension"), so default to the 8-dot path.
             interpret=config.resolve_interpret(),
-            fuse_dots=True,
+            fuse_dots=False,
             dtype=config.dtype,
         )
 

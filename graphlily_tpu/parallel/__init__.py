@@ -1,0 +1,2 @@
+from .mesh import make_mesh
+from .dist_spmv import DistSpMV, ShardedSpMVLayout, pack_sharded

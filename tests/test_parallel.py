@@ -1,0 +1,77 @@
+"""Distributed SpMV tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphlily_tpu import (ArithmeticSemiring, LogicalSemiring,
+                           TropicalSemiring, MaskType, EngineConfig)
+from graphlily_tpu.io import uniform_csr, rmat_csr
+from graphlily_tpu.ops import coo_from_csr, spmv_coo
+from graphlily_tpu.io.formatter import util_round_csr_matrix_dim
+from graphlily_tpu.parallel import make_mesh, DistSpMV, pack_sharded
+
+CFG = EngineConfig(interpret=True)
+
+
+@pytest.mark.parametrize("semiring", [ArithmeticSemiring, TropicalSemiring],
+                         ids=lambda s: s.name)
+@pytest.mark.parametrize("shape", [(4, 2), (8, 1), (2, 2)])
+def test_dist_spmv_matches_single(semiring, shape, rng):
+    R, C = shape
+    mesh = make_mesh(R * C, rows=R, cols=C)
+    csr = uniform_csr(3000, 3000, 5, seed=17)
+    lay = pack_sharded(csr, R, C, CFG, pad_val=semiring.zero)
+    eng = DistSpMV(lay, semiring, mesh, CFG)
+    x = rng.random(lay.num_cols).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x)))
+    # single-device oracle on same padded dims
+    padded = csr.copy()
+    util_round_csr_matrix_dim(padded, lay.num_rows, lay.num_cols)
+    coo = coo_from_csr(padded)
+    want = np.asarray(spmv_coo(coo, jnp.asarray(x), semiring))
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
+def test_dist_spmv_masked(rng):
+    mesh = make_mesh(8, rows=4, cols=2)
+    csr = uniform_csr(2000, 2000, 4, seed=19)
+    lay = pack_sharded(csr, 4, 2, CFG, pad_val=0.0)
+    eng = DistSpMV(lay, LogicalSemiring, mesh, CFG,
+                   mask_type=MaskType.WRITE_TO_ZERO)
+    x = (rng.random(lay.num_cols) < 0.3).astype(np.float32)
+    mask = (rng.random(lay.num_rows) < 0.5).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x), jnp.asarray(mask)))
+    padded = csr.copy()
+    util_round_csr_matrix_dim(padded, lay.num_rows, lay.num_cols)
+    coo = coo_from_csr(padded)
+    want = np.asarray(spmv_coo(coo, jnp.asarray(x), LogicalSemiring,
+                               jnp.asarray(mask), MaskType.WRITE_TO_ZERO))
+    np.testing.assert_allclose(y, want, atol=1e-5)
+
+
+def test_dist_pagerank_iteration(rng):
+    """One distributed power iteration inside a single jit, including the
+    rows->cols reshard for the next step."""
+    mesh = make_mesh(8, rows=4, cols=2)
+    csr = rmat_csr(2000, 20000, seed=23)
+    from graphlily_tpu.io.formatter import util_normalize_csr_matrix_by_outdegree
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 4096, 4096)
+    util_normalize_csr_matrix_by_outdegree(work)
+    work.adj_data = work.adj_data * 0.9
+    lay = pack_sharded(work, 4, 2, CFG, pad_val=0.0)
+    eng = DistSpMV(lay, ArithmeticSemiring, mesh, CFG)
+    n = lay.num_rows
+    offset = (1 - 0.9) / n
+
+    @jax.jit
+    def step(rank):
+        y = eng(rank) + offset
+        return eng.reshard_for_input(y)
+
+    rank = jnp.full(n, 1.0 / n, jnp.float32)
+    r1 = np.asarray(step(rank))
+    coo = coo_from_csr(work)
+    want = np.asarray(spmv_coo(coo, rank, ArithmeticSemiring)) + offset
+    np.testing.assert_allclose(r1, want, rtol=2e-3, atol=1e-8)

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Benchmark harness — the reference's measurement protocol on TPU.
+
+Protocol (reference benchmark/, see BASELINE.md):
+  * SpMV: GTEPS = nnz / avg time, arithmetic semiring, no mask, 100 runs
+    (bench_spmv.cpp:96-112) — here the 100 runs are one on-device
+    lax.fori_loop (the per-dispatch tunnel overhead on this sandbox is ~25ms,
+    so host-looped timing would measure the tunnel, not the chip).
+  * PageRank: per-iteration time, damping 0.9, 10 iters (bench_pagerank.cpp).
+  * BFS/SSSP: total time for the per-dataset iteration counts (run_bfs.sh:20).
+
+Datasets: zero-egress sandbox -> deterministic RMAT stand-ins at the six
+ICCAD'21 graph scales (io/generate.py). The primary metric (the single JSON
+line on stdout) is SpMV GTEPS on the full-scale googleplus stand-in
+(107,614 vertices / 13.7M edges); vs_baseline divides by the reference
+platform's derived peak of 21.2 GTEPS (128 PEs x 166 MHz — BASELINE.md), the
+only throughput number derivable from the reference repo itself.
+
+Usage: python bench.py [--full] [--scale S] [--skip-apps]
+Detailed per-graph results go to BENCH_DETAILS.json + stderr.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+PEAK_REFERENCE_GTEPS = 21.2  # derived U280 bound, BASELINE.md
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_floor(jax, jnp):
+    f = jax.jit(lambda v: v[:8].sum())
+    v = jnp.ones(128)
+    for _ in range(2):
+        np.asarray(f(v))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        np.asarray(f(v))
+    return (time.perf_counter() - t0) / 4
+
+
+def bench_spmv(csr, config, iters=100):
+    """Arithmetic SpMV, no mask; matrix outdegree-normalized (bounded
+    spectrum so the iterated vector stays finite)."""
+    import jax
+    import jax.numpy as jnp
+    from graphlily_tpu import ArithmeticSemiring
+    from graphlily_tpu.io.formatter import (
+        pack_csr_chunks, util_round_csr_matrix_dim,
+        util_normalize_csr_matrix_by_outdegree)
+    from graphlily_tpu.ops.spmv_pallas import PallasSpMV
+    from graphlily_tpu.utils.profiling import analyze_layout
+
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    util_normalize_csr_matrix_by_outdegree(work)
+    work.adj_data = work.adj_data * 0.9
+
+    t0 = time.perf_counter()
+    lay = pack_csr_chunks(work, config, pad_val=0.0)
+    t_pack = time.perf_counter() - t0
+    stats = analyze_layout(lay)
+    stats["pack_s"] = t_pack
+
+    eng = PallasSpMV(lay, ArithmeticSemiring, config)
+    n = lay.num_rows
+
+    @jax.jit
+    def loop(arrays, x):
+        def body(_i, v):
+            return eng(v, arrays=arrays) + (0.1 / n)
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    x0 = jnp.full(n, 1.0 / n, config.jdtype)
+    out = np.asarray(loop(eng.arrays, x0))  # compile + first run
+    assert np.isfinite(out).all()
+    floor = measure_floor(jax, jnp)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = np.asarray(loop(eng.arrays, x0))
+    dt = max((time.perf_counter() - t0) / reps - floor, 1e-9)
+    per_iter = dt / iters
+    stats["spmv_ms"] = per_iter * 1e3
+    stats["spmv_gteps"] = csr.nnz / per_iter / 1e9
+    stats["slots_per_s"] = stats["slots"] / per_iter / 1e9
+    return stats
+
+
+def bench_apps(csr, config, bfs_iters):
+    """BFS pull_push + SSSP pull_push + PageRank x10 timings."""
+    import jax
+    import jax.numpy as jnp
+    from graphlily_tpu.apps import BFS, SSSP, PageRank
+    res = {}
+    floor = measure_floor(jax, jnp)
+
+    pr = PageRank(config)
+    pr.load_and_format_matrix(csr, damping=0.9)
+    t0 = time.perf_counter()
+    r = pr.pull(0.9, 10)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = pr.pull(0.9, 10)
+    dt = max(time.perf_counter() - t0 - floor, 1e-9)
+    res["pagerank_ms_per_iter"] = dt / 10 * 1e3
+    res["pagerank_compile_s"] = t_first
+
+    bfs = BFS(config)
+    bfs.load_and_format_matrix(csr)
+    bfs.pull_push(0, bfs_iters, threshold=0.001)  # compile
+    t0 = time.perf_counter()
+    bfs.pull_push(0, bfs_iters, threshold=0.001)
+    dt = max(time.perf_counter() - t0 - floor, 1e-9)
+    res["bfs_pull_push_ms"] = dt * 1e3
+    res["bfs_gteps"] = csr.nnz * bfs_iters / dt / 1e9
+
+    sssp = SSSP(config)
+    sssp.load_and_format_matrix(csr)
+    sssp.pull_push(0, bfs_iters, threshold=0.001)
+    t0 = time.perf_counter()
+    sssp.pull_push(0, bfs_iters, threshold=0.001)
+    dt = max(time.perf_counter() - t0 - floor, 1e-9)
+    res["sssp_pull_push_ms"] = dt * 1e3
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="run every graph at full scale (memory permitting)")
+    ap.add_argument("--scale", type=float, default=0.02,
+                    help="scale for the five larger graph stand-ins")
+    ap.add_argument("--skip-apps", action="store_true")
+    ap.add_argument("--iters", type=int, default=100)
+    args = ap.parse_args()
+
+    from graphlily_tpu import EngineConfig
+    from graphlily_tpu.io import iccad_standin, ICCAD_GRAPHS
+
+    config = EngineConfig()
+    details = {}
+
+    # ---- primary: full-scale googleplus stand-in -------------------------
+    log("== building googleplus stand-in (full scale) ==")
+    csr = iccad_standin("googleplus", scale=1.0, seed=0)
+    stats = bench_spmv(csr, config, iters=args.iters)
+    details["googleplus_full"] = stats
+    log(f"googleplus full: {stats['spmv_gteps']:.3f} GTEPS, "
+        f"fill={stats['fill']:.2%}, {stats['spmv_ms']:.3f} ms/SpMV, "
+        f"mem={stats['mem_bytes']/1e9:.2f} GB")
+    primary = stats["spmv_gteps"]
+
+    if not args.skip_apps:
+        appres = bench_apps(csr, config, ICCAD_GRAPHS["googleplus"]["iters"])
+        details["googleplus_full"].update(appres)
+        log(f"apps: {appres}")
+
+    # ---- secondary: the other five at reduced scale ----------------------
+    for name in ["ogbl_ppa", "hollywood", "pokec", "ogbn_products", "orkut"]:
+        sc = 1.0 if args.full else args.scale
+        try:
+            log(f"== {name} (scale {sc}) ==")
+            g = iccad_standin(name, scale=sc, seed=1)
+            st = bench_spmv(g, config, iters=20)
+            details[f"{name}_s{sc}"] = st
+            log(f"{name} s{sc}: {st['spmv_gteps']:.3f} GTEPS, "
+                f"fill={st['fill']:.2%}, mem={st['mem_bytes']/1e9:.2f} GB")
+        except Exception as e:  # keep the primary metric robust
+            log(f"{name} failed: {type(e).__name__}: {e}")
+            details[f"{name}_s{sc}"] = {"error": str(e)}
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps({
+        "metric": "SpMV GTEPS (arithmetic, no mask, googleplus-scale RMAT "
+                  "107614v/13.7Me, 100-run avg on device)",
+        "value": round(primary, 4),
+        "unit": "GTEPS",
+        "vs_baseline": round(primary / PEAK_REFERENCE_GTEPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

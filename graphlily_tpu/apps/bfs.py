@@ -95,45 +95,46 @@ class BFS(ModuleCollection):
         spmv = self.SpMV_.apply
         spmspv = self.SpMSpV_.apply
 
-        def pull_step(iter_num, frontier, distance):
+        def pull_step(mstate, iter_num, frontier, distance):
             """One pull iteration `iter_num` (1-based): masked SpMV then stamp
             distance = iter_num+1 at the new frontier (bfs.h:117-124)."""
-            y = spmv(frontier, distance)
+            y = spmv(frontier, distance, state=mstate)
             val = (iter_num + 1).astype(distance.dtype)
             distance = assign_vector_dense(distance, y, val,
                                            MaskType.WRITE_TO_ONE)
             return y, distance
 
-        def push_step(iter_num, frontier, distance):
+        def push_step(sstate, iter_num, frontier, distance):
             """One push iteration: SpMSpV then stamp iter_num+1 at the sparse
             frontier (bfs.h:148-153)."""
-            sv_out, _ = spmspv(frontier, distance)
+            sv_out, _ = spmspv(frontier, distance, state=sstate)
             val = (iter_num + 1).astype(distance.dtype)
             distance = assign_vector_sparse_no_new_frontier(
                 distance, sv_out, val)
             return sv_out, distance
 
         @jax.jit
-        def pull_fused(frontier, distance, num_iterations):
+        def pull_fused(mstate, frontier, distance, num_iterations):
             def body(i, st):
                 fr, dist = st
-                return pull_step(i, fr, dist)
+                return pull_step(mstate, i, fr, dist)
             frontier, distance = jax.lax.fori_loop(
                 1, num_iterations + 1, body, (frontier, distance))
             return distance
 
         @jax.jit
-        def push_fused(frontier: SparseVector, distance, num_iterations):
+        def push_fused(sstate, frontier: SparseVector, distance,
+                       num_iterations):
             def body(i, st):
                 fr, dist = st
-                return push_step(i, fr, dist)
+                return push_step(sstate, i, fr, dist)
             frontier, distance = jax.lax.fori_loop(
                 1, num_iterations + 1, body, (frontier, distance))
             return distance
 
         @jax.jit
-        def pull_push_fused(frontier: SparseVector, distance, num_iterations,
-                            threshold):
+        def pull_push_fused(mstate, sstate, frontier: SparseVector, distance,
+                            num_iterations, threshold):
             # Phase 1: push (do-while: iteration j runs for j==1 always, then
             # while j < num_iterations and the frontier is still sparse —
             # bfs.h:179-190). Carry `it` = completed push iterations.
@@ -146,7 +147,7 @@ class BFS(ModuleCollection):
 
             def push_body(carry):
                 it, fr, dist = carry
-                fr, dist = push_step(it + 1, fr, dist)
+                fr, dist = push_step(sstate, it + 1, fr, dist)
                 return (it + 1, fr, dist)
 
             it, fr, dist = jax.lax.while_loop(
@@ -163,7 +164,7 @@ class BFS(ModuleCollection):
 
             def pull_body(carry):
                 it2, fr2, dist2 = carry
-                fr2, dist2 = pull_step(it2 + 1, fr2, dist2)
+                fr2, dist2 = pull_step(mstate, it2 + 1, fr2, dist2)
                 return (it2 + 1, fr2, dist2)
 
             _, _, dist = jax.lax.while_loop(
@@ -188,7 +189,8 @@ class BFS(ModuleCollection):
         if chained:
             return self._pull_chained(source, num_iterations)
         frontier, distance = self._init_state(source)
-        return np.asarray(self._pull_fused(frontier, distance,
+        return np.asarray(self._pull_fused(self.SpMV_.device_state(),
+                                           frontier, distance,
                                            jnp.asarray(num_iterations)))
 
     def push(self, source: int, num_iterations: int, chained: bool = False):
@@ -198,7 +200,8 @@ class BFS(ModuleCollection):
         frontier = sparse_from_entries([source], [1.0],
                                        self.SpMSpV_.capacity,
                                        dtype=self.config.jdtype)
-        return np.asarray(self._push_fused(frontier, distance,
+        return np.asarray(self._push_fused(self.SpMSpV_.device_state(),
+                                           frontier, distance,
                                            jnp.asarray(num_iterations)))
 
     def pull_push(self, source: int, num_iterations: int,
@@ -208,6 +211,7 @@ class BFS(ModuleCollection):
                                        self.SpMSpV_.capacity,
                                        dtype=self.config.jdtype)
         return np.asarray(self._pull_push_fused(
+            self.SpMV_.device_state(), self.SpMSpV_.device_state(),
             frontier, distance, jnp.asarray(num_iterations),
             jnp.asarray(threshold, jnp.float32)))
 

@@ -59,9 +59,9 @@ class PageRank(ModuleCollection):
         spmv = self.SpMV_.apply
 
         @jax.jit
-        def pull_fused(rank, offset, num_iterations):
+        def pull_fused(mstate, rank, offset, num_iterations):
             def body(_i, r):
-                return ewise_add_scalar(spmv(r), offset)
+                return ewise_add_scalar(spmv(r, state=mstate), offset)
             return jax.lax.fori_loop(0, num_iterations, body, rank)
 
         self._pull_fused = pull_fused
@@ -70,7 +70,8 @@ class PageRank(ModuleCollection):
         n = self.matrix_num_rows_
         rank = jnp.full(n, 1.0 / n, self.config.jdtype)
         offset = jnp.asarray((1 - damping) / n, self.config.jdtype)
-        return np.asarray(self._pull_fused(rank, offset,
+        return np.asarray(self._pull_fused(self.SpMV_.device_state(),
+                                           rank, offset,
                                            jnp.asarray(num_iterations)))
 
     def compute_reference_results(self, damping: float, num_iterations: int):

@@ -82,29 +82,30 @@ class SSSP(ModuleCollection):
         spmspv = self.SpMSpV_.apply
 
         @jax.jit
-        def pull_fused(distance, num_iterations):
+        def pull_fused(mstate, distance, num_iterations):
             def body(_i, d):
-                return spmv(d)   # tropical SpMV relaxes all distances
+                return spmv(d, state=mstate)  # tropical SpMV relaxes distances
             return jax.lax.fori_loop(0, num_iterations, body, distance)
 
-        def push_step(frontier, distance):
-            sv_res, _ = spmspv(frontier, distance)
+        def push_step(sstate, frontier, distance):
+            sv_res, _ = spmspv(frontier, distance, state=sstate)
             distance, new_frontier = assign_vector_sparse_new_frontier(
                 distance, sv_res)
             return new_frontier, distance
 
         @jax.jit
-        def push_fused(frontier: SparseVector, distance, num_iterations):
+        def push_fused(sstate, frontier: SparseVector, distance,
+                       num_iterations):
             def body(_i, st):
                 fr, dist = st
-                return push_step(fr, dist)
+                return push_step(sstate, fr, dist)
             frontier, distance = jax.lax.fori_loop(
                 0, num_iterations, body, (frontier, distance))
             return distance
 
         @jax.jit
-        def pull_push_fused(frontier: SparseVector, distance, num_iterations,
-                            threshold):
+        def pull_push_fused(mstate, sstate, frontier: SparseVector, distance,
+                            num_iterations, threshold):
             # do-while push (sssp.h:222-229): iteration j==1 always, then
             # while j < num_iterations and last frontier still sparse.
             def push_cond(carry):
@@ -116,7 +117,7 @@ class SSSP(ModuleCollection):
 
             def push_body(carry):
                 it, fr, dist = carry
-                fr, dist = push_step(fr, dist)
+                fr, dist = push_step(sstate, fr, dist)
                 return (it + 1, fr, dist)
 
             it, _fr, dist = jax.lax.while_loop(
@@ -130,7 +131,7 @@ class SSSP(ModuleCollection):
 
             def pull_body(carry):
                 it2, d = carry
-                return (it2 + 1, spmv(d))
+                return (it2 + 1, spmv(d, state=mstate))
 
             _, dist = jax.lax.while_loop(pull_cond, pull_body, (it, dist))
             return dist
@@ -147,13 +148,15 @@ class SSSP(ModuleCollection):
 
     # ---- public API ------------------------------------------------------
     def pull(self, source: int, num_iterations: int):
-        return np.asarray(self._pull_fused(self._init_distance(source),
+        return np.asarray(self._pull_fused(self.SpMV_.device_state(),
+                                           self._init_distance(source),
                                            jnp.asarray(num_iterations)))
 
     def push(self, source: int, num_iterations: int):
         frontier = sparse_from_entries([source], [0.0], self.SpMSpV_.capacity,
                                        dtype=self.config.jdtype)
-        return np.asarray(self._push_fused(frontier,
+        return np.asarray(self._push_fused(self.SpMSpV_.device_state(),
+                                           frontier,
                                            self._init_distance(source),
                                            jnp.asarray(num_iterations)))
 
@@ -162,6 +165,7 @@ class SSSP(ModuleCollection):
         frontier = sparse_from_entries([source], [0.0], self.SpMSpV_.capacity,
                                        dtype=self.config.jdtype)
         return np.asarray(self._pull_push_fused(
+            self.SpMV_.device_state(), self.SpMSpV_.device_state(),
             frontier, self._init_distance(source),
             jnp.asarray(num_iterations), jnp.asarray(threshold, jnp.float32)))
 

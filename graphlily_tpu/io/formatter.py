@@ -11,9 +11,9 @@ layout here ("chunked dual-gather", `ChunkedSpMVLayout`) instead packs nnz into
     buffer, SPMV_OUT_BUF_LEN analog), the col tile (1024 x-elements) is the
     slice of the dense vector resident for gathers (VEC_BUF_LEN analog,
     graphlily/hw/kernel_spmv_impl.h:470-472).
-  * within a group, nnz are binned by x-bucket (col>>7 within the tile) mod 8
-    into sublanes, so the kernel's two-stage dynamic-gather
-    (x2[q[s,l], l] then [s, r[s,l]]) is valid: q is constant per sublane.
+  * within a group, nnz are binned by x-bucket (col>>7 within the tile) into
+    sublanes (8 buckets per tile), so the gather is a single ax1
+    dynamic_gather: g[s,l] = x2[s, r[s,l]] with r = col & 127.
   * row-local ids are stored pre-transposed (128,8) so the one-hot reduce
     needs no in-kernel transpose.
 
@@ -132,15 +132,16 @@ class ChunkedSpMVLayout:
     """Device arrays for the pallas SpMV engine (all numpy until shipped).
 
     Shapes (NC = number of chunks, S = 8 sublanes, L = 128 lanes):
-      q      (NC, S, L) int32 : x-bucket within col tile; constant per sublane
-      r      (NC, S, L) int32 : x-lane (col & 127)
+      r      (NC, S, L) int32 : x-lane (col & 127). The x-bucket q is implied:
+                                sublane s holds only bucket-s nnz (the class
+                                binning), so the gather is one ax1
+                                dynamic_gather g[s,l] = x2[s, r[s,l]].
       rows_t (NC, L, S) int32 : row - window_base, pre-transposed
       vals   (NC, S, L)       : nnz values (padding = semiring-safe fill)
       code   (NC,)     int32  : packed (window_group, window_sub, col_tile) id
     Plus geometry for the kernel grid.
     """
 
-    q: np.ndarray
     r: np.ndarray
     rows_t: np.ndarray
     vals: np.ndarray
@@ -157,7 +158,7 @@ class ChunkedSpMVLayout:
 
     @property
     def num_chunks(self) -> int:
-        return self.q.shape[0]
+        return self.r.shape[0]
 
 
 def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
@@ -185,47 +186,48 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     vv = work.adj_data[:nnz]
 
     nct = ncols // C
-    wid = rr // W
-    cid = cc // C
-    sub = ((cc % C) >> 7) % S
 
-    order = np.lexsort((cc, sub, cid, wid))
-    rr, cc, vv, wid, cid, sub = (a[order] for a in (rr, cc, vv, wid, cid, sub))
+    # chunk assignment: native C++ path (10x faster on 100M-edge graphs),
+    # numpy fallback otherwise
+    from .. import native as _native
+    assigned = _native.pack_assign(rr, cc, nct) if nnz else None
+    if assigned is not None:
+        chunk_id, sub, lane, nchunk = assigned
+        wid = rr // W
+        cid = cc // C
+    else:
+        wid = rr // W
+        cid = cc // C
+        sub = ((cc % C) >> 7) % S
+        order = np.lexsort((cc, sub, cid, wid))
+        rr, cc, vv, wid, cid, sub = (a[order] for a in (rr, cc, vv, wid, cid, sub))
+        gkey = wid * nct + cid
+        ckey = gkey * S + sub
+        _, cstart, ccount = np.unique(ckey, return_index=True, return_counts=True)
+        rank = np.arange(nnz, dtype=np.int64) - np.repeat(cstart, ccount)
+        k = rank // L
+        lane = rank % L
+        guniq = np.unique(gkey)
+        class_need = (ccount + L - 1) // L
+        gidx_of_class = np.searchsorted(guniq, ckey[cstart] // S)
+        gneed = np.zeros(len(guniq), np.int64)
+        np.maximum.at(gneed, gidx_of_class, class_need)
+        goff = np.concatenate([[0], np.cumsum(gneed)])
+        nchunk = max(int(goff[-1]), 1)
+        gidx = np.searchsorted(guniq, gkey)
+        chunk_id = goff[gidx] + k
+    nchunk = max(nchunk, 1)
 
-    gkey = wid * nct + cid
-    ckey = gkey * S + sub
-    _, cstart, ccount = np.unique(ckey, return_index=True, return_counts=True)
-    rank = np.arange(nnz, dtype=np.int64) - np.repeat(cstart, ccount)
-    k = rank // L
-    lane = rank % L
-
-    guniq = np.unique(gkey)
-    class_need = (ccount + L - 1) // L
-    gidx_of_class = np.searchsorted(guniq, ckey[cstart] // S)
-    gneed = np.zeros(len(guniq), np.int64)
-    np.maximum.at(gneed, gidx_of_class, class_need)
-    goff = np.concatenate([[0], np.cumsum(gneed)])
-    nchunk = max(int(goff[-1]), 1)
-
-    gidx = np.searchsorted(guniq, gkey)
-    chunk_id = goff[gidx] + k
-
-    q = np.tile(np.arange(S, dtype=np.int32)[None, :, None], (nchunk, 1, L))
     r = np.zeros((nchunk, S, L), np.int32)
-    rows = np.zeros((nchunk, S, L), np.int32)
+    rows_t = np.zeros((nchunk, L, S), np.int32)
     vals = np.full((nchunk, S, L), pad_val, dtype=np.float32)
 
-    qv = ((cc % C) >> 7).astype(np.int32)
-    q[chunk_id, sub, lane] = qv
     r[chunk_id, sub, lane] = (cc & 127).astype(np.int32)
-    rows[chunk_id, sub, lane] = (rr % W).astype(np.int32)
+    rows_t[chunk_id, lane, sub] = (rr % W).astype(np.int32)
     vals[chunk_id, sub, lane] = vv
 
-    # padding lanes in a partially-filled sublane must keep q == that sublane's
-    # class value; the tile init above sets q=s which is each sublane's class
-    # only when the class is exactly s. Classes are (bucket % 8)==s by
-    # construction, but bucket itself may exceed 8 (col_tile > 1024). With
-    # C=1024 bucket==s always; assert to catch config drift.
+    # with C=1024, bucket == sublane class exactly, so the kernel's gather
+    # table row s is bucket s; col_tile > 1024 would need a page-select stage
     assert C == 1024, "col_tile != 1024 requires page-select kernel support"
 
     cwid = np.zeros(nchunk, np.int64)
@@ -243,21 +245,18 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     missing = np.nonzero(~present)[0]
     if len(missing):
         nm = len(missing)
-        q = np.concatenate([q, np.tile(np.arange(S, dtype=np.int32)[None, :, None],
-                                       (nm, 1, L))])
         r = np.concatenate([r, np.zeros((nm, S, L), np.int32)])
-        rows = np.concatenate([rows, np.zeros((nm, S, L), np.int32)])
+        rows_t = np.concatenate([rows_t, np.zeros((nm, L, S), np.int32)])
         vals = np.concatenate([vals, np.full((nm, S, L), pad_val, np.float32)])
         code = np.concatenate([code, missing * (S * nct)])
         order2 = np.argsort(code, kind="stable")
-        q, r, rows, vals, code = q[order2], r[order2], rows[order2], vals[order2], code[order2]
+        r, rows_t, vals, code = r[order2], rows_t[order2], vals[order2], code[order2]
         nchunk += nm
 
-    rows_t = np.ascontiguousarray(rows.transpose(0, 2, 1))
     code = code.astype(np.int32)
     dtype = np.dtype(config.dtype)
     return ChunkedSpMVLayout(
-        q=q, r=r, rows_t=rows_t, vals=vals.astype(dtype), code=code,
+        r=r, rows_t=rows_t, vals=vals.astype(dtype), code=code,
         num_rows=nrows, num_cols=ncols, nnz=nnz,
         num_col_tiles=nct, num_window_groups=nrows // (8 * W),
         row_window=W, col_tile=C,

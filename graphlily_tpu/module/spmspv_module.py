@@ -94,9 +94,13 @@ class SpMSpVModule(BaseModule):
         self.mask_buf = buf
 
     # ---- execution -------------------------------------------------------
-    def apply(self, sv: SparseVector, mask: jax.Array | None = None
-              ) -> tuple[SparseVector, jax.Array]:
-        return spmspv_coo(self._coo, sv, self.semiring_, mask,
+    def device_state(self):
+        return self._coo
+
+    def apply(self, sv: SparseVector, mask: jax.Array | None = None,
+              state=None) -> tuple[SparseVector, jax.Array]:
+        coo = state if state is not None else self._coo
+        return spmspv_coo(coo, sv, self.semiring_, mask,
                           self.mask_type_, capacity=self.capacity)
 
     def run(self) -> None:

@@ -114,11 +114,19 @@ class SpMVModule(BaseModule):
         self.mask_buf = buf
 
     # ---- execution -------------------------------------------------------
-    def apply(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    def device_state(self):
+        """Matrix arrays as a pytree — pass this through jit boundaries and
+        hand it back via `apply(..., state=)` so large operands are arguments,
+        not HLO constants."""
+        return self._pallas.arrays if self._pallas is not None else self._coo
+
+    def apply(self, x: jax.Array, mask: jax.Array | None = None,
+              state=None) -> jax.Array:
         """Functional core: y = mask(A (x) x). Jittable."""
         if self._pallas is not None:
-            return self._pallas(x, mask, self.mask_type_)
-        return spmv_coo(self._coo, x, self.semiring_, mask, self.mask_type_)
+            return self._pallas(x, mask, self.mask_type_, arrays=state)
+        coo = state if state is not None else self._coo
+        return spmv_coo(coo, x, self.semiring_, mask, self.mask_type_)
 
     def run(self) -> None:
         mask = self.mask_buf.value if self.mask_type_ != MaskType.NO_MASK else None

@@ -25,14 +25,30 @@ from ..semiring import (Semiring, MaskType, OpType, apply_mask,
 from .vector import SparseVector, sparse_to_dense, dense_to_sparse
 
 
-class COODevice(NamedTuple):
-    """Device-resident COO (row-sorted; padding uses row=num_rows -> dropped)."""
-    rows: jax.Array   # (nnz_padded,) int32
-    cols: jax.Array   # (nnz_padded,) int32
-    vals: jax.Array   # (nnz_padded,)
-    num_rows: int
-    num_cols: int
-    nnz: int
+@jax.tree_util.register_pytree_node_class
+class COODevice:
+    """Device-resident COO (row-sorted; padding uses row=num_rows -> dropped).
+
+    Registered as a pytree with static geometry so it can be passed THROUGH
+    jit boundaries as an argument — large operands must never be closure
+    constants (the sandbox's remote compiler serializes HLO constants and
+    rejects multi-hundred-MB payloads)."""
+
+    def __init__(self, rows, cols, vals, num_rows, num_cols, nnz):
+        self.rows = rows    # (nnz_padded,) int32
+        self.cols = cols    # (nnz_padded,) int32
+        self.vals = vals    # (nnz_padded,)
+        self.num_rows = int(num_rows)
+        self.num_cols = int(num_cols)
+        self.nnz = int(nnz)
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals), (self.num_rows,
+                                                   self.num_cols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
 
 def coo_from_csr(csr, dtype=jnp.float32, pad_to_multiple: int = 8) -> COODevice:

@@ -10,11 +10,10 @@ the v5e (measured-primitive driven; see SURVEY.md section 7):
                                           HBM->VMEM by the pallas pipeline
   vector URAM + shuffle-1 + gather        x col-tile (1024 elems) as a VMEM
   (hw/kernel_spmv_impl.h:165-216)         (8,128) block; per-element gather =
-                                          two chained `tpu.dynamic_gather`s:
-                                          sublane pick x2[q[s,l], l], then lane
-                                          pick [s, r[s,l]] (valid because the
-                                          formatter bins nnz so q is constant
-                                          per sublane)
+                                          ONE `tpu.dynamic_gather` along lanes:
+                                          g[s,l] = x2[s, r[s,l]] (the formatter
+                                          bins sublane s to x-bucket s, making
+                                          the sublane pick the identity)
   shuffle-2 + forwarding PE accumulate    one-hot MXU matmul into a 128-row
   (hw/ufixed_pe_fwd.h:346-462)            window (add semirings) or transposed
                                           masked-min (tropical); no hazards --
@@ -46,17 +45,16 @@ S = 8     # chunk sublanes
 L = 128   # lanes
 
 
-def _gather_x(x2, q, r):
-    """Two-stage dynamic gather: g[s,l] = x2[q[s,l], r[s,l]] given q constant
-    per sublane. x2/q/r all (8,128)."""
-    v = jnp.take_along_axis(x2, q, axis=0)   # x2[q[s,l], l]  (sublane pick)
-    return jnp.take_along_axis(v, r, axis=1)  # v[s, r[s,l]]   (lane pick)
+def _gather_x(x2, r):
+    """Gather g[s,l] = x2[s, r[s,l]] (one ax1 dynamic_gather; the formatter
+    binned sublane s to x-bucket s, so the sublane pick is the identity)."""
+    return jnp.take_along_axis(x2, r, axis=1)
 
 
 def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
     nct8 = S * nct
 
-    def kernel(code_ref, q_ref, r_ref, rt_ref, v_ref, x_ref, o_ref):
+    def kernel(code_ref, r_ref, rt_ref, v_ref, x_ref, o_ref):
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, code_ref[jnp.maximum(i - 1, 0)] // nct8 != code_ref[i] // nct8)
@@ -66,7 +64,7 @@ def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
             o_ref[...] = jnp.full_like(o_ref, zero)
 
         x2 = x_ref[0]
-        g = _gather_x(x2, q_ref[0], r_ref[0])
+        g = _gather_x(x2, r_ref[0])
         vals = v_ref[0]
         rt = rt_ref[0]                       # (128, 8) row-locals, pre-transposed
         wsub = (code_ref[i] // nct) % S
@@ -118,7 +116,7 @@ def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
     jax.jit,
     static_argnames=("nct", "nwgrp", "nchunk", "op", "mxu_precision",
                      "zero", "interpret", "fuse_dots", "dtype"))
-def _spmv_pallas_call(code, q, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
+def _spmv_pallas_call(code, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
                       op, mxu_precision, zero, interpret, fuse_dots, dtype):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
@@ -127,7 +125,6 @@ def _spmv_pallas_call(code, q, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
         num_scalar_prefetch=1,
         grid=(nchunk,),
         in_specs=[
-            pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, S), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -143,14 +140,32 @@ def _spmv_pallas_call(code, q, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
         out_shape=jax.ShapeDtypeStruct((nwgrp, S, W), jnp.dtype(dtype)),
         interpret=interpret,
     )
-    return f(code, q, r, rows_t, vals, x2)
+    return f(code, r, rows_t, vals, x2)
+
+
+@jax.tree_util.register_pytree_node_class
+class ChunkArrays:
+    """Device-resident chunk arrays as a pytree (passable through jit as an
+    argument — large operands must not be closure constants: the sandbox's
+    remote compiler serializes HLO constants and caps payload size)."""
+
+    def __init__(self, code, r, rows_t, vals):
+        self.code, self.r, self.rows_t, self.vals = code, r, rows_t, vals
+
+    def tree_flatten(self):
+        return (self.code, self.r, self.rows_t, self.vals), None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
 
 
 class PallasSpMV:
     """Compiled SpMV over a fixed ChunkedSpMVLayout.
 
     Holds device copies of the layout; `__call__(x, mask)` runs the kernel and
-    epilogues. Whole object is jit-cache friendly: geometry is static.
+    epilogues. Whole object is jit-cache friendly: geometry is static. For use
+    inside an outer jit, pass `arrays=` explicitly (see ChunkArrays).
     """
 
     def __init__(self, layout: ChunkedSpMVLayout, semiring: Semiring,
@@ -162,11 +177,10 @@ class PallasSpMV:
         self.config = config
         self.num_rows = layout.num_rows
         self.num_cols = layout.num_cols
-        self.code = jnp.asarray(layout.code)
-        self.q = jnp.asarray(layout.q)
-        self.r = jnp.asarray(layout.r)
-        self.rows_t = jnp.asarray(layout.rows_t)
-        self.vals = jnp.asarray(layout.vals, dtype=config.jdtype)
+        self.arrays = ChunkArrays(
+            jnp.asarray(layout.code), jnp.asarray(layout.r),
+            jnp.asarray(layout.rows_t),
+            jnp.asarray(layout.vals, dtype=config.jdtype))
         self._static = dict(
             nct=layout.num_col_tiles,
             nwgrp=layout.num_window_groups,
@@ -182,12 +196,14 @@ class PallasSpMV:
             dtype=config.dtype,
         )
 
-    def __call__(self, x, mask=None, mask_type: MaskType | None = None):
+    def __call__(self, x, mask=None, mask_type: MaskType | None = None,
+                 arrays: ChunkArrays | None = None):
         """y = mask(A (x) x). `x` is a dense (num_cols,) vector."""
         mt = self.mask_type if mask_type is None else mask_type
+        a = self.arrays if arrays is None else arrays
         x2 = x.reshape(self.layout.num_col_tiles, S, L)
-        out = _spmv_pallas_call(self.code, self.q, self.r, self.rows_t,
-                                self.vals, x2, **self._static)
+        out = _spmv_pallas_call(a.code, a.r, a.rows_t, a.vals, x2,
+                                **self._static)
         y = out.reshape(self.num_rows)
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))

@@ -40,8 +40,7 @@ class ShardedSpMVLayout:
     """Chunk arrays with leading (rows_shards, col_shards) mesh dims."""
 
     code: np.ndarray    # (R, C, NC)
-    q: np.ndarray       # (R, C, NC, 8, 128)
-    r: np.ndarray
+    r: np.ndarray       # (R, C, NC, 8, 128)
     rows_t: np.ndarray  # (R, C, NC, 128, 8)
     vals: np.ndarray
     num_rows: int       # global padded
@@ -99,13 +98,11 @@ def pack_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
             out.append(np.stack(row_o))
         return np.stack(out)
 
-    q_fill = np.tile(np.arange(S, dtype=np.int32)[:, None], (1, L))
     lay0 = layouts[0][0]
     # filler chunks revisit the LAST window group with pad values (harmless)
     code_fill = np.int32((lay0.num_window_groups - 1) * S * nct_local)
     return ShardedSpMVLayout(
         code=pad_stack("code", code_fill),
-        q=pad_stack("q", q_fill),
         r=pad_stack("r", np.zeros((S, L), np.int32)),
         rows_t=pad_stack("rows_t", np.zeros((L, S), np.int32)),
         vals=pad_stack("vals", np.full((S, L), pad_val, np.float32)),
@@ -143,7 +140,6 @@ class DistSpMV:
         put = lambda a: jax.device_put(
             jnp.asarray(a), NamedSharding(mesh, spec_chunks))
         self.code = put(layout.code)
-        self.q = put(layout.q)
         self.r = put(layout.r)
         self.rows_t = put(layout.rows_t)
         self.vals = put(jnp.asarray(layout.vals, dtype=config.jdtype))
@@ -160,9 +156,9 @@ class DistSpMV:
 
         op = semiring.op
 
-        def local_fn(code, q, r, rows_t, vals, x_local):
+        def local_fn(code, r, rows_t, vals, x_local):
             out = _spmv_pallas_call(
-                code[0, 0], q[0, 0], r[0, 0], rows_t[0, 0], vals[0, 0],
+                code[0, 0], r[0, 0], rows_t[0, 0], vals[0, 0],
                 x_local.reshape(nct_l, S, L), **static)
             y_local = out.reshape(-1)
             # cross-shard <+> combine: sum for arithmetic (and logical, whose
@@ -173,14 +169,14 @@ class DistSpMV:
 
         self._sharded_fn = jax.shard_map(
             local_fn, mesh=mesh,
-            in_specs=(spec_chunks, spec_chunks, spec_chunks, spec_chunks,
+            in_specs=(spec_chunks, spec_chunks, spec_chunks,
                       spec_chunks, P("cols")),
             out_specs=P("rows"),
             check_vma=False,
         )
 
     def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
-        y = self._sharded_fn(self.code, self.q, self.r, self.rows_t,
+        y = self._sharded_fn(self.code, self.r, self.rows_t,
                              self.vals, x)
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))

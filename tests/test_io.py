@@ -141,16 +141,16 @@ def test_pack_csr_chunks_invariants(maker, kw):
     lay = pack_csr_chunks(csr, cfg)
     assert lay.num_rows % 1024 == 0 and lay.num_cols % 1024 == 0
     assert lay.nnz == csr.nnz
-    # invariant 1: q is constant per sublane wherever vals is real... q == s for C=1024
-    assert (lay.q == np.arange(8, dtype=np.int32)[None, :, None]).all()
-    # invariant 2: decode chunks -> dense equals original (padding adds zeros)
+    # decode chunks -> dense equals original (padding adds zeros); the x-bucket
+    # is implied by the sublane (q == s for C=1024)
     nct = lay.num_col_tiles
     code = lay.code.astype(np.int64)
     base_r = (code // nct) * 128              # (NC,)
     base_c = (code % nct) * 1024
+    qimp = np.arange(8, dtype=np.int64)[None, :, None]
     rows = lay.rows_t.transpose(0, 2, 1)      # (NC,8,128) undo stored transpose
     all_rows = (base_r[:, None, None] + rows).ravel()
-    all_cols = (base_c[:, None, None] + lay.q * 128 + lay.r).ravel()
+    all_cols = (base_c[:, None, None] + qimp * 128 + lay.r).ravel()
     all_vals = lay.vals.ravel().astype(np.float64)
     dense = np.zeros((lay.num_rows, lay.num_cols), np.float64)
     np.add.at(dense, (all_rows, all_cols), all_vals)

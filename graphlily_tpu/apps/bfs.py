@@ -75,6 +75,7 @@ class BFS(ModuleCollection):
         if not isinstance(csr_matrix, CSRMatrix):
             csr_matrix = load_csr_matrix_from_float_npz(csr_matrix)
         csr_matrix = csr_matrix.copy()
+        csr_matrix = self._maybe_relabel(csr_matrix)
         util_round_csr_matrix_dim(csr_matrix, 1024, 1024)
         csr_matrix.adj_data = np.ones_like(csr_matrix.adj_data)
         csc_matrix = csr2csc(csr_matrix)
@@ -186,34 +187,37 @@ class BFS(ModuleCollection):
 
     # ---- public API (reference signatures, app/bfs.h) --------------------
     def pull(self, source: int, num_iterations: int, chained: bool = False):
+        source = self._internal_source(source)
         if chained:
-            return self._pull_chained(source, num_iterations)
+            return self._external(self._pull_chained(source, num_iterations))
         frontier, distance = self._init_state(source)
-        return np.asarray(self._pull_fused(self.SpMV_.device_state(),
-                                           frontier, distance,
-                                           jnp.asarray(num_iterations)))
+        return self._external(np.asarray(self._pull_fused(
+            self.SpMV_.device_state(), frontier, distance,
+            jnp.asarray(num_iterations))))
 
     def push(self, source: int, num_iterations: int, chained: bool = False):
+        source = self._internal_source(source)
         if chained:
-            return self._push_chained(source, num_iterations)
+            return self._external(self._push_chained(source, num_iterations))
         _, distance = self._init_state(source)
         frontier = sparse_from_entries([source], [1.0],
                                        self.SpMSpV_.capacity,
                                        dtype=self.config.jdtype)
-        return np.asarray(self._push_fused(self.SpMSpV_.device_state(),
-                                           frontier, distance,
-                                           jnp.asarray(num_iterations)))
+        return self._external(np.asarray(self._push_fused(
+            self.SpMSpV_.device_state(), frontier, distance,
+            jnp.asarray(num_iterations))))
 
     def pull_push(self, source: int, num_iterations: int,
                   threshold: float = 0.05):
+        source = self._internal_source(source)
         _, distance = self._init_state(source)
         frontier = sparse_from_entries([source], [1.0],
                                        self.SpMSpV_.capacity,
                                        dtype=self.config.jdtype)
-        return np.asarray(self._pull_push_fused(
+        return self._external(np.asarray(self._pull_push_fused(
             self.SpMV_.device_state(), self.SpMSpV_.device_state(),
             frontier, distance, jnp.asarray(num_iterations),
-            jnp.asarray(threshold, jnp.float32)))
+            jnp.asarray(threshold, jnp.float32))))
 
     # ---- chained (module-by-module) variants for cross-checking ----------
     def _pull_chained(self, source, num_iterations):
@@ -245,6 +249,7 @@ class BFS(ModuleCollection):
 
     # ---- CPU oracle (reference: app/bfs.h:350-360) -----------------------
     def compute_reference_results(self, source: int, num_iterations: int):
+        source = self._internal_source(source)
         n = self.matrix_num_rows_
         input_ = np.full(n, self.semiring_.zero, np.float64)
         distance = np.zeros(n, np.float64)
@@ -254,4 +259,4 @@ class BFS(ModuleCollection):
             input_ = self.SpMV_.compute_reference_results(input_, distance)
             self.DenseAssign_.compute_reference_results(
                 input_, distance, n, it + 1)
-        return distance
+        return self._external(distance)

@@ -42,6 +42,7 @@ class PageRank(ModuleCollection):
         if not isinstance(csr_matrix, CSRMatrix):
             csr_matrix = load_csr_matrix_from_float_npz(csr_matrix)
         csr_matrix = csr_matrix.copy()
+        csr_matrix = self._maybe_relabel(csr_matrix)
         util_round_csr_matrix_dim(csr_matrix, 1024, 1024)
         util_normalize_csr_matrix_by_outdegree(csr_matrix)
         csr_matrix.adj_data = (csr_matrix.adj_data * damping).astype(
@@ -70,9 +71,9 @@ class PageRank(ModuleCollection):
         n = self.matrix_num_rows_
         rank = jnp.full(n, 1.0 / n, self.config.jdtype)
         offset = jnp.asarray((1 - damping) / n, self.config.jdtype)
-        return np.asarray(self._pull_fused(self.SpMV_.device_state(),
-                                           rank, offset,
-                                           jnp.asarray(num_iterations)))
+        return self._external(np.asarray(self._pull_fused(
+            self.SpMV_.device_state(), rank, offset,
+            jnp.asarray(num_iterations))))
 
     def compute_reference_results(self, damping: float, num_iterations: int):
         """pagerank.h:150-159."""
@@ -81,4 +82,4 @@ class PageRank(ModuleCollection):
         for _ in range(num_iterations):
             rank = self.SpMV_.compute_reference_results(rank)
             rank = rank + (1 - damping) / n
-        return rank
+        return self._external(rank)

@@ -61,6 +61,7 @@ class SSSP(ModuleCollection):
         csr_matrix = csr_matrix.copy()
         if unit_weights:
             csr_matrix.adj_data = np.ones_like(csr_matrix.adj_data)
+        csr_matrix = self._maybe_relabel(csr_matrix)
         csr_matrix = add_self_edges_for_sssp(csr_matrix)
         util_round_csr_matrix_dim(csr_matrix, 1024, 1024)
         csc_matrix = csr2csc(csr_matrix)
@@ -148,31 +149,34 @@ class SSSP(ModuleCollection):
 
     # ---- public API ------------------------------------------------------
     def pull(self, source: int, num_iterations: int):
-        return np.asarray(self._pull_fused(self.SpMV_.device_state(),
-                                           self._init_distance(source),
-                                           jnp.asarray(num_iterations)))
+        source = self._internal_source(source)
+        return self._external(np.asarray(self._pull_fused(
+            self.SpMV_.device_state(), self._init_distance(source),
+            jnp.asarray(num_iterations))))
 
     def push(self, source: int, num_iterations: int):
+        source = self._internal_source(source)
         frontier = sparse_from_entries([source], [0.0], self.SpMSpV_.capacity,
                                        dtype=self.config.jdtype)
-        return np.asarray(self._push_fused(self.SpMSpV_.device_state(),
-                                           frontier,
-                                           self._init_distance(source),
-                                           jnp.asarray(num_iterations)))
+        return self._external(np.asarray(self._push_fused(
+            self.SpMSpV_.device_state(), frontier,
+            self._init_distance(source), jnp.asarray(num_iterations))))
 
     def pull_push(self, source: int, num_iterations: int,
                   threshold: float = 0.05):
+        source = self._internal_source(source)
         frontier = sparse_from_entries([source], [0.0], self.SpMSpV_.capacity,
                                        dtype=self.config.jdtype)
-        return np.asarray(self._pull_push_fused(
+        return self._external(np.asarray(self._pull_push_fused(
             self.SpMV_.device_state(), self.SpMSpV_.device_state(),
             frontier, self._init_distance(source),
-            jnp.asarray(num_iterations), jnp.asarray(threshold, jnp.float32)))
+            jnp.asarray(num_iterations), jnp.asarray(threshold, jnp.float32))))
 
     # ---- CPU oracle (sssp.h:248-256) -------------------------------------
     def compute_reference_results(self, source: int, num_iterations: int):
+        source = self._internal_source(source)
         d = np.full(self.matrix_num_rows_, self.semiring_.zero, np.float64)
         d[source] = 0
         for _ in range(num_iterations):
             d = self.SpMV_.compute_reference_results(d)
-        return d
+        return self._external(d)

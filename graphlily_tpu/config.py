@@ -45,6 +45,10 @@ class EngineConfig:
     # --- engine selection ---
     engine: str = "auto"         # "auto" | "xla" | "pallas"
     interpret: Optional[bool] = None  # pallas interpret mode; None = auto (CPU->True)
+    resident_kernel: Optional[bool] = None  # None = auto by VMEM footprint
+    reduce_mode: str = "mxu"     # resident-kernel row reduce: "mxu" | "vpu"
+                                 # (vpu measured 2x slower on v5e: compare
+                                 #  volume exceeds the MXU dot latency)
 
     # --- formatter behavior ---
     sort_rows_by_degree: bool = False  # SELL-sigma style row reordering

@@ -94,6 +94,36 @@ def permute_rows(csr: CSRMatrix, perm: np.ndarray) -> CSRMatrix:
                      new_indptr.astype(np.uint32))
 
 
+def symmetric_permute(csr: CSRMatrix, perm: np.ndarray) -> CSRMatrix:
+    """Relabel vertices: new id i = old id perm[i]; A'[i,j] = A[perm[i],perm[j]].
+
+    Graph algorithms are invariant under vertex relabeling, so apps can run
+    entirely in the relabeled space (translate the source going in, un-permute
+    the result coming out) — no per-iteration permutation cost."""
+    assert csr.num_rows == csr.num_cols
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    nnz = csr.nnz
+    rows = inv[csr.row_ids()]
+    cols = inv[csr.adj_indices[:nnz].astype(np.int64)]
+    order = np.lexsort((cols, rows))
+    indptr = np.zeros(csr.num_rows + 1, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    return CSRMatrix(csr.num_rows, csr.num_cols, csr.adj_data[order],
+                     cols[order].astype(np.uint32),
+                     np.cumsum(indptr).astype(np.uint32))
+
+
+def degree_sort_permutation(csr: CSRMatrix) -> np.ndarray:
+    """Vertices by descending (in+out) degree. Clusters power-law hubs into
+    the same chunk groups, raising slot fill (the TPU analog of the
+    reference's load-balance lever, util_reorder_rows_ascending_nnz)."""
+    deg = np.zeros(csr.num_rows, np.int64)
+    np.add.at(deg, csr.row_ids(), 1)
+    np.add.at(deg, csr.adj_indices[: csr.nnz].astype(np.int64), 1)
+    return np.argsort(-deg, kind="stable")
+
+
 def add_self_edges_for_sssp(csr: CSRMatrix) -> CSRMatrix:
     """Insert zero-weight self edges (and zero existing diagonals).
 
@@ -252,6 +282,17 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         order2 = np.argsort(code, kind="stable")
         r, rows_t, vals, code = r[order2], rows_t[order2], vals[order2], code[order2]
         nchunk += nm
+
+    # pad chunk count to a multiple of the resident kernel's per-step batch
+    # (filler chunks revisit the last code with pad values — harmless)
+    pad_mult = 8
+    padn = (-nchunk) % pad_mult
+    if padn:
+        r = np.concatenate([r, np.zeros((padn, S, L), np.int32)])
+        rows_t = np.concatenate([rows_t, np.zeros((padn, L, S), np.int32)])
+        vals = np.concatenate([vals, np.full((padn, S, L), pad_val, np.float32)])
+        code = np.concatenate([code, np.full(padn, code[-1], code.dtype)])
+        nchunk += padn
 
     code = code.astype(np.int32)
     dtype = np.dtype(config.dtype)

@@ -143,6 +143,118 @@ def _spmv_pallas_call(code, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
     return f(code, r, rows_t, vals, x2)
 
 
+CB = 8  # chunks per grid step in the resident kernel
+
+
+def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
+                          reduce_mode: str):
+    """Resident variant: the whole x (nct,8,128) and the whole out
+    (nwgrp,8,128) live in VMEM; CB chunks per grid step amortize grid/DMA
+    overhead; dynamic first-dim indexing replaces prefetch-driven block maps.
+    Feasible when (nct + nwgrp) * 4KB fits VMEM (~N <= 700K vertices)."""
+
+    def kernel(code_ref, r_ref, rt_ref, v_ref, x_ref, o_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            o_ref[...] = jnp.full_like(o_ref, zero)
+
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        for k in range(CB):
+            ci = step * CB + k
+            code = code_ref[ci]
+            cid = code % nct
+            wgrp = code // (S * nct)
+            wsub = (code // nct) % S
+            x2 = x_ref[cid]
+            r = r_ref[0, k * S:(k + 1) * S, :]
+            vals = v_ref[0, k * S:(k + 1) * S, :]
+            rt = rt_ref[0, k * L:(k + 1) * L, :]
+            g = _gather_x(x2, r)
+            if op == OpType.MULADD or op == OpType.ANDOR:
+                if op == OpType.MULADD:
+                    g = g * vals
+                else:
+                    g = jnp.logical_and(vals != 0, g != 0).astype(vals.dtype)
+                if reduce_mode == "vpu":
+                    gt = g.T  # (128, 8)
+                    acc = jnp.zeros((1, W), jnp.float32)
+                    for s in range(S):
+                        masked = jnp.where(lane_t == rt[:, s:s + 1],
+                                           gt[:, s:s + 1], 0.0)
+                        acc = acc + jnp.sum(masked, axis=0, keepdims=True)
+                else:
+                    acc = jnp.zeros((1, W), jnp.float32)
+                    for s in range(S):
+                        ohs = (lane_t == rt[:, s:s + 1]).astype(g.dtype)
+                        acc = acc + jax.lax.dot_general(
+                            g[s:s + 1, :], ohs, (((1,), (0,)), ((), ())),
+                            precision=precision,
+                            preferred_element_type=jnp.float32)
+                acc = acc.astype(o_ref.dtype)
+                o_ref[wgrp] += jnp.where(
+                    sub_ids == wsub, jnp.broadcast_to(acc, (S, W)), 0.0)
+            elif op == OpType.ADDMIN:
+                inf = jnp.asarray(zero, vals.dtype)
+                g = jnp.minimum(g + vals, inf)
+                gt = g.T
+                acc = jnp.full((1, W), inf, vals.dtype)
+                for s in range(S):
+                    masked = jnp.where(lane_t == rt[:, s:s + 1],
+                                       gt[:, s:s + 1], inf)
+                    acc = jnp.minimum(acc, jnp.min(masked, axis=0,
+                                                   keepdims=True))
+                o_ref[wgrp] = jnp.minimum(
+                    o_ref[wgrp],
+                    jnp.where(sub_ids == wsub,
+                              jnp.broadcast_to(acc, (S, W)), inf))
+            else:
+                raise ValueError(op)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nct", "nwgrp", "nchunk", "op", "mxu_precision",
+                     "zero", "interpret", "reduce_mode", "dtype"))
+def _spmv_resident_call(code, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
+                        op, mxu_precision, zero, interpret, reduce_mode,
+                        dtype):
+    assert nchunk % CB == 0
+    precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
+                 else jax.lax.Precision.DEFAULT)
+    kernel = _make_resident_kernel(nct, op, precision, zero, reduce_mode)
+    nsteps = nchunk // CB
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, CB * S, L), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CB * L, S), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CB * S, L), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x2 whole
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # out whole
+    )
+    f = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nwgrp, S, W), jnp.dtype(dtype)),
+        interpret=interpret,
+    )
+    return f(code,
+             r.reshape(nsteps, CB * S, L),
+             rows_t.reshape(nsteps, CB * L, S),
+             vals.reshape(nsteps, CB * S, L),
+             x2)
+
+
 @jax.tree_util.register_pytree_node_class
 class ChunkArrays:
     """Device-resident chunk arrays as a pytree (passable through jit as an
@@ -181,6 +293,13 @@ class PallasSpMV:
             jnp.asarray(layout.code), jnp.asarray(layout.r),
             jnp.asarray(layout.rows_t),
             jnp.asarray(layout.vals, dtype=config.jdtype))
+        # resident variant: whole x + whole out in VMEM; pick it whenever the
+        # footprint fits (chunk stream double-buffering needs the rest)
+        vmem_need = (layout.num_col_tiles + layout.num_window_groups) * S * L * 4
+        self.resident = (config.resident_kernel
+                         if config.resident_kernel is not None
+                         else (vmem_need <= 8 * 1024 * 1024
+                               and layout.num_chunks % CB == 0))
         self._static = dict(
             nct=layout.num_col_tiles,
             nwgrp=layout.num_window_groups,
@@ -188,13 +307,16 @@ class PallasSpMV:
             op=self.semiring.op,
             mxu_precision=config.mxu_precision,
             zero=float(self.semiring.zero),
+            interpret=config.resolve_interpret(),
+            dtype=config.dtype,
+        )
+        if self.resident:
+            self._static["reduce_mode"] = config.reduce_mode
+        else:
             # fuse_dots concatenates the 8 per-sublane dots into one MXU call;
             # Mosaic (2026-08 libtpu) rejects the lane-concat ("offset mismatch
             # on non-concat dimension"), so default to the 8-dot path.
-            interpret=config.resolve_interpret(),
-            fuse_dots=False,
-            dtype=config.dtype,
-        )
+            self._static["fuse_dots"] = False
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
                  arrays: ChunkArrays | None = None):
@@ -202,8 +324,8 @@ class PallasSpMV:
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         x2 = x.reshape(self.layout.num_col_tiles, S, L)
-        out = _spmv_pallas_call(a.code, a.r, a.rows_t, a.vals, x2,
-                                **self._static)
+        call = _spmv_resident_call if self.resident else _spmv_pallas_call
+        out = call(a.code, a.r, a.rows_t, a.vals, x2, **self._static)
         y = out.reshape(self.num_rows)
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))

@@ -36,8 +36,8 @@ def analyze_layout(layout) -> dict:
     """Slot-fill / padding analysis of a ChunkedSpMVLayout — the TPU analogue
     of the reference's PE imbalance factor: padding waste is where imbalance
     shows up in this design (SURVEY.md section 7 'hard parts')."""
-    slots = layout.num_chunks * layout.q.shape[1] * layout.q.shape[2]
-    mem_bytes = (layout.q.nbytes + layout.r.nbytes + layout.rows_t.nbytes
+    slots = layout.num_chunks * layout.r.shape[1] * layout.r.shape[2]
+    mem_bytes = (layout.r.nbytes + layout.rows_t.nbytes
                  + layout.vals.nbytes + layout.code.nbytes)
     return {
         "nnz": int(layout.nnz),

@@ -86,3 +86,27 @@ def test_pagerank_pull(graph):
     got = app.pull(0.9, 10)
     want = app.compute_reference_results(0.9, 10)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-6)
+
+
+def test_apps_with_degree_sort_relabeling(graph):
+    """config.sort_rows_by_degree relabels vertices internally; results must
+    come back in the original vertex numbering."""
+    from graphlily_tpu import EngineConfig
+    cfg = EngineConfig(interpret=True, sort_rows_by_degree=True)
+    app = BFS(cfg)
+    app.load_and_format_matrix(graph)
+    got = app.pull_push(5, 5, threshold=0.1)
+    ref_app = BFS(CFG)
+    ref_app.load_and_format_matrix(graph)
+    want = ref_app.compute_reference_results(5, 5)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # relabeled oracle agrees too
+    np.testing.assert_allclose(app.compute_reference_results(5, 5), want,
+                               atol=1e-4)
+    pr = PageRank(cfg)
+    pr.load_and_format_matrix(graph, damping=0.9)
+    got = pr.pull(0.9, 5)
+    pr2 = PageRank(CFG)
+    pr2.load_and_format_matrix(graph, damping=0.9)
+    np.testing.assert_allclose(got, pr2.compute_reference_results(0.9, 5),
+                               rtol=2e-3, atol=1e-7)

@@ -40,10 +40,28 @@ class SpMSpVModule(BaseModule):
         self.num_cols_ = 0
 
     def load_and_format_matrix(self, csc_matrix: CSCMatrix) -> None:
+        assert self.semiring_ is not None, "set_semiring before formatting"
         self.csc_matrix_ = csc_matrix.copy()
-        self._coo = coo_from_csc(csc_matrix, dtype=self.config.jdtype)
         self.num_rows_ = csc_matrix.num_rows
         self.num_cols_ = csc_matrix.num_cols
+        engine = self.config.resolve_engine()
+        self._pallas = None
+        self._coo = None
+        if (engine == "pallas" and csc_matrix.num_rows % 1024 == 0
+                and csc_matrix.num_cols % 1024 == 0):
+            # dense-frontier path: pack the CSR twin into the chunked layout
+            # and run the same pallas SpMV kernel; the sparse frontier is
+            # scattered to a dense vector (semiring-zero fill annihilates
+            # inactive columns, so semantics match the active-columns oracle)
+            from ..io.matrix import csc2csr
+            from ..io.formatter import pack_csr_chunks
+            from ..ops.spmv_pallas import PallasSpMV
+            lay = pack_csr_chunks(csc2csr(csc_matrix), self.config,
+                                  pad_val=float(self.semiring_.zero))
+            self._pallas = PallasSpMV(lay, self.semiring_, self.config,
+                                      MaskType.NO_MASK)
+        else:
+            self._coo = coo_from_csc(csc_matrix, dtype=self.config.jdtype)
 
     def send_matrix_host_to_device(self) -> None:
         return None
@@ -95,10 +113,19 @@ class SpMSpVModule(BaseModule):
 
     # ---- execution -------------------------------------------------------
     def device_state(self):
-        return self._coo
+        return self._pallas.arrays if self._pallas is not None else self._coo
 
     def apply(self, sv: SparseVector, mask: jax.Array | None = None,
               state=None) -> tuple[SparseVector, jax.Array]:
+        if self._pallas is not None:
+            from ..ops.vector import sparse_to_dense, dense_to_sparse
+            from ..semiring import apply_mask_sparse_style
+            zero = self.semiring_.zero
+            x = sparse_to_dense(sv, self.num_cols_, zero)
+            y = self._pallas(x, None, MaskType.NO_MASK, arrays=state)
+            if mask is not None and self.mask_type_ != MaskType.NO_MASK:
+                y = apply_mask_sparse_style(y, mask, self.mask_type_, zero)
+            return dense_to_sparse(y, zero, self.capacity), y
         coo = state if state is not None else self._coo
         return spmspv_coo(coo, sv, self.semiring_, mask,
                           self.mask_type_, capacity=self.capacity)

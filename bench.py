@@ -96,6 +96,81 @@ def bench_spmv(csr, config, iters=100):
     return stats
 
 
+def estimate_layout_gb(csr, config):
+    """Cheap (no-pack) estimate of chunk-layout device memory."""
+    from graphlily_tpu.io.formatter import util_round_csr_matrix_dim
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    nnz = work.nnz
+    rows = work.row_ids()
+    cols = work.adj_indices[:nnz].astype(np.int64)
+    nct = work.num_cols // 1024
+    ckey = ((rows // 128) * nct + cols // 1024) * 8 + ((cols % 1024) >> 7)
+    uniq, counts = np.unique(ckey, return_counts=True)
+    need = (counts + 127) // 128
+    guniq, ginv = np.unique(uniq // 8, return_inverse=True)
+    gneed = np.zeros(len(guniq), np.int64)
+    np.maximum.at(gneed, ginv, need)
+    return float(gneed.sum() * 1024 * 12) / 1e9
+
+
+def bench_spmspv_sweep(csr, config, sparsities=(0.9, 0.95, 0.99, 0.995,
+                                                0.999, 0.9995, 0.9999)):
+    """SpMSpV frontier-sparsity sweep (reference bench_spmspv.cpp:270-276,
+    avg of 20 runs). Reports traversed-edges/s (sum of active column degrees
+    over time) per sparsity point."""
+    import jax
+    import jax.numpy as jnp
+    from graphlily_tpu import ArithmeticSemiring, MaskType
+    from graphlily_tpu.io import csr2csc
+    from graphlily_tpu.io.formatter import util_round_csr_matrix_dim
+    from graphlily_tpu.module import SpMSpVModule
+    from graphlily_tpu.ops import sparse_from_entries
+
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    csc = csr2csc(work)
+    mod = SpMSpVModule(config)
+    mod.set_semiring(ArithmeticSemiring)
+    mod.set_mask_type(MaskType.NO_MASK)
+    mod.load_and_format_matrix(csc)
+    n = mod.num_cols_
+    deg = np.diff(csc.adj_indptr.astype(np.int64))
+    state = mod.device_state()
+    floor = measure_floor(jax, jnp)
+    rng = np.random.default_rng(7)
+    out = {}
+    iters = 20
+
+    @jax.jit
+    def loop(st, sv):
+        def body(_i, sv_):
+            out_sv, _ = mod.apply(sv_, state=st)
+            # keep the same frontier each iteration (stable timing) but retain
+            # a data dependency on the result so it is not dead-code-eliminated
+            vals = jnp.where(jnp.arange(sv_.values.shape[0]) < sv_.nnz,
+                             1.0, 0.0) + out_sv.values * 0.0
+            return type(sv_)(sv_.indices, vals.astype(sv_.values.dtype), sv_.nnz)
+        return jax.lax.fori_loop(0, iters, body, sv).values.sum()
+
+    for sp in sparsities:
+        nnz_vec = max(1, int(round(n * (1 - sp))))
+        idx = np.sort(rng.choice(n, size=nnz_vec, replace=False))
+        sv = sparse_from_entries(idx, np.ones(nnz_vec, np.float32),
+                                 mod.capacity, dtype=config.jdtype)
+        np.asarray(loop(state, sv))  # compile+warm
+        t0 = time.perf_counter()
+        np.asarray(loop(state, sv))
+        dt = max((time.perf_counter() - t0 - floor) / iters, 1e-9)
+        traversed = int(deg[idx].sum())
+        out[f"sparsity_{sp}"] = {
+            "ms": dt * 1e3,
+            "traversed_edges": traversed,
+            "gteps_traversed": traversed / dt / 1e9,
+        }
+    return out
+
+
 def bench_apps(csr, config, bfs_iters):
     """BFS pull_push + SSSP pull_push + PageRank x10 timings."""
     import jax
@@ -167,13 +242,28 @@ def main():
         appres = bench_apps(csr, config, ICCAD_GRAPHS["googleplus"]["iters"])
         details["googleplus_full"].update(appres)
         log(f"apps: {appres}")
+        sweep = bench_spmspv_sweep(csr, config)
+        details["googleplus_full"]["spmspv_sweep"] = sweep
+        log(f"spmspv sweep: "
+            f"{ {k: round(v['ms'],2) for k,v in sweep.items()} } ms")
 
-    # ---- secondary: the other five at reduced scale ----------------------
+    # ---- secondary: the other five at the largest feasible scale ---------
     for name in ["ogbl_ppa", "hollywood", "pokec", "ogbn_products", "orkut"]:
-        sc = 1.0 if args.full else args.scale
         try:
-            log(f"== {name} (scale {sc}) ==")
-            g = iccad_standin(name, scale=sc, seed=1)
+            for sc in ([1.0] if args.full else [0.1, 0.05, args.scale]):
+                g = iccad_standin(name, scale=sc, seed=1)
+                if config.sort_rows_by_degree:
+                    from graphlily_tpu.io.formatter import (
+                        symmetric_permute, degree_sort_permutation)
+                    est = estimate_layout_gb(
+                        symmetric_permute(g, degree_sort_permutation(g)),
+                        config)
+                else:
+                    est = estimate_layout_gb(g, config)
+                if est <= 6.0:
+                    break
+                log(f"{name} scale {sc}: est {est:.1f} GB, trying smaller")
+            log(f"== {name} (scale {sc}, est {est:.1f} GB) ==")
             st = bench_spmv(g, config, iters=20)
             details[f"{name}_s{sc}"] = st
             log(f"{name} s{sc}: {st['spmv_gteps']:.3f} GTEPS, "

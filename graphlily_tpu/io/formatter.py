@@ -14,8 +14,8 @@ layout here ("chunked dual-gather", `ChunkedSpMVLayout`) instead packs nnz into
   * within a group, nnz are binned by x-bucket (col>>7 within the tile) into
     sublanes (8 buckets per tile), so the gather is a single ax1
     dynamic_gather: g[s,l] = x2[s, r[s,l]] with r = col & 127.
-  * row-local ids are stored pre-transposed (128,8) so the one-hot reduce
-    needs no in-kernel transpose.
+  * per-nnz indices (x-lane, row-local) are int8 streams in natural (8,128)
+    orientation — dense VMEM tiles and half the HBM traffic of int32.
 
 Empty-row skipping, row reordering, and dimension rounding mirror the
 reference's utilities (data_formatter.h:19-33, 37-51, 330-360) as host-side
@@ -162,18 +162,20 @@ class ChunkedSpMVLayout:
     """Device arrays for the pallas SpMV engine (all numpy until shipped).
 
     Shapes (NC = number of chunks, S = 8 sublanes, L = 128 lanes):
-      r      (NC, S, L) int32 : x-lane (col & 127). The x-bucket q is implied:
+      r      (NC, S, L) int8  : x-lane (col & 127). The x-bucket q is implied:
                                 sublane s holds only bucket-s nnz (the class
                                 binning), so the gather is one ax1
                                 dynamic_gather g[s,l] = x2[s, r[s,l]].
-      rows_t (NC, L, S) int32 : row - window_base, pre-transposed
+      rows   (NC, S, L) int8  : row - window_base (int8: both indices < 128;
+                                int8 streams halve HBM traffic and keep VMEM
+                                tiles dense — a (128,8) i32 layout wastes 16x)
       vals   (NC, S, L)       : nnz values (padding = semiring-safe fill)
       code   (NC,)     int32  : packed (window_group, window_sub, col_tile) id
     Plus geometry for the kernel grid.
     """
 
     r: np.ndarray
-    rows_t: np.ndarray
+    rows: np.ndarray
     vals: np.ndarray
     code: np.ndarray
     num_rows: int          # padded
@@ -248,12 +250,12 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         chunk_id = goff[gidx] + k
     nchunk = max(nchunk, 1)
 
-    r = np.zeros((nchunk, S, L), np.int32)
-    rows_t = np.zeros((nchunk, L, S), np.int32)
+    r = np.zeros((nchunk, S, L), np.int8)
+    rows_arr = np.zeros((nchunk, S, L), np.int8)
     vals = np.full((nchunk, S, L), pad_val, dtype=np.float32)
 
-    r[chunk_id, sub, lane] = (cc & 127).astype(np.int32)
-    rows_t[chunk_id, lane, sub] = (rr % W).astype(np.int32)
+    r[chunk_id, sub, lane] = (cc & 127).astype(np.int8)
+    rows_arr[chunk_id, sub, lane] = (rr % W).astype(np.int8)
     vals[chunk_id, sub, lane] = vv
 
     # with C=1024, bucket == sublane class exactly, so the kernel's gather
@@ -275,21 +277,22 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     missing = np.nonzero(~present)[0]
     if len(missing):
         nm = len(missing)
-        r = np.concatenate([r, np.zeros((nm, S, L), np.int32)])
-        rows_t = np.concatenate([rows_t, np.zeros((nm, L, S), np.int32)])
+        r = np.concatenate([r, np.zeros((nm, S, L), np.int8)])
+        rows_arr = np.concatenate([rows_arr, np.zeros((nm, S, L), np.int8)])
         vals = np.concatenate([vals, np.full((nm, S, L), pad_val, np.float32)])
         code = np.concatenate([code, missing * (S * nct)])
         order2 = np.argsort(code, kind="stable")
-        r, rows_t, vals, code = r[order2], rows_t[order2], vals[order2], code[order2]
+        r, rows_arr, vals, code = (r[order2], rows_arr[order2], vals[order2],
+                                   code[order2])
         nchunk += nm
 
     # pad chunk count to a multiple of the resident kernel's per-step batch
     # (filler chunks revisit the last code with pad values — harmless)
-    pad_mult = 8
+    pad_mult = 32
     padn = (-nchunk) % pad_mult
     if padn:
-        r = np.concatenate([r, np.zeros((padn, S, L), np.int32)])
-        rows_t = np.concatenate([rows_t, np.zeros((padn, L, S), np.int32)])
+        r = np.concatenate([r, np.zeros((padn, S, L), np.int8)])
+        rows_arr = np.concatenate([rows_arr, np.zeros((padn, S, L), np.int8)])
         vals = np.concatenate([vals, np.full((padn, S, L), pad_val, np.float32)])
         code = np.concatenate([code, np.full(padn, code[-1], code.dtype)])
         nchunk += padn
@@ -297,7 +300,7 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     code = code.astype(np.int32)
     dtype = np.dtype(config.dtype)
     return ChunkedSpMVLayout(
-        r=r, rows_t=rows_t, vals=vals.astype(dtype), code=code,
+        r=r, rows=rows_arr, vals=vals.astype(dtype), code=code,
         num_rows=nrows, num_cols=ncols, nnz=nnz,
         num_col_tiles=nct, num_window_groups=nrows // (8 * W),
         row_window=W, col_tile=C,

@@ -47,8 +47,9 @@ L = 128   # lanes
 
 def _gather_x(x2, r):
     """Gather g[s,l] = x2[s, r[s,l]] (one ax1 dynamic_gather; the formatter
-    binned sublane s to x-bucket s, so the sublane pick is the identity)."""
-    return jnp.take_along_axis(x2, r, axis=1)
+    binned sublane s to x-bucket s, so the sublane pick is the identity).
+    `r` arrives int8 (stream compression); dynamic_gather needs int32."""
+    return jnp.take_along_axis(x2, r.astype(jnp.int32), axis=1)
 
 
 def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
@@ -66,7 +67,7 @@ def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
         x2 = x_ref[0]
         g = _gather_x(x2, r_ref[0])
         vals = v_ref[0]
-        rt = rt_ref[0]                       # (128, 8) row-locals, pre-transposed
+        rt = rt_ref[0].astype(jnp.int32).T   # (8,128) int8 -> (128,8)
         wsub = (code_ref[i] // nct) % S
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
 
@@ -116,7 +117,7 @@ def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
     jax.jit,
     static_argnames=("nct", "nwgrp", "nchunk", "op", "mxu_precision",
                      "zero", "interpret", "fuse_dots", "dtype"))
-def _spmv_pallas_call(code, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
+def _spmv_pallas_call(code, r, rows, vals, x2, *, nct, nwgrp, nchunk,
                       op, mxu_precision, zero, interpret, fuse_dots, dtype):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
@@ -126,7 +127,7 @@ def _spmv_pallas_call(code, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
         grid=(nchunk,),
         in_specs=[
             pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, S), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, L), lambda i, code: (code[i] % nct, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -140,10 +141,11 @@ def _spmv_pallas_call(code, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
         out_shape=jax.ShapeDtypeStruct((nwgrp, S, W), jnp.dtype(dtype)),
         interpret=interpret,
     )
-    return f(code, r, rows_t, vals, x2)
+    return f(code, r, rows, vals, x2)
 
 
-CB = 8  # chunks per grid step in the resident kernel
+CB = 32  # chunks per grid step in the resident kernel (amortizes the
+         # ~140ns grid-step overhead and the DMA latency per stream)
 
 
 def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
@@ -171,7 +173,7 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
             x2 = x_ref[cid]
             r = r_ref[0, k * S:(k + 1) * S, :]
             vals = v_ref[0, k * S:(k + 1) * S, :]
-            rt = rt_ref[0, k * L:(k + 1) * L, :]
+            rt = rt_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32).T  # (128,8)
             g = _gather_x(x2, r)
             if op == OpType.MULADD or op == OpType.ANDOR:
                 if op == OpType.MULADD:
@@ -220,7 +222,7 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
     jax.jit,
     static_argnames=("nct", "nwgrp", "nchunk", "op", "mxu_precision",
                      "zero", "interpret", "reduce_mode", "dtype"))
-def _spmv_resident_call(code, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
+def _spmv_resident_call(code, r, rows, vals, x2, *, nct, nwgrp, nchunk,
                         op, mxu_precision, zero, interpret, reduce_mode,
                         dtype):
     assert nchunk % CB == 0
@@ -234,7 +236,7 @@ def _spmv_resident_call(code, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
         in_specs=[
             pl.BlockSpec((1, CB * S, L), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CB * L, S), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((1, CB * S, L), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CB * S, L), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -250,7 +252,7 @@ def _spmv_resident_call(code, r, rows_t, vals, x2, *, nct, nwgrp, nchunk,
     )
     return f(code,
              r.reshape(nsteps, CB * S, L),
-             rows_t.reshape(nsteps, CB * L, S),
+             rows.reshape(nsteps, CB * S, L),
              vals.reshape(nsteps, CB * S, L),
              x2)
 
@@ -261,11 +263,11 @@ class ChunkArrays:
     argument — large operands must not be closure constants: the sandbox's
     remote compiler serializes HLO constants and caps payload size)."""
 
-    def __init__(self, code, r, rows_t, vals):
-        self.code, self.r, self.rows_t, self.vals = code, r, rows_t, vals
+    def __init__(self, code, r, rows, vals):
+        self.code, self.r, self.rows, self.vals = code, r, rows, vals
 
     def tree_flatten(self):
-        return (self.code, self.r, self.rows_t, self.vals), None
+        return (self.code, self.r, self.rows, self.vals), None
 
     @classmethod
     def tree_unflatten(cls, _aux, children):
@@ -291,15 +293,18 @@ class PallasSpMV:
         self.num_cols = layout.num_cols
         self.arrays = ChunkArrays(
             jnp.asarray(layout.code), jnp.asarray(layout.r),
-            jnp.asarray(layout.rows_t),
+            jnp.asarray(layout.rows),
             jnp.asarray(layout.vals, dtype=config.jdtype))
         # resident variant: whole x + whole out in VMEM; pick it whenever the
         # footprint fits (chunk stream double-buffering needs the rest)
         vmem_need = (layout.num_col_tiles + layout.num_window_groups) * S * L * 4
+        # interpret mode (CPU tests) defaults to the streamed kernel: the
+        # CB-unrolled resident body is ~10x slower in the interpreter
         self.resident = (config.resident_kernel
                          if config.resident_kernel is not None
                          else (vmem_need <= 8 * 1024 * 1024
-                               and layout.num_chunks % CB == 0))
+                               and layout.num_chunks % CB == 0
+                               and not config.resolve_interpret()))
         self._static = dict(
             nct=layout.num_col_tiles,
             nwgrp=layout.num_window_groups,
@@ -325,7 +330,7 @@ class PallasSpMV:
         a = self.arrays if arrays is None else arrays
         x2 = x.reshape(self.layout.num_col_tiles, S, L)
         call = _spmv_resident_call if self.resident else _spmv_pallas_call
-        out = call(a.code, a.r, a.rows_t, a.vals, x2, **self._static)
+        out = call(a.code, a.r, a.rows, a.vals, x2, **self._static)
         y = out.reshape(self.num_rows)
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))

@@ -41,7 +41,7 @@ class ShardedSpMVLayout:
 
     code: np.ndarray    # (R, C, NC)
     r: np.ndarray       # (R, C, NC, 8, 128)
-    rows_t: np.ndarray  # (R, C, NC, 128, 8)
+    rows: np.ndarray    # (R, C, NC, 8, 128) int8
     vals: np.ndarray
     num_rows: int       # global padded
     num_cols: int
@@ -103,8 +103,8 @@ def pack_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
     code_fill = np.int32((lay0.num_window_groups - 1) * S * nct_local)
     return ShardedSpMVLayout(
         code=pad_stack("code", code_fill),
-        r=pad_stack("r", np.zeros((S, L), np.int32)),
-        rows_t=pad_stack("rows_t", np.zeros((L, S), np.int32)),
+        r=pad_stack("r", np.zeros((S, L), np.int8)),
+        rows=pad_stack("rows", np.zeros((S, L), np.int8)),
         vals=pad_stack("vals", np.full((S, L), pad_val, np.float32)),
         num_rows=nrows, num_cols=ncols, nnz=nnz,
         rows_shards=rows_shards, col_shards=col_shards,
@@ -141,7 +141,7 @@ class DistSpMV:
             jnp.asarray(a), NamedSharding(mesh, spec_chunks))
         self.code = put(layout.code)
         self.r = put(layout.r)
-        self.rows_t = put(layout.rows_t)
+        self.rows = put(layout.rows)
         self.vals = put(jnp.asarray(layout.vals, dtype=config.jdtype))
 
         static = dict(
@@ -156,9 +156,9 @@ class DistSpMV:
 
         op = semiring.op
 
-        def local_fn(code, r, rows_t, vals, x_local):
+        def local_fn(code, r, rows, vals, x_local):
             out = _spmv_pallas_call(
-                code[0, 0], r[0, 0], rows_t[0, 0], vals[0, 0],
+                code[0, 0], r[0, 0], rows[0, 0], vals[0, 0],
                 x_local.reshape(nct_l, S, L), **static)
             y_local = out.reshape(-1)
             # cross-shard <+> combine: sum for arithmetic (and logical, whose
@@ -176,7 +176,7 @@ class DistSpMV:
         )
 
     def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
-        y = self._sharded_fn(self.code, self.r, self.rows_t,
+        y = self._sharded_fn(self.code, self.r, self.rows,
                              self.vals, x)
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))

@@ -37,7 +37,7 @@ def analyze_layout(layout) -> dict:
     of the reference's PE imbalance factor: padding waste is where imbalance
     shows up in this design (SURVEY.md section 7 'hard parts')."""
     slots = layout.num_chunks * layout.r.shape[1] * layout.r.shape[2]
-    mem_bytes = (layout.r.nbytes + layout.rows_t.nbytes
+    mem_bytes = (layout.r.nbytes + layout.rows.nbytes
                  + layout.vals.nbytes + layout.code.nbytes)
     return {
         "nnz": int(layout.nnz),

@@ -148,9 +148,9 @@ def test_pack_csr_chunks_invariants(maker, kw):
     base_r = (code // nct) * 128              # (NC,)
     base_c = (code % nct) * 1024
     qimp = np.arange(8, dtype=np.int64)[None, :, None]
-    rows = lay.rows_t.transpose(0, 2, 1)      # (NC,8,128) undo stored transpose
-    all_rows = (base_r[:, None, None] + rows).ravel()
-    all_cols = (base_c[:, None, None] + qimp * 128 + lay.r).ravel()
+    all_rows = (base_r[:, None, None] + lay.rows.astype(np.int64)).ravel()
+    all_cols = (base_c[:, None, None] + qimp * 128
+                + lay.r.astype(np.int64)).ravel()
     all_vals = lay.vals.ravel().astype(np.float64)
     dense = np.zeros((lay.num_rows, lay.num_cols), np.float64)
     np.add.at(dense, (all_rows, all_cols), all_vals)

@@ -76,3 +76,17 @@ def test_pallas_spmv_tropical_empty_rows(rng):
     np.testing.assert_allclose(y, want, rtol=2e-3)
     from graphlily_tpu import FLOAT_INF
     assert (y[64:] == FLOAT_INF).all()
+
+
+def test_pallas_spmv_resident_kernel(rng):
+    """Force the resident (VMEM-whole, CB-batched) kernel variant in
+    interpret mode and check it against the streamed one."""
+    csr = uniform_csr(1200, 1100, 4, seed=33)
+    cfg_res = EngineConfig(interpret=True, resident_kernel=True)
+    y, want = run_both(csr, ArithmeticSemiring, MaskType.NO_MASK, rng,
+                       config=cfg_res)
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+    y2, want2 = run_both(csr, TropicalSemiring, MaskType.NO_MASK, rng,
+                         config=EngineConfig(interpret=True,
+                                             resident_kernel=True))
+    np.testing.assert_allclose(y2, want2, rtol=2e-3, atol=2e-3)

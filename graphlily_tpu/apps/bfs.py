@@ -105,14 +105,19 @@ class BFS(ModuleCollection):
                                            MaskType.WRITE_TO_ONE)
             return y, distance
 
+        spmspv_dense = self.SpMSpV_.apply_dense
+
         def push_step(sstate, iter_num, frontier, distance):
-            """One push iteration: SpMSpV then stamp iter_num+1 at the sparse
-            frontier (bfs.h:148-153)."""
-            sv_out, _ = spmspv(frontier, distance, state=sstate)
+            """One push iteration: SpMSpV then stamp iter_num+1 at the
+            frontier (bfs.h:148-153). The frontier stays DENSE through the
+            fused loop (exactly equivalent: the sparse results are the
+            nonzeros of the masked product, and the sparse assign writes val
+            at exactly those indices) — avoids per-iteration scatter/nonzero.
+            Returns (frontier, nnz, distance)."""
+            y, nnz = spmspv_dense(frontier, distance, state=sstate)
             val = (iter_num + 1).astype(distance.dtype)
-            distance = assign_vector_sparse_no_new_frontier(
-                distance, sv_out, val)
-            return sv_out, distance
+            distance = jnp.where(y != 0, val, distance)
+            return y, nnz, distance
 
         @jax.jit
         def pull_fused(mstate, frontier, distance, num_iterations):
@@ -124,39 +129,40 @@ class BFS(ModuleCollection):
             return distance
 
         @jax.jit
-        def push_fused(sstate, frontier: SparseVector, distance,
-                       num_iterations):
+        def push_fused(sstate, frontier_dense, distance, num_iterations):
             def body(i, st):
                 fr, dist = st
-                return push_step(sstate, i, fr, dist)
+                fr, _nnz, dist = push_step(sstate, i, fr, dist)
+                return (fr, dist)
             frontier, distance = jax.lax.fori_loop(
-                1, num_iterations + 1, body, (frontier, distance))
+                1, num_iterations + 1, body, (frontier_dense, distance))
             return distance
 
         @jax.jit
-        def pull_push_fused(mstate, sstate, frontier: SparseVector, distance,
+        def pull_push_fused(mstate, sstate, frontier, distance,
                             num_iterations, threshold):
             # Phase 1: push (do-while: iteration j runs for j==1 always, then
             # while j < num_iterations and the frontier is still sparse —
             # bfs.h:179-190). Carry `it` = completed push iterations.
             def push_cond(carry):
-                it, fr, _dist = carry
-                sparse = fr.nnz.astype(jnp.float32) / n < threshold
+                it, _fr, nnz, _dist = carry
+                sparse = nnz.astype(jnp.float32) / n < threshold
                 first = it == 0
                 more = jnp.logical_and(it + 1 < num_iterations, sparse)
                 return jnp.logical_or(first, more)
 
             def push_body(carry):
-                it, fr, dist = carry
-                fr, dist = push_step(sstate, it + 1, fr, dist)
-                return (it + 1, fr, dist)
+                it, fr, _nnz, dist = carry
+                fr, nnz, dist = push_step(sstate, it + 1, fr, dist)
+                return (it + 1, fr, nnz, dist)
 
-            it, fr, dist = jax.lax.while_loop(
+            it, fr, _nnz, dist = jax.lax.while_loop(
                 push_cond, push_body,
-                (jnp.asarray(0, jnp.int32), frontier, distance))
+                (jnp.asarray(0, jnp.int32), frontier,
+                 jnp.asarray(1, jnp.int32), distance))
 
-            # Switch: sparse frontier -> dense (bfs.h:195-205)
-            dense_frontier = sparse_to_dense(fr, n, self.semiring_.zero)
+            # Switch (bfs.h:195-205): the frontier is already dense
+            dense_frontier = fr
 
             # Phase 2: pull for the remaining iterations it+1 .. num_iterations
             def pull_cond(carry):
@@ -199,10 +205,7 @@ class BFS(ModuleCollection):
         source = self._internal_source(source)
         if chained:
             return self._external(self._push_chained(source, num_iterations))
-        _, distance = self._init_state(source)
-        frontier = sparse_from_entries([source], [1.0],
-                                       self.SpMSpV_.capacity,
-                                       dtype=self.config.jdtype)
+        frontier, distance = self._init_state(source)  # dense frontier
         return self._external(np.asarray(self._push_fused(
             self.SpMSpV_.device_state(), frontier, distance,
             jnp.asarray(num_iterations))))
@@ -210,10 +213,7 @@ class BFS(ModuleCollection):
     def pull_push(self, source: int, num_iterations: int,
                   threshold: float = 0.05):
         source = self._internal_source(source)
-        _, distance = self._init_state(source)
-        frontier = sparse_from_entries([source], [1.0],
-                                       self.SpMSpV_.capacity,
-                                       dtype=self.config.jdtype)
+        frontier, distance = self._init_state(source)  # dense frontier
         return self._external(np.asarray(self._pull_push_fused(
             self.SpMV_.device_state(), self.SpMSpV_.device_state(),
             frontier, distance, jnp.asarray(num_iterations),

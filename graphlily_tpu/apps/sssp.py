@@ -88,42 +88,53 @@ class SSSP(ModuleCollection):
                 return spmv(d, state=mstate)  # tropical SpMV relaxes distances
             return jax.lax.fori_loop(0, num_iterations, body, distance)
 
+        spmspv_dense = self.SpMSpV_.apply_dense
+        inf = jnp.asarray(self.semiring_.zero, self.config.jdtype)
+
         def push_step(sstate, frontier, distance):
-            sv_res, _ = spmspv(frontier, distance, state=sstate)
-            distance, new_frontier = assign_vector_sparse_new_frontier(
-                distance, sv_res)
-            return new_frontier, distance
+            """Dense-frontier relaxation, exactly equivalent to SpMSpV +
+            frontier-generating assign (sssp.h:185-191): candidates y relax
+            distances where they improve; improved entries form the next
+            frontier (inactive = tropical INF). Returns (frontier, nnz, dist).
+            """
+            y, _ = spmspv_dense(frontier, state=sstate)
+            improved = y < distance
+            distance = jnp.where(improved, y, distance)
+            new_frontier = jnp.where(improved, y, inf)
+            nnz = jnp.sum(improved).astype(jnp.int32)
+            return new_frontier, nnz, distance
 
         @jax.jit
-        def push_fused(sstate, frontier: SparseVector, distance,
-                       num_iterations):
+        def push_fused(sstate, frontier_dense, distance, num_iterations):
             def body(_i, st):
                 fr, dist = st
-                return push_step(sstate, fr, dist)
+                fr, _nnz, dist = push_step(sstate, fr, dist)
+                return (fr, dist)
             frontier, distance = jax.lax.fori_loop(
-                0, num_iterations, body, (frontier, distance))
+                0, num_iterations, body, (frontier_dense, distance))
             return distance
 
         @jax.jit
-        def pull_push_fused(mstate, sstate, frontier: SparseVector, distance,
+        def pull_push_fused(mstate, sstate, frontier, distance,
                             num_iterations, threshold):
             # do-while push (sssp.h:222-229): iteration j==1 always, then
             # while j < num_iterations and last frontier still sparse.
             def push_cond(carry):
-                it, fr, _d = carry
-                sparse = fr.nnz.astype(jnp.float32) / n < threshold
+                it, _fr, nnz, _d = carry
+                sparse = nnz.astype(jnp.float32) / n < threshold
                 return jnp.logical_or(
                     it == 0,
                     jnp.logical_and(it + 1 < num_iterations, sparse))
 
             def push_body(carry):
-                it, fr, dist = carry
-                fr, dist = push_step(sstate, fr, dist)
-                return (it + 1, fr, dist)
+                it, fr, _nnz, dist = carry
+                fr, nnz, dist = push_step(sstate, fr, dist)
+                return (it + 1, fr, nnz, dist)
 
-            it, _fr, dist = jax.lax.while_loop(
+            it, _fr, _nnz, dist = jax.lax.while_loop(
                 push_cond, push_body,
-                (jnp.asarray(0, jnp.int32), frontier, distance))
+                (jnp.asarray(0, jnp.int32), frontier,
+                 jnp.asarray(1, jnp.int32), distance))
 
             # switch: pull directly on the dense distance vector (sssp.h:233-236)
             def pull_cond(carry):
@@ -156,8 +167,7 @@ class SSSP(ModuleCollection):
 
     def push(self, source: int, num_iterations: int):
         source = self._internal_source(source)
-        frontier = sparse_from_entries([source], [0.0], self.SpMSpV_.capacity,
-                                       dtype=self.config.jdtype)
+        frontier = self._init_distance(source)  # dense: INF except source=0
         return self._external(np.asarray(self._push_fused(
             self.SpMSpV_.device_state(), frontier,
             self._init_distance(source), jnp.asarray(num_iterations))))
@@ -165,8 +175,7 @@ class SSSP(ModuleCollection):
     def pull_push(self, source: int, num_iterations: int,
                   threshold: float = 0.05):
         source = self._internal_source(source)
-        frontier = sparse_from_entries([source], [0.0], self.SpMSpV_.capacity,
-                                       dtype=self.config.jdtype)
+        frontier = self._init_distance(source)  # dense: INF except source=0
         return self._external(np.asarray(self._pull_push_fused(
             self.SpMV_.device_state(), self.SpMSpV_.device_state(),
             frontier, self._init_distance(source),

@@ -115,6 +115,28 @@ class SpMSpVModule(BaseModule):
     def device_state(self):
         return self._pallas.arrays if self._pallas is not None else self._coo
 
+    def apply_dense(self, x, mask=None, state=None):
+        """Dense-frontier flavor for fused app loops: takes/returns dense
+        vectors (inactive = semiring zero), skipping the per-iteration
+        sparse<->dense conversions (XLA scatter/nonzero are ~0.1 G elem/s on
+        this hardware). Returns (y_dense, nnz) with nnz an on-device scalar —
+        the reference's get_results_nnz readback (spmspv_module.h:239-242)
+        without the host sync."""
+        from ..semiring import apply_mask_sparse_style
+        zero = self.semiring_.zero
+        if self._pallas is not None:
+            y = self._pallas(x, None, MaskType.NO_MASK, arrays=state)
+        else:
+            from ..ops.vector import dense_to_sparse
+            sv = dense_to_sparse(x, zero, self.capacity)
+            _, y = spmspv_coo(state if state is not None else self._coo,
+                              sv, self.semiring_, None, MaskType.NO_MASK,
+                              capacity=self.capacity)
+        if mask is not None and self.mask_type_ != MaskType.NO_MASK:
+            y = apply_mask_sparse_style(y, mask, self.mask_type_, zero)
+        nnz = jnp.sum(y != jnp.asarray(zero, y.dtype)).astype(jnp.int32)
+        return y, nnz
+
     def apply(self, sv: SparseVector, mask: jax.Array | None = None,
               state=None) -> tuple[SparseVector, jax.Array]:
         if self._pallas is not None:

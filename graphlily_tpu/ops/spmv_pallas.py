@@ -164,13 +164,14 @@ def _spmv_pallas_call(code, r, rows, vals, x2, *, nct, nwgrp, nchunk,
     return f(code, r, rows, vals, x2)
 
 
-import os
-CB = int(os.environ.get("GLT_RESIDENT_CB", "32"))  # chunks per grid step in
-# the resident kernel (amortizes grid-step overhead and per-stream DMA latency)
+CB = 32       # chunks per grid step, add semirings (amortizes grid-step
+              # overhead and per-stream DMA latency)
+CB_MIN = 8    # tropical: the masked-min path carries (W,W) intermediates per
+              # unrolled chunk; CB=32 overflows the scoped-VMEM budget
 
 
 def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
-                          reduce_mode: str):
+                          reduce_mode: str, cb: int):
     """Resident variant: the whole x (nct,8,128) and the whole out
     (nwgrp,8,128) live in VMEM; CB chunks per grid step amortize grid/DMA
     overhead; dynamic first-dim indexing replaces prefetch-driven block maps.
@@ -187,9 +188,9 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
         lane_t = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
         # unpack the int8 index streams once per step: int8 VMEM tiles are
         # (32,128), so per-chunk (8,128) int8 slices would each pay a relayout
-        r_all = r_ref[0].astype(jnp.int32)    # (CB*8, 128)
+        r_all = r_ref[0].astype(jnp.int32)    # (cb*8, 128)
         rt_all = rt_ref[0].astype(jnp.int32)
-        for k in range(CB):
+        for k in range(cb):
             # per-chunk code comes from a VMEM stream, not scalar prefetch:
             # SMEM caps at 1MB and chunk counts reach millions
             code = code_ref[0, 0, k]
@@ -237,22 +238,23 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
 def _spmv_resident_call(code, r, rows, vals, x2, *, nct, nwgrp, nchunk,
                         op, mxu_precision, zero, interpret, reduce_mode,
                         dtype):
-    assert nchunk % CB == 0
+    cb = CB_MIN if op == OpType.ADDMIN else CB
+    assert nchunk % cb == 0
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
-    kernel = _make_resident_kernel(nct, op, precision, zero, reduce_mode)
-    nsteps = nchunk // CB
+    kernel = _make_resident_kernel(nct, op, precision, zero, reduce_mode, cb)
+    nsteps = nchunk // cb
     f = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, 1, CB), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, cb), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),   # per-chunk codes
-            pl.BlockSpec((1, CB * S, L), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, cb * S, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CB * S, L), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, cb * S, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CB * S, L), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, cb * S, L), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x2 whole
         ],
@@ -260,10 +262,10 @@ def _spmv_resident_call(code, r, rows, vals, x2, *, nct, nwgrp, nchunk,
         out_shape=jax.ShapeDtypeStruct((nwgrp, S, W), jnp.dtype(dtype)),
         interpret=interpret,
     )
-    return f(code.reshape(nsteps, 1, CB),
-             r.reshape(nsteps, CB * S, L),
-             rows.reshape(nsteps, CB * S, L),
-             vals.reshape(nsteps, CB * S, L),
+    return f(code.reshape(nsteps, 1, cb),
+             r.reshape(nsteps, cb * S, L),
+             rows.reshape(nsteps, cb * S, L),
+             vals.reshape(nsteps, cb * S, L),
              x2)
 
 

@@ -197,7 +197,11 @@ def bench_apps(csr, config, bfs_iters):
     bfs.pull_push(0, bfs_iters, threshold=0.001)
     dt = max(time.perf_counter() - t0 - floor, 1e-9)
     res["bfs_pull_push_ms"] = dt * 1e3
-    res["bfs_gteps"] = csr.nnz * bfs_iters / dt / 1e9
+    # conventional BFS GTEPS: |E| / total-traversal time (what the ICCAD'21
+    # numbers mean); the per-iteration-edges figure is kept under an explicit
+    # name for the kernel-throughput view
+    res["bfs_gteps"] = csr.nnz / dt / 1e9
+    res["bfs_edges_x_iters_gteps"] = csr.nnz * bfs_iters / dt / 1e9
 
     sssp = SSSP(config)
     sssp.load_and_format_matrix(csr)

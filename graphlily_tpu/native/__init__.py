@@ -47,8 +47,33 @@ def lib():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_float)]
+    if not _self_test(L):
+        return None
     _LIB = L
     return _LIB
+
+
+def _self_test(L) -> bool:
+    """Gate the native path on a known-answer check (a stale or
+    wrong-architecture binary must fall back to numpy, not corrupt layouts)."""
+    try:
+        rows = np.array([0, 0, 130, 5], np.uint32)
+        cols = np.array([0, 200, 1025, 131], np.uint32)
+        nnz = 4
+        chunk_id = np.empty(nnz, np.int64)
+        sub = np.empty(nnz, np.int32)
+        lane = np.empty(nnz, np.int32)
+        n = L.glt_pack_assign(
+            _u32p(rows), _u32p(cols), nnz, 2,
+            chunk_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sub.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lane.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        # groups: (wid0,cid0) -> chunk 0 {(0,0,s0,l0),(0,200,s1,l0),(5,131,s1,l1)},
+        # (wid1,cid1) -> chunk 1 {(130,1025,s0,l0)}
+        return (n == 2 and list(chunk_id) == [0, 0, 1, 0]
+                and list(sub) == [0, 1, 0, 1] and list(lane) == [0, 0, 0, 1])
+    except Exception:
+        return False
 
 
 def _u32p(a):

@@ -44,12 +44,16 @@ int64_t glt_pack_assign(const uint32_t* rows, const uint32_t* cols,
                         int32_t* lane_out) {
     if (nnz < 0 || nct <= 0 || nnz >= (1LL << kIdxBits)) return -1;
 
+    constexpr uint64_t kCkeyLimit = 1ULL << (64 - kIdxBits);
     std::vector<uint64_t> keyed(nnz);
     for (int64_t i = 0; i < nnz; ++i) {
         const uint64_t wid = rows[i] / kW;
         const uint64_t cid = cols[i] / kC;
         const uint64_t sub = ((cols[i] % kC) >> 7) % kS;
         const uint64_t ckey = (wid * (uint64_t)nct + cid) * kS + sub;
+        // class key would collide with the packed index bits: refuse (the
+        // caller falls back to the int64-safe numpy packer)
+        if (ckey >= kCkeyLimit) return -1;
         keyed[i] = (ckey << kIdxBits) | (uint64_t)i;
     }
     GLT_SORT(keyed.begin(), keyed.end());

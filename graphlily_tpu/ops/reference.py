@@ -138,10 +138,16 @@ def spmspv_coo(coo_csc: COODevice, sv: SparseVector, semiring: Semiring,
 
 
 def ewise_add_scalar(x: jax.Array, val, length: int | None = None) -> jax.Array:
-    """out[i] = in[i] + val (plain add regardless of semiring; used with val=0
-    as the on-device copy). Reference:
-    graphlily/hw/kernel_add_scalar_vector_dense_impl.h:17-26."""
-    return x + jnp.asarray(val, dtype=x.dtype)
+    """out[i] = in[i] + val for i < length, unchanged beyond (plain add
+    regardless of semiring; used with val=0 as the on-device copy). The
+    reference kernel applies the op to exactly `len` elements
+    (graphlily/hw/kernel_add_scalar_vector_dense_impl.h:17-26,
+    module/add_scalar_vector_dense_module.h:150-189); `length=None` means the
+    whole vector."""
+    y = x + jnp.asarray(val, dtype=x.dtype)
+    if length is None:
+        return y
+    return jnp.where(jnp.arange(x.shape[0]) < length, y, x)
 
 
 def assign_vector_dense(inout: jax.Array, mask: jax.Array, val,

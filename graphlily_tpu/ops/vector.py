@@ -57,7 +57,10 @@ def dense_to_sparse(dense: jax.Array, zero, capacity: int | None = None) -> Spar
     if capacity is None:
         capacity = dense.shape[0]
     m = dense != jnp.asarray(zero, dtype=dense.dtype)
-    nnz = jnp.sum(m).astype(jnp.int32)
+    # jnp.nonzero(size=capacity) silently truncates to the first `capacity`
+    # hits; clamp nnz to match so downstream scatters never believe more
+    # entries exist than were actually compacted
+    nnz = jnp.minimum(jnp.sum(m), capacity).astype(jnp.int32)
     (idx,) = jnp.nonzero(m, size=capacity, fill_value=dense.shape[0] - 1)
     idx = idx.astype(jnp.int32)
     vals = dense[idx]

@@ -142,6 +142,25 @@ def test_ewise_add(rng):
     np.testing.assert_array_equal(np.asarray(ewise_add_scalar(jnp.asarray(x), 0.0)), x)
 
 
+def test_ewise_add_prefix_length(rng):
+    """The reference kernel touches exactly `len` elements
+    (add_scalar_vector_dense_module.h:150-189): adding to a prefix of a
+    padded vector must leave the tail unchanged."""
+    x = rng.random(100).astype(np.float32)
+    out = np.asarray(ewise_add_scalar(jnp.asarray(x), 2.5, length=60))
+    np.testing.assert_allclose(out[:60], x[:60] + 2.5, rtol=1e-6)
+    np.testing.assert_array_equal(out[60:], x[60:])
+
+
+def test_dense_to_sparse_capacity_clamp():
+    """nnz must never exceed the compaction capacity (jnp.nonzero truncates
+    silently); downstream scatters trust nnz."""
+    dense = jnp.asarray(np.arange(1, 33, dtype=np.float32))  # 32 nonzeros
+    sv = dense_to_sparse(dense, 0.0, capacity=8)
+    assert int(sv.nnz) == 8
+    np.testing.assert_array_equal(np.asarray(sv.indices), np.arange(8))
+
+
 @pytest.mark.parametrize("mask_type", [MaskType.WRITE_TO_ZERO, MaskType.WRITE_TO_ONE])
 def test_assign_dense(mask_type, rng):
     inout = rng.random(80).astype(np.float32)

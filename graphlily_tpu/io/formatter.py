@@ -171,6 +171,15 @@ class ChunkedSpMVLayout:
                                 tiles dense — a (128,8) i32 layout wastes 16x)
       vals   (NC, S, L)       : nnz values (padding = semiring-safe fill)
       code   (NC,)     int32  : packed (window_group, window_sub, col_tile) id
+      inv    (NC, S, W) int8  : tropical layouts only — inv[c,s,w] = last lane
+                                of row-local w's run in (chunk c, sublane s),
+                                -1 if the row is absent. Lanes are packed in
+                                row-sorted order, so a segmented min-scan along
+                                lanes leaves each run's min at its last lane
+                                and ONE ax1 dynamic_gather by `inv` rebuilds
+                                the (1,W) window accumulator (the TPU stand-in
+                                for the reference PE's II=1 min ALU,
+                                graphlily/hw/ufixed_pe_fwd.h:23-65).
     Plus geometry for the kernel grid.
     """
 
@@ -187,6 +196,7 @@ class ChunkedSpMVLayout:
     col_tile: int
     fill: float            # nnz / slots
     row_perm: Optional[np.ndarray] = None  # if rows were reordered
+    inv: Optional[np.ndarray] = None       # tropical run-end lanes (see above)
 
     @property
     def num_chunks(self) -> int:
@@ -231,7 +241,12 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         wid = rr // W
         cid = cc // C
         sub = ((cc % C) >> 7) % S
-        order = np.lexsort((cc, sub, cid, wid))
+        # rr before cc: within a (wid,cid,sub) class, lanes are packed in
+        # row-sorted order (row runs contiguous — required by the tropical
+        # segmented-scan reduce; harmless for the add semirings). The native
+        # packer gets this for free: its tiebreaker is the original CSR
+        # (row-major) index.
+        order = np.lexsort((cc, rr, sub, cid, wid))
         rr, cc, vv, wid, cid, sub = (a[order] for a in (rr, cc, vv, wid, cid, sub))
         gkey = wid * nct + cid
         ckey = gkey * S + sub
@@ -257,6 +272,16 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     r[chunk_id, sub, lane] = (cc & 127).astype(np.int8)
     rows_arr[chunk_id, sub, lane] = (rr % W).astype(np.int8)
     vals[chunk_id, sub, lane] = vv
+
+    # tropical layouts additionally carry `inv`: the last lane of each
+    # row-local run per (chunk, sublane); -1 where the row is absent (padding
+    # slots never enter inv, so the scan gather reads only real minima)
+    with_inv = pad_val != 0.0
+    inv = None
+    if with_inv:
+        inv = np.full((nchunk, S, W), -1, np.int8)
+        np.maximum.at(inv, (chunk_id, sub, (rr % W).astype(np.int64)),
+                      lane.astype(np.int8))
 
     # with C=1024, bucket == sublane class exactly, so the kernel's gather
     # table row s is bucket s; col_tile > 1024 would need a page-select stage
@@ -284,6 +309,8 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         order2 = np.argsort(code, kind="stable")
         r, rows_arr, vals, code = (r[order2], rows_arr[order2], vals[order2],
                                    code[order2])
+        if with_inv:
+            inv = np.concatenate([inv, np.full((nm, S, W), -1, np.int8)])[order2]
         nchunk += nm
 
     # pad chunk count to a multiple of the resident kernel's per-step batch
@@ -295,6 +322,8 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         rows_arr = np.concatenate([rows_arr, np.zeros((padn, S, L), np.int8)])
         vals = np.concatenate([vals, np.full((padn, S, L), pad_val, np.float32)])
         code = np.concatenate([code, np.full(padn, code[-1], code.dtype)])
+        if with_inv:
+            inv = np.concatenate([inv, np.full((padn, S, W), -1, np.int8)])
         nchunk += padn
 
     code = code.astype(np.int32)
@@ -305,6 +334,7 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         num_col_tiles=nct, num_window_groups=nrows // (8 * W),
         row_window=W, col_tile=C,
         fill=nnz / (nchunk * S * L),
+        inv=inv,
     )
 
 

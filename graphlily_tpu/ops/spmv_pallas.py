@@ -87,10 +87,36 @@ def _gather_x(x2, r):
     return jnp.take_along_axis(x2, r.astype(jnp.int32), axis=1)
 
 
+def _reduce_rows_min(g, rows, inv, inf):
+    """Min-by-row reduce of a tropical chunk: returns (1, W) window accumulator.
+
+    Lanes are packed row-sorted (formatter), so each row's slots form one
+    contiguous lane run per sublane. A 7-step segmented min-scan along lanes
+    (roll + same-row compare + min) leaves every run's min at its last lane;
+    `inv[s,w]` (the run-end lane of row w, -1 if absent) turns the (1,W)
+    rebuild into ONE ax1 dynamic_gather + a sublane min-reduce. Min is
+    idempotent, so the circular roll wrap combining equal-row slots is
+    harmless. ~40 VPU ops/chunk vs ~1100 for the (W,W) masked-min it replaces
+    — the reference PE does min at the same II=1 cost as add
+    (graphlily/hw/ufixed_pe_fwd.h:23-65); this is the TPU equivalent.
+    """
+    for shift in (1, 2, 4, 8, 16, 32, 64):
+        g_s = pltpu.roll(g, shift, 1)
+        r_s = pltpu.roll(rows, shift, 1)
+        g = jnp.where(r_s == rows, jnp.minimum(g, g_s), g)
+    h = jnp.take_along_axis(g, jnp.maximum(inv, 0), axis=1)
+    h = jnp.where(inv >= 0, h, inf)
+    return jnp.min(h, axis=0, keepdims=True)
+
+
 def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
     nct8 = S * nct
 
-    def kernel(code_ref, r_ref, rt_ref, v_ref, x_ref, o_ref):
+    def kernel(code_ref, r_ref, rt_ref, v_ref, *rest):
+        if op == OpType.ADDMIN:
+            inv_ref, x_ref, o_ref = rest
+        else:
+            x_ref, o_ref = rest
         i = pl.program_id(0)
         first = jnp.logical_or(
             i == 0, code_ref[jnp.maximum(i - 1, 0)] // nct8 != code_ref[i] // nct8)
@@ -103,7 +129,6 @@ def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
         g = _gather_x(x2, r_ref[0])
         vals = v_ref[0]
         rows = rt_ref[0].astype(jnp.int32)   # (8,128) natural
-        rt = rows.T                          # (128,8) for the tropical path
         wsub = (code_ref[i] // nct) % S
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
         # (fuse_dots is a legacy knob; the two-level reduce superseded it)
@@ -118,12 +143,7 @@ def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
         elif op == OpType.ADDMIN:
             inf = jnp.asarray(zero, vals.dtype)
             g = jnp.minimum(g + vals, inf)   # saturating tropical mul
-            gt = g.T                         # (128, 8)
-            lane_t = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
-            acc = jnp.full((1, W), inf, vals.dtype)
-            for s in range(S):
-                masked = jnp.where(lane_t == rt[:, s:s + 1], gt[:, s:s + 1], inf)
-                acc = jnp.minimum(acc, jnp.min(masked, axis=0, keepdims=True))
+            acc = _reduce_rows_min(g, rows, inv_ref[0].astype(jnp.int32), inf)
             o_ref[0] = jnp.minimum(
                 o_ref[0],
                 jnp.where(sub_ids == wsub, jnp.broadcast_to(acc, (S, W)), inf))
@@ -137,21 +157,26 @@ def _make_kernel(nct: int, op: OpType, precision, zero: float, fuse_dots: bool):
     jax.jit,
     static_argnames=("nct", "nwgrp", "nchunk", "op", "mxu_precision",
                      "zero", "interpret", "fuse_dots", "dtype"))
-def _spmv_pallas_call(code, r, rows, vals, x2, *, nct, nwgrp, nchunk,
+def _spmv_pallas_call(code, r, rows, vals, inv, x2, *, nct, nwgrp, nchunk,
                       op, mxu_precision, zero, interpret, fuse_dots, dtype):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     kernel = _make_kernel(nct, op, precision, zero, fuse_dots)
+    chunk_spec = pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    in_specs = [chunk_spec, chunk_spec, chunk_spec]
+    args = [r, rows, vals]
+    if op == OpType.ADDMIN:
+        in_specs.append(pl.BlockSpec((1, S, W), lambda i, code: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(inv)
+    in_specs.append(pl.BlockSpec((1, S, L), lambda i, code: (code[i] % nct, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(x2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nchunk,),
-        in_specs=[
-            pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, L), lambda i, code: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, L), lambda i, code: (code[i] % nct, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, S, W), lambda i, code: (code[i] // (S * nct), 0, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -161,13 +186,12 @@ def _spmv_pallas_call(code, r, rows, vals, x2, *, nct, nwgrp, nchunk,
         out_shape=jax.ShapeDtypeStruct((nwgrp, S, W), jnp.dtype(dtype)),
         interpret=interpret,
     )
-    return f(code, r, rows, vals, x2)
+    return f(code, *args)
 
 
-CB = 32       # chunks per grid step, add semirings (amortizes grid-step
-              # overhead and per-stream DMA latency)
-CB_MIN = 8    # tropical: the masked-min path carries (W,W) intermediates per
-              # unrolled chunk; CB=32 overflows the scoped-VMEM budget
+CB = 32       # chunks per grid step (amortizes grid-step overhead and
+              # per-stream DMA latency; the scan-based tropical reduce has
+              # only (8,128) intermediates, so all ops share the same batch)
 
 
 def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
@@ -177,7 +201,11 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
     overhead; dynamic first-dim indexing replaces prefetch-driven block maps.
     Feasible when (nct + nwgrp) * 4KB fits VMEM (~N <= 700K vertices)."""
 
-    def kernel(code_ref, r_ref, rt_ref, v_ref, x_ref, o_ref):
+    def kernel(code_ref, r_ref, rt_ref, v_ref, *rest):
+        if op == OpType.ADDMIN:
+            inv_ref, x_ref, o_ref = rest
+        else:
+            x_ref, o_ref = rest
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -185,11 +213,12 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
             o_ref[...] = jnp.full_like(o_ref, zero)
 
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
-        lane_t = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
         # unpack the int8 index streams once per step: int8 VMEM tiles are
         # (32,128), so per-chunk (8,128) int8 slices would each pay a relayout
         r_all = r_ref[0].astype(jnp.int32)    # (cb*8, 128)
         rt_all = rt_ref[0].astype(jnp.int32)
+        inv_all = (inv_ref[0].astype(jnp.int32) if op == OpType.ADDMIN
+                   else None)
         for k in range(cb):
             # per-chunk code comes from a VMEM stream, not scalar prefetch:
             # SMEM caps at 1MB and chunk counts reach millions
@@ -213,14 +242,8 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
             elif op == OpType.ADDMIN:
                 inf = jnp.asarray(zero, vals.dtype)
                 g = jnp.minimum(g + vals, inf)
-                rt = rows.T
-                gt = g.T
-                acc = jnp.full((1, W), inf, vals.dtype)
-                for s in range(S):
-                    masked = jnp.where(lane_t == rt[:, s:s + 1],
-                                       gt[:, s:s + 1], inf)
-                    acc = jnp.minimum(acc, jnp.min(masked, axis=0,
-                                                   keepdims=True))
+                acc = _reduce_rows_min(g, rows,
+                                       inv_all[k * S:(k + 1) * S, :], inf)
                 o_ref[wgrp] = jnp.minimum(
                     o_ref[wgrp],
                     jnp.where(sub_ids == wsub,
@@ -235,38 +258,41 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
     jax.jit,
     static_argnames=("nct", "nwgrp", "nchunk", "op", "mxu_precision",
                      "zero", "interpret", "reduce_mode", "dtype"))
-def _spmv_resident_call(code, r, rows, vals, x2, *, nct, nwgrp, nchunk,
+def _spmv_resident_call(code, r, rows, vals, inv, x2, *, nct, nwgrp, nchunk,
                         op, mxu_precision, zero, interpret, reduce_mode,
                         dtype):
-    cb = CB_MIN if op == OpType.ADDMIN else CB
+    cb = CB
     assert nchunk % cb == 0
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     kernel = _make_resident_kernel(nct, op, precision, zero, reduce_mode, cb)
     nsteps = nchunk // cb
+    stream_spec = pl.BlockSpec((1, cb * S, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, cb), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),   # per-chunk codes
+        stream_spec, stream_spec, stream_spec,
+    ]
+    args = [code.reshape(nsteps, 1, cb),
+            r.reshape(nsteps, cb * S, L),
+            rows.reshape(nsteps, cb * S, L),
+            vals.reshape(nsteps, cb * S, L)]
+    if op == OpType.ADDMIN:
+        in_specs.append(pl.BlockSpec((1, cb * S, W), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(inv.reshape(nsteps, cb * S, W))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # x2 whole
+    args.append(x2)
     f = pl.pallas_call(
         kernel,
         grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, 1, cb), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),   # per-chunk codes
-            pl.BlockSpec((1, cb * S, L), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb * S, L), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb * S, L), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x2 whole
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # out whole
         out_shape=jax.ShapeDtypeStruct((nwgrp, S, W), jnp.dtype(dtype)),
         interpret=interpret,
     )
-    return f(code.reshape(nsteps, 1, cb),
-             r.reshape(nsteps, cb * S, L),
-             rows.reshape(nsteps, cb * S, L),
-             vals.reshape(nsteps, cb * S, L),
-             x2)
+    return f(*args)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -275,11 +301,12 @@ class ChunkArrays:
     argument — large operands must not be closure constants: the sandbox's
     remote compiler serializes HLO constants and caps payload size)."""
 
-    def __init__(self, code, r, rows, vals):
+    def __init__(self, code, r, rows, vals, inv=None):
         self.code, self.r, self.rows, self.vals = code, r, rows, vals
+        self.inv = inv  # tropical layouts only (run-end lanes)
 
     def tree_flatten(self):
-        return (self.code, self.r, self.rows, self.vals), None
+        return (self.code, self.r, self.rows, self.vals, self.inv), None
 
     @classmethod
     def tree_unflatten(cls, _aux, children):
@@ -303,10 +330,15 @@ class PallasSpMV:
         self.config = config
         self.num_rows = layout.num_rows
         self.num_cols = layout.num_cols
+        if semiring.op == OpType.ADDMIN and layout.inv is None:
+            raise ValueError("tropical SpMV needs a layout packed with the "
+                             "tropical pad value (pack_csr_chunks pad_val="
+                             "semiring.zero builds the inv stream)")
         self.arrays = ChunkArrays(
             jnp.asarray(layout.code), jnp.asarray(layout.r),
             jnp.asarray(layout.rows),
-            jnp.asarray(layout.vals, dtype=config.jdtype))
+            jnp.asarray(layout.vals, dtype=config.jdtype),
+            None if layout.inv is None else jnp.asarray(layout.inv))
         # resident variant: whole x + whole out in VMEM; pick it whenever the
         # footprint fits (chunk stream double-buffering needs the rest)
         vmem_need = (layout.num_col_tiles + layout.num_window_groups) * S * L * 4
@@ -355,7 +387,7 @@ class PallasSpMV:
         a = self.arrays if arrays is None else arrays
         x2 = x.reshape(self.layout.num_col_tiles, S, L)
         call = _spmv_resident_call if self.resident else _spmv_pallas_call
-        out = call(a.code, a.r, a.rows, a.vals, x2, **self._static)
+        out = call(a.code, a.r, a.rows, a.vals, a.inv, x2, **self._static)
         y = out.reshape(self.num_rows)
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))

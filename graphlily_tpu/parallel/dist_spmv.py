@@ -43,6 +43,7 @@ class ShardedSpMVLayout:
     r: np.ndarray       # (R, C, NC, 8, 128)
     rows: np.ndarray    # (R, C, NC, 8, 128) int8
     vals: np.ndarray
+    inv: Optional[np.ndarray]  # (R, C, NC, 8, 128) int8, tropical only
     num_rows: int       # global padded
     num_cols: int
     nnz: int
@@ -106,6 +107,8 @@ def pack_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
         r=pad_stack("r", np.zeros((S, L), np.int8)),
         rows=pad_stack("rows", np.zeros((S, L), np.int8)),
         vals=pad_stack("vals", np.full((S, L), pad_val, np.float32)),
+        inv=(pad_stack("inv", np.full((S, W), -1, np.int8))
+             if lay0.inv is not None else None),
         num_rows=nrows, num_cols=ncols, nnz=nnz,
         rows_shards=rows_shards, col_shards=col_shards,
         local_rows=rb, local_cols=cb,
@@ -143,6 +146,10 @@ class DistSpMV:
         self.r = put(layout.r)
         self.rows = put(layout.rows)
         self.vals = put(jnp.asarray(layout.vals, dtype=config.jdtype))
+        self.inv = put(layout.inv) if layout.inv is not None else None
+        if semiring.op == OpType.ADDMIN and self.inv is None:
+            raise ValueError("tropical DistSpMV needs pack_sharded(pad_val="
+                             "semiring.zero) so the inv stream exists")
 
         static = dict(
             nct=layout.local_nct, nwgrp=layout.local_nwgrp,
@@ -156,9 +163,10 @@ class DistSpMV:
 
         op = semiring.op
 
-        def local_fn(code, r, rows, vals, x_local):
+        def local_fn(code, r, rows, vals, inv, x_local):
             out = _spmv_pallas_call(
                 code[0, 0], r[0, 0], rows[0, 0], vals[0, 0],
+                None if inv is None else inv[0, 0],
                 x_local.reshape(nct_l, S, L), **static)
             y_local = out.reshape(-1)
             # cross-shard <+> combine: sum for arithmetic (and logical, whose
@@ -169,15 +177,16 @@ class DistSpMV:
 
         self._sharded_fn = jax.shard_map(
             local_fn, mesh=mesh,
-            in_specs=(spec_chunks, spec_chunks, spec_chunks,
-                      spec_chunks, P("cols")),
+            in_specs=(spec_chunks, spec_chunks, spec_chunks, spec_chunks,
+                      spec_chunks if self.inv is not None else P(),
+                      P("cols")),
             out_specs=P("rows"),
             check_vma=False,
         )
 
     def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
         y = self._sharded_fn(self.code, self.r, self.rows,
-                             self.vals, x)
+                             self.vals, self.inv, x)
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))
         if mask is not None and self.mask_type != MaskType.NO_MASK:

@@ -78,6 +78,36 @@ def test_pallas_spmv_tropical_empty_rows(rng):
     assert (y[64:] == FLOAT_INF).all()
 
 
+def test_pallas_spmv_tropical_conflict(rng):
+    """Adversarial for the segmented-scan min reduce: every column collides
+    mod 128, so row runs pack densely and span chunk boundaries (split runs
+    must still min-combine correctly through the output window)."""
+    csr = conflict_csr(num_rows=1024, num_cols=2048)
+    y, want = run_both(csr, TropicalSemiring, MaskType.NO_MASK, rng)
+    np.testing.assert_allclose(y, want, rtol=2e-3)
+
+
+def test_pallas_spmv_tropical_hub_rows(rng):
+    """One hub row with >128 nnz in a single col tile: its lane run fills
+    whole chunks (run length == 128, the scan's worst case) and spans
+    several; plus singleton rows around it."""
+    rows = np.concatenate([np.zeros(700, np.int64),
+                           np.arange(1, 300, dtype=np.int64)])
+    rng2 = np.random.default_rng(3)
+    cols = np.concatenate([rng2.integers(0, 1024, 700),
+                           rng2.integers(0, 1024, 299)])
+    vals = rng2.random(999).astype(np.float32)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.zeros(1025, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    from graphlily_tpu.io.matrix import CSRMatrix
+    csr = CSRMatrix(1024, 1024, vals, cols.astype(np.uint32),
+                    np.cumsum(indptr).astype(np.uint32))
+    y, want = run_both(csr, TropicalSemiring, MaskType.NO_MASK, rng)
+    np.testing.assert_allclose(y, want, rtol=2e-3)
+
+
 def test_pallas_spmv_resident_kernel(rng):
     """Force the resident (VMEM-whole, CB-batched) kernel variant in
     interpret mode and check it against the streamed one."""

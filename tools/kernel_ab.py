@@ -94,7 +94,7 @@ def main():
         def loop(code_, r_, rows_, vals_, x):
             def body(_i, v):
                 out = _spmv_resident_call(
-                    code_, r_, rows_, vals_,
+                    code_, r_, rows_, vals_, None,
                     v.reshape(lay.num_col_tiles, 8, 128), **static)
                 return out.reshape(n) + (0.1 / n)
             return jax.lax.fori_loop(0, iters, body, x)

@@ -43,7 +43,10 @@ class EngineConfig:
     mxu_precision: str = "highest"   # "highest" (f32-accurate) | "default" (bf16 MXU)
 
     # --- engine selection ---
-    engine: str = "auto"         # "auto" | "xla" | "pallas"
+    engine: str = "auto"         # "auto" | "xla" | "pallas" | "router"
+                                 # auto: chunked pallas kernel when its layout
+                                 # is feasible, else the router engine
+                                 # (tropical always uses the chunked kernel)
     interpret: Optional[bool] = None  # pallas interpret mode; None = auto (CPU->True)
     resident_kernel: Optional[bool] = None  # None = auto by VMEM footprint
     reduce_mode: str = "mxu"     # resident-kernel row reduce: "mxu" | "vpu"
@@ -76,9 +79,7 @@ class EngineConfig:
         return not _on_tpu()
 
     def resolve_engine(self) -> str:
-        if self.engine != "auto":
-            return self.engine
-        return "pallas"
+        return self.engine   # "auto" resolves per-module (capability ladder)
 
 
 DEFAULT_CONFIG = EngineConfig()

@@ -338,6 +338,25 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     )
 
 
+def estimate_chunk_layout_gb(csr: CSRMatrix) -> float:
+    """Cheap (no-pack) estimate of the chunked layout's device memory —
+    used by engine auto-selection and benchmarks to decide when the layout's
+    (window x tile)-group scaling makes it infeasible."""
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    nnz = work.nnz
+    rows = work.row_ids()
+    cols = work.adj_indices[:nnz].astype(np.int64)
+    nct = work.num_cols // 1024
+    ckey = ((rows // 128) * nct + cols // 1024) * 8 + ((cols % 1024) >> 7)
+    uniq, counts = np.unique(ckey, return_counts=True)
+    need = (counts + 127) // 128
+    guniq, ginv = np.unique(uniq // 8, return_inverse=True)
+    gneed = np.zeros(len(guniq), np.int64)
+    np.maximum.at(gneed, ginv, need)
+    return float(gneed.sum() * 1024 * 12) / 1e9
+
+
 # --------------------------------------------------------------------------
 # SpMSpV device layout (CSC, statically padded column slices)
 # --------------------------------------------------------------------------

@@ -47,19 +47,34 @@ class SpMSpVModule(BaseModule):
         engine = self.config.resolve_engine()
         self._pallas = None
         self._coo = None
-        if (engine == "pallas" and csc_matrix.num_rows % 1024 == 0
+        if (engine in ("pallas", "auto", "router")
+                and csc_matrix.num_rows % 1024 == 0
                 and csc_matrix.num_cols % 1024 == 0):
             # dense-frontier path: pack the CSR twin into the chunked layout
             # and run the same pallas SpMV kernel; the sparse frontier is
             # scattered to a dense vector (semiring-zero fill annihilates
-            # inactive columns, so semantics match the active-columns oracle)
+            # inactive columns, so semantics match the active-columns oracle).
+            # Same capability ladder as SpMVModule: chunked when feasible,
+            # router for big arithmetic/logical, COO fallback otherwise.
             from ..io.matrix import csc2csr
-            from ..io.formatter import pack_csr_chunks
+            from ..io.formatter import (pack_csr_chunks,
+                                        estimate_chunk_layout_gb)
             from ..ops.spmv_pallas import PallasSpMV
-            lay = pack_csr_chunks(csc2csr(csc_matrix), self.config,
-                                  pad_val=float(self.semiring_.zero))
-            self._pallas = PallasSpMV(lay, self.semiring_, self.config,
-                                      MaskType.NO_MASK)
+            csr_twin = csc2csr(csc_matrix)
+            tropical = self.semiring_.op == OpType.ADDMIN
+            use_chunked = (engine == "pallas" or tropical
+                           or estimate_chunk_layout_gb(csr_twin) <= 2.0)
+            if use_chunked:
+                lay = pack_csr_chunks(csr_twin, self.config,
+                                      pad_val=float(self.semiring_.zero))
+                self._pallas = PallasSpMV(lay, self.semiring_, self.config,
+                                          MaskType.NO_MASK)
+            else:
+                from ..io.router_format import pack_router
+                from ..ops.router_pallas import RouterSpMV
+                lay = pack_router(csr_twin, self.config)
+                self._pallas = RouterSpMV(lay, self.semiring_, self.config,
+                                          MaskType.NO_MASK)
         else:
             self._coo = coo_from_csc(csc_matrix, dtype=self.config.jdtype)
 

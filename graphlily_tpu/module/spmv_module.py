@@ -48,14 +48,40 @@ class SpMVModule(BaseModule):
                                skip_empty_rows: bool | None = None) -> None:
         """Format for the selected engine. `skip_empty_rows` is accepted for
         parity (the chunked layout has no end-of-row markers; empty rows cost
-        nothing by construction)."""
+        nothing by construction).
+
+        Engine resolution ("auto"): the chunked pallas kernel when its layout
+        is feasible (memory scales with nonempty window x tile groups — the
+        estimate must stay under ~2 GB and the kernel's own caps must hold),
+        else the router engine (arithmetic/logical only; rows <= ~3.2M). The
+        multi-level selection mirrors the reference's channel-size guard
+        (module/spmv_module.h:385-388) as a capability ladder instead of an
+        error."""
         assert self.semiring_ is not None, "set_semiring before formatting"
         self.csr_matrix_ = csr_matrix.copy()
         engine = self.config.resolve_engine()
-        if engine == "pallas":
-            lay = pack_csr_chunks(csr_matrix, self.config,
-                                  pad_val=float(self.semiring_.zero))
-            self._pallas = PallasSpMV(lay, self.semiring_, self.config,
+        self._pallas = None
+        self._coo = None
+        if engine == "auto" or engine == "pallas":
+            tropical = self.semiring_.op == OpType.ADDMIN
+            use_chunked = engine == "pallas"
+            if engine == "auto":
+                from ..io.formatter import estimate_chunk_layout_gb
+                use_chunked = (tropical
+                               or estimate_chunk_layout_gb(csr_matrix) <= 2.0)
+            if use_chunked:
+                lay = pack_csr_chunks(csr_matrix, self.config,
+                                      pad_val=float(self.semiring_.zero))
+                self._pallas = PallasSpMV(lay, self.semiring_, self.config,
+                                          self.mask_type_)
+                self.num_rows_, self.num_cols_ = lay.num_rows, lay.num_cols
+                return
+            engine = "router"
+        if engine == "router":
+            from ..io.router_format import pack_router
+            from ..ops.router_pallas import RouterSpMV
+            lay = pack_router(csr_matrix, self.config)
+            self._pallas = RouterSpMV(lay, self.semiring_, self.config,
                                       self.mask_type_)
             self.num_rows_, self.num_cols_ = lay.num_rows, lay.num_cols
         else:

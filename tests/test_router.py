@@ -1,0 +1,106 @@
+"""Router SpMV engine vs the XLA oracle (interpret mode on CPU).
+
+Counterpart of the chunked-kernel tests in test_spmv_pallas.py for the
+scalable gather->scatter->reduce engine (ops/router_pallas.py), including
+multi-region outputs (rows > 16384), the adversarial mod-128 conflict
+fixture, and hub pages that span many regions (range-heavy schedules).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graphlily_tpu import (ArithmeticSemiring, LogicalSemiring, MaskType,
+                           EngineConfig)
+from graphlily_tpu.io import (uniform_csr, dense_csr, conflict_csr, rmat_csr,
+                              util_round_csr_matrix_dim)
+from graphlily_tpu.io.router_format import pack_router
+from graphlily_tpu.ops import coo_from_csr, spmv_coo
+from graphlily_tpu.ops.router_pallas import RouterSpMV
+
+
+def run_both(csr, semiring, mask_type, rng, config=None):
+    config = config or EngineConfig(interpret=True)
+    lay = pack_router(csr, config)
+    eng = RouterSpMV(lay, semiring, config, mask_type)
+    x = rng.random(lay.num_cols).astype(np.float32) + 0.5
+    x[rng.random(lay.num_cols) < 0.3] = 0.0
+    mask = (rng.random(lay.num_rows) < 0.5).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x), jnp.asarray(mask)))
+    padded = csr.copy()
+    util_round_csr_matrix_dim(padded, 1024, 1024)
+    coo = coo_from_csr(padded)
+    want = np.asarray(spmv_coo(coo, jnp.asarray(x), semiring,
+                               jnp.asarray(mask), mask_type))
+    return y, want, lay
+
+
+@pytest.mark.parametrize("semiring", [ArithmeticSemiring, LogicalSemiring],
+                         ids=lambda s: s.name)
+@pytest.mark.parametrize("mask_type",
+                         [MaskType.NO_MASK, MaskType.WRITE_TO_ZERO,
+                          MaskType.WRITE_TO_ONE], ids=lambda m: m.name)
+def test_router_semirings_masks(semiring, mask_type, rng):
+    csr = uniform_csr(1500, 1500, 4, seed=21)
+    y, want, _ = run_both(csr, semiring, mask_type, rng)
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("maker,kw", [
+    (dense_csr, dict(num_rows=256, num_cols=256)),
+    (conflict_csr, dict(num_rows=1024, num_cols=2048)),
+    (rmat_csr, dict(num_rows=3000, nnz=40000, seed=5)),
+    (uniform_csr, dict(num_rows=900, num_cols=2100, degree=3, seed=6)),
+])
+def test_router_shapes(maker, kw, rng):
+    csr = maker(**kw)
+    y, want, _ = run_both(csr, ArithmeticSemiring, MaskType.NO_MASK, rng)
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
+def test_router_multi_region(rng):
+    """rows > 16384 -> multiple radix regions; hub page spans them all."""
+    csr = uniform_csr(20000, 20000, 3, seed=11)
+    y, want, lay = run_both(csr, ArithmeticSemiring, MaskType.NO_MASK, rng)
+    assert lay.num_regions == 2
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
+def test_router_hub_page(rng):
+    """One 128-col page receives edges from rows all over a 40K-row space:
+    every A-chunk of that page spans both regions repeatedly (range-heavy,
+    many accumulator switches and splits)."""
+    rng2 = np.random.default_rng(4)
+    n = 40000
+    rows = rng2.integers(0, n, 6000)
+    cols = rng2.integers(0, 128, 6000)      # all in page 0
+    vals = rng2.random(6000).astype(np.float32)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    # dedupe (row, col) pairs so the oracle scatter matches
+    key = rows * 128 + cols
+    keep = np.ones(len(key), bool)
+    keep[1:] = key[1:] != key[:-1]
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    from graphlily_tpu.io.matrix import CSRMatrix
+    csr = CSRMatrix(n, n, vals, cols.astype(np.uint32),
+                    np.cumsum(indptr).astype(np.uint32))
+    y, want, lay = run_both(csr, ArithmeticSemiring, MaskType.NO_MASK, rng)
+    assert lay.num_regions == 3
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
+def test_router_fill_quality():
+    """The point of the router: fill depends only on nnz-per-128-col-page
+    (ceil waste of each page's final chunk), NOT on (row-window x col-tile)
+    density like the chunked layout. degree 4 -> 512 els/page -> ~0.5 fill
+    even though the chunked layout would be <10%; degree 24 -> ~3K els/page
+    -> >0.85 (benchmark graphs have 8K+ els/page -> ~0.99)."""
+    csr = uniform_csr(50000, 50000, 4, seed=3)
+    lay = pack_router(csr, EngineConfig(interpret=True))
+    assert lay.fill_a > 0.45, lay.fill_a
+    csr2 = uniform_csr(50000, 50000, 24, seed=3)
+    lay2 = pack_router(csr2, EngineConfig(interpret=True))
+    assert lay2.fill_a > 0.85, lay2.fill_a
+    assert lay2.fill_stream > 0.6, lay2.fill_stream

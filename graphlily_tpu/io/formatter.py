@@ -197,6 +197,8 @@ class ChunkedSpMVLayout:
     fill: float            # nnz / slots
     row_perm: Optional[np.ndarray] = None  # if rows were reordered
     inv: Optional[np.ndarray] = None       # tropical run-end lanes (see above)
+    step_touch: Optional[np.ndarray] = None  # (nsteps, nct) incidence when
+                                             # packed with chunk_order="col"
 
     @property
     def num_chunks(self) -> int:
@@ -204,13 +206,22 @@ class ChunkedSpMVLayout:
 
 
 def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
-                    pad_val: float = 0.0) -> ChunkedSpMVLayout:
+                    pad_val: float = 0.0,
+                    chunk_order: str = "row") -> ChunkedSpMVLayout:
     """Pack a CSR matrix into the chunked dual-gather layout.
 
     `pad_val` must be the semiring's <x> annihilator (semiring.zero): 0 for
     arithmetic/logical, FLOAT_INF for tropical — padding then contributes the
     <+> identity after mul (cf. the reference's semiring-zero column padding,
     graphlily/io/data_formatter.h:675-680).
+
+    `chunk_order`: "row" (default) orders chunks by code = (window, col tile)
+    — required by the STREAMED kernel's out-revisit zeroing. "col" orders by
+    (col tile, window) and additionally builds `step_touch` — the static
+    (grid step x col tile) incidence used by the predicated resident kernel
+    to skip steps whose col tiles hold no active frontier entries (the
+    work-proportional SpMSpV path; resident kernel only, which zeroes its
+    whole output at step 0 and so accepts any chunk order).
     """
     W = config.row_window
     C = config.col_tile
@@ -313,6 +324,13 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
             inv = np.concatenate([inv, np.full((nm, S, W), -1, np.int8)])[order2]
         nchunk += nm
 
+    if chunk_order == "col":
+        order3 = np.lexsort((code, code % nct))
+        r, rows_arr, vals, code = (r[order3], rows_arr[order3],
+                                   vals[order3], code[order3])
+        if inv is not None:
+            inv = inv[order3]
+
     # pad chunk count to a multiple of the resident kernel's per-step batch
     # (filler chunks revisit the last code with pad values — harmless)
     pad_mult = 64
@@ -327,6 +345,13 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         nchunk += padn
 
     code = code.astype(np.int32)
+    step_touch = None
+    if chunk_order == "col":
+        # static (grid step x col tile) incidence for the predicated kernel
+        from ..ops.spmv_pallas import CB
+        nsteps = nchunk // CB
+        step_touch = np.zeros((nsteps, nct), np.float32)
+        step_touch[np.arange(nchunk) // CB, code % nct] = 1.0
     dtype = np.dtype(config.dtype)
     return ChunkedSpMVLayout(
         r=r, rows=rows_arr, vals=vals.astype(dtype), code=code,
@@ -335,6 +360,7 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         row_window=W, col_tile=C,
         fill=nnz / (nchunk * S * L),
         inv=inv,
+        step_touch=step_touch,
     )
 
 

@@ -65,8 +65,12 @@ class SpMSpVModule(BaseModule):
             use_chunked = (engine == "pallas" or tropical
                            or estimate_chunk_layout_gb(csr_twin) <= 2.0)
             if use_chunked:
+                # chunk_order="col": groups each grid step's chunks by col
+                # tile so the predicated kernel can skip steps whose tiles
+                # hold no frontier entries (work-proportional push)
                 lay = pack_csr_chunks(csr_twin, self.config,
-                                      pad_val=float(self.semiring_.zero))
+                                      pad_val=float(self.semiring_.zero),
+                                      chunk_order="col")
                 self._pallas = PallasSpMV(lay, self.semiring_, self.config,
                                           MaskType.NO_MASK)
             else:
@@ -128,7 +132,40 @@ class SpMSpVModule(BaseModule):
 
     # ---- execution -------------------------------------------------------
     def device_state(self):
-        return self._pallas.arrays if self._pallas is not None else self._coo
+        if self._pallas is None:
+            return self._coo
+        touch = getattr(self._pallas.layout, "step_touch", None)
+        if self._predicated():
+            return {"arrays": self._pallas.arrays,
+                    "touch": jnp.asarray(touch)}
+        return self._pallas.arrays
+
+    def _predicated(self) -> bool:
+        return (self._pallas is not None
+                and getattr(self._pallas, "resident", False)
+                and getattr(self._pallas.layout, "step_touch", None)
+                is not None)
+
+    def _run_engine(self, x, state):
+        """One dense-frontier product through the engine; work-proportional
+        when the predicated resident kernel is available: only grid steps
+        whose col tiles intersect the active frontier execute (counterpart
+        of the reference's active-column bursts,
+        hw/kernel_spmspv_impl.h:55-124)."""
+        zero = self.semiring_.zero
+        if self._predicated():
+            st = state if state is not None else self.device_state()
+            arrays, touch = st["arrays"], st["touch"]
+            nct = self._pallas.layout.num_col_tiles
+            nsteps = touch.shape[0]
+            act = jnp.any(x.reshape(nct, -1)
+                          != jnp.asarray(zero, x.dtype), axis=1)
+            step_active = (touch @ act.astype(touch.dtype)) > 0
+            sm = jnp.nonzero(step_active, size=nsteps,
+                             fill_value=0)[0].astype(jnp.int32)
+            na = jnp.sum(step_active).astype(jnp.int32).reshape(1)
+            return self._pallas.call_predicated(x, sm, na, arrays=arrays)
+        return self._pallas(x, None, MaskType.NO_MASK, arrays=state)
 
     def apply_dense(self, x, mask=None, state=None):
         """Dense-frontier flavor for fused app loops: takes/returns dense
@@ -140,7 +177,7 @@ class SpMSpVModule(BaseModule):
         from ..semiring import apply_mask_sparse_style
         zero = self.semiring_.zero
         if self._pallas is not None:
-            y = self._pallas(x, None, MaskType.NO_MASK, arrays=state)
+            y = self._run_engine(x, state)
         else:
             from ..ops.vector import dense_to_sparse
             sv = dense_to_sparse(x, zero, self.capacity)
@@ -159,7 +196,7 @@ class SpMSpVModule(BaseModule):
             from ..semiring import apply_mask_sparse_style
             zero = self.semiring_.zero
             x = sparse_to_dense(sv, self.num_cols_, zero)
-            y = self._pallas(x, None, MaskType.NO_MASK, arrays=state)
+            y = self._run_engine(x, state)
             if mask is not None and self.mask_type_ != MaskType.NO_MASK:
                 y = apply_mask_sparse_style(y, mask, self.mask_type_, zero)
             return dense_to_sparse(y, zero, self.capacity), y

@@ -75,6 +75,11 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int):
             g_buf[k] = g
 
         # ---- phase B: deposits + inline flushes ----------------------------
+        # descriptors arrive through SMEM (scalar memory): per-descriptor
+        # reads are ~2 cycles vs ~100 for VMEM scalar loads, and the pl.when
+        # guard lets Mosaic skip the (dominant) dynamic rolls on inactive
+        # slots — measured 18.5 -> 4.7 ms on the googleplus stand-in
+        # (tools/router_ab.py).
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
         flat_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) * L + lane_i
         for j in range(rstep):
@@ -122,10 +127,10 @@ def _router_scatter_call(page, r, vals, rg, x2, *, op, cb, rstep, f, nreg,
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
         ],
         out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
@@ -142,7 +147,7 @@ def _router_scatter_call(page, r, vals, rg, x2, *, op, cb, rstep, f, nreg,
 
 def _make_reduce_kernel(cbc: int, precision):
     def kernel(code_ref,              # (1, 1, cbc) int32 region ids (-1 skip)
-               g_ref,                 # (1, cbc*8, 128) f32 flushed values
+               g_ref,                 # (1, cbc, 8, 128) f32 flushed values
                hi_ref,                # (1, cbc*8, 128) int8
                lo_ref,                # (1, cbc*8, 128) int8
                o_ref):                # (nregions, 128, 128) resident output
@@ -164,7 +169,7 @@ def _make_reduce_kernel(cbc: int, precision):
                 acc = jnp.zeros((L, L), jnp.float32)
                 for s in range(S):
                     row = k * S + s
-                    g = g_ref[0, row:row + 1, :]
+                    g = g_ref[0, k, s:s + 1, :]
                     hi = hi_all[row:row + 1, :]
                     lo = lo_all[row:row + 1, :]
                     oh_hi = (hi_t == hi).astype(jnp.float32)     # (128, L)
@@ -185,6 +190,9 @@ def _make_reduce_kernel(cbc: int, precision):
                      "interpret", "dtype"))
 def _router_reduce_call(code, g, hi, lo, *, cbc, nregions, nsteps,
                         mxu_precision, interpret, dtype):
+    """Consumes the scatter output (nsteps, f, 8, 128) DIRECTLY — one reduce
+    step per scatter step, no reshape between the kernels (a materialized
+    reshape/copy of the stream measured ~4 ms on the googleplus stand-in)."""
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     kernel = _make_reduce_kernel(cbc, precision)
@@ -193,8 +201,9 @@ def _router_reduce_call(code, g, hi, lo, *, cbc, nregions, nsteps,
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, 1, cbc), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cbc), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cbc, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
         ],
@@ -244,19 +253,12 @@ class RouterSpMV:
         self.num_rows = layout.num_rows
         self.num_cols = layout.num_cols
         lay = layout
-        nflush = lay.nsteps * lay.f
-        # reduce batches cbc chunks per step; pad the flush stream with
-        # garbage (-1) codes to a batch multiple
-        cbc = lay.cb
+        # the reduce consumes the scatter output 4D-as-is: one reduce step
+        # per scatter step (its f flushed chunks), zero reshapes/copies
+        cbc = lay.f
         self.cbc = cbc
-        nsteps_c = (nflush + cbc - 1) // cbc
-        code = np.full(nsteps_c * cbc, -1, np.int32)
-        code[:nflush] = lay.c_code
-        hi = np.zeros((nsteps_c * cbc, S, L), np.int8)
-        lo = np.zeros((nsteps_c * cbc, S, L), np.int8)
-        hi[:nflush] = lay.c_hi
-        lo[:nflush] = lay.c_lo
-        self._pad_flush = nsteps_c * cbc - nflush
+        nsteps_c = lay.nsteps
+        code, hi, lo = lay.c_code, lay.c_hi, lay.c_lo
         self.arrays = RouterArrays(
             jnp.asarray(lay.a_page.reshape(lay.nsteps, 1, lay.cb)),
             jnp.asarray(lay.a_r.reshape(lay.nsteps, lay.cb * S, L)),
@@ -292,12 +294,6 @@ class RouterSpMV:
         a = self.arrays if arrays is None else arrays
         lay = self.layout
         g = self.scatter(x, arrays=a)
-        nsteps_c = self._static_reduce["nsteps"]
-        g = g.reshape(lay.nsteps * lay.f, S, L)
-        if self._pad_flush:
-            g = jnp.concatenate(
-                [g, jnp.zeros((self._pad_flush, S, L), g.dtype)])
-        g = g.reshape(nsteps_c, self.cbc * S, L)
         blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
                                      **self._static_reduce)
         y = blocks.reshape(-1)[:self.num_rows]

@@ -195,13 +195,25 @@ CB = 32       # chunks per grid step (amortizes grid-step overhead and
 
 
 def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
-                          reduce_mode: str, cb: int):
+                          reduce_mode: str, cb: int,
+                          predicated: bool = False):
     """Resident variant: the whole x (nct,8,128) and the whole out
     (nwgrp,8,128) live in VMEM; CB chunks per grid step amortize grid/DMA
     overhead; dynamic first-dim indexing replaces prefetch-driven block maps.
-    Feasible when (nct + nwgrp) * 4KB fits VMEM (~N <= 700K vertices)."""
+    Feasible when (nct + nwgrp) * 4KB fits VMEM (~N <= 700K vertices).
 
-    def kernel(code_ref, r_ref, rt_ref, v_ref, *rest):
+    `predicated` (the work-proportional SpMSpV path, counterpart of the
+    reference's active-column traversal, hw/kernel_spmspv_impl.h:55-124):
+    two scalar-prefetch arrays remap grid step i to chunk-batch sm[i] and
+    give the active-step count na; steps >= na are no-ops whose block maps
+    repeat the previous index (no DMA), so cost scales with the number of
+    col tiles the frontier actually touches."""
+
+    def kernel(*refs):
+        if predicated:
+            sm_ref, na_ref, code_ref, r_ref, rt_ref, v_ref, *rest = refs
+        else:
+            code_ref, r_ref, rt_ref, v_ref, *rest = refs
         if op == OpType.ADDMIN:
             inv_ref, x_ref, o_ref = rest
         else:
@@ -211,6 +223,27 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
         @pl.when(step == 0)
         def _():
             o_ref[...] = jnp.full_like(o_ref, zero)
+
+        if predicated:
+            body = _make_body(op, nct, precision, zero, cb,
+                              code_ref, r_ref, rt_ref, v_ref, rest)
+            pl.when(step < na_ref[0])(body)
+            return
+        _make_body(op, nct, precision, zero, cb,
+                   code_ref, r_ref, rt_ref, v_ref, rest)()
+
+    return kernel
+
+
+def _make_body(op, nct, precision, zero, cb, code_ref, r_ref, rt_ref, v_ref,
+               rest):
+    if op == OpType.ADDMIN:
+        inv_ref, x_ref, o_ref = rest
+    else:
+        inv_ref = None
+        x_ref, o_ref = rest
+
+    def body():
 
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)
         # unpack the int8 index streams once per step: int8 VMEM tiles are
@@ -251,7 +284,7 @@ def _make_resident_kernel(nct: int, op: OpType, precision, zero: float,
             else:
                 raise ValueError(op)
 
-    return kernel
+    return body
 
 
 @functools.partial(
@@ -293,6 +326,57 @@ def _spmv_resident_call(code, r, rows, vals, inv, x2, *, nct, nwgrp, nchunk,
         interpret=interpret,
     )
     return f(*args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nct", "nwgrp", "nchunk", "op", "mxu_precision",
+                     "zero", "interpret", "reduce_mode", "dtype"))
+def _spmv_resident_predicated_call(sm, na, code, r, rows, vals, inv, x2, *,
+                                   nct, nwgrp, nchunk, op, mxu_precision,
+                                   zero, interpret, reduce_mode, dtype):
+    """Predicated resident SpMV: grid step i executes chunk-batch sm[i];
+    steps >= na repeat the last batch's block index (no DMA) and skip
+    compute. `sm`/`na` are computed on device per call from the frontier's
+    col-tile activity (see SpMSpVModule.apply_dense) — the TPU counterpart
+    of the reference's active-column traversal
+    (hw/kernel_spmspv_impl.h:55-124)."""
+    cb = CB
+    assert nchunk % cb == 0
+    precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
+                 else jax.lax.Precision.DEFAULT)
+    kernel = _make_resident_kernel(nct, op, precision, zero, reduce_mode, cb,
+                                   predicated=True)
+    nsteps = nchunk // cb
+    remap = lambda i, sm, na: (sm[i], 0, 0)
+    stream_spec = pl.BlockSpec((1, cb * S, L), remap, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, cb), remap, memory_space=pltpu.VMEM),
+        stream_spec, stream_spec, stream_spec,
+    ]
+    args = [code.reshape(nsteps, 1, cb),
+            r.reshape(nsteps, cb * S, L),
+            rows.reshape(nsteps, cb * S, L),
+            vals.reshape(nsteps, cb * S, L)]
+    if op == OpType.ADDMIN:
+        in_specs.append(pl.BlockSpec((1, cb * S, W), remap,
+                                     memory_space=pltpu.VMEM))
+        args.append(inv.reshape(nsteps, cb * S, W))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # x2 whole
+    args.append(x2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # out whole
+    )
+    f = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nwgrp, S, W), jnp.dtype(dtype)),
+        interpret=interpret,
+    )
+    return f(sm, na, *args)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -348,7 +432,15 @@ class PallasSpMV:
         # (1MB cap) -> it cannot exceed ~200K chunks; the resident kernel
         # streams codes through VMEM and has no such cap
         streamed_feasible = layout.num_chunks <= 200_000
-        if config.resident_kernel is not None:
+        if layout.step_touch is not None:
+            # chunk_order="col" layouts (SpMSpV predicated path) are only
+            # valid under the resident kernel: the streamed kernel's
+            # out-revisit zeroing needs code-grouped chunk order
+            if not fits_vmem:
+                raise ValueError("col-ordered layout requires the resident "
+                                 "kernel but x+out exceed VMEM")
+            self.resident = True
+        elif config.resident_kernel is not None:
             self.resident = config.resident_kernel
         elif not streamed_feasible:
             if not fits_vmem:
@@ -388,6 +480,26 @@ class PallasSpMV:
         x2 = x.reshape(self.layout.num_col_tiles, S, L)
         call = _spmv_resident_call if self.resident else _spmv_pallas_call
         out = call(a.code, a.r, a.rows, a.vals, a.inv, x2, **self._static)
+        return self._epilogue(out, mask, mt)
+
+    def call_predicated(self, x, sm, na, mask=None,
+                        mask_type: MaskType | None = None,
+                        arrays: ChunkArrays | None = None):
+        """Work-proportional variant: execute only the chunk batches listed
+        in `sm[:na]` (computed from the frontier's col-tile activity).
+        Requires the resident kernel and a chunk_order="col" layout."""
+        assert self.resident, "predicated path needs the resident kernel"
+        mt = self.mask_type if mask_type is None else mask_type
+        a = self.arrays if arrays is None else arrays
+        x2 = x.reshape(self.layout.num_col_tiles, S, L)
+        static = dict(self._static)
+        static.setdefault("reduce_mode", self.config.reduce_mode)
+        static.pop("fuse_dots", None)
+        out = _spmv_resident_predicated_call(
+            sm, na, a.code, a.r, a.rows, a.vals, a.inv, x2, **static)
+        return self._epilogue(out, mask, mt)
+
+    def _epilogue(self, out, mask, mt):
         y = out.reshape(self.num_rows)
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))

@@ -75,3 +75,43 @@ def test_dist_pagerank_iteration(rng):
     coo = coo_from_csr(work)
     want = np.asarray(spmv_coo(coo, rank, ArithmeticSemiring)) + offset
     np.testing.assert_allclose(r1, want, rtol=2e-3, atol=1e-8)
+
+
+def test_dist_bfs_fused_loop_matches_single_chip():
+    """Multi-iteration distributed BFS (masked SpMV + stamp + reshard inside
+    ONE jit) must match the single-chip BFS app's pull results."""
+    from graphlily_tpu.parallel import dist_bfs_pull
+    from graphlily_tpu.apps import BFS
+    mesh = make_mesh(8, rows=4, cols=2)
+    csr = uniform_csr(2048, 2048, 6, seed=23)
+    csr.adj_data = np.ones_like(csr.adj_data)
+    # iterating apps need square padding: lcm(4,2)*1024 on both dims
+    util_round_csr_matrix_dim(csr, 4096, 4096)
+    lay = pack_sharded(csr, 4, 2, CFG, pad_val=0.0)
+    eng = DistSpMV(lay, LogicalSemiring, mesh, CFG,
+                   mask_type=MaskType.WRITE_TO_ZERO)
+    got = dist_bfs_pull(eng, source=0, num_iterations=5)
+    app = BFS(CFG)
+    app.load_and_format_matrix(csr)
+    want = app.compute_reference_results(0, 5)
+    np.testing.assert_allclose(got[:len(want)], want, atol=1e-5)
+
+
+def test_dist_sssp_fused_loop_matches_single_chip():
+    """Distributed tropical pull loop (pmin over cols) vs the SSSP oracle."""
+    from graphlily_tpu.parallel import dist_sssp_pull
+    from graphlily_tpu.apps import SSSP
+    from graphlily_tpu.io.formatter import add_self_edges_for_sssp
+    mesh = make_mesh(8, rows=2, cols=4)
+    csr = uniform_csr(2048, 2048, 6, seed=29)
+    csr.adj_data = np.ones_like(csr.adj_data)
+    prepped = add_self_edges_for_sssp(csr)
+    util_round_csr_matrix_dim(prepped, 4096, 4096)
+    lay = pack_sharded(prepped, 2, 4, CFG,
+                       pad_val=float(TropicalSemiring.zero))
+    eng = DistSpMV(lay, TropicalSemiring, mesh, CFG)
+    got = dist_sssp_pull(eng, source=0, num_iterations=5)
+    app = SSSP(CFG)
+    app.load_and_format_matrix(csr)
+    want = app.compute_reference_results(0, 5)
+    np.testing.assert_allclose(got[:len(want)], want, atol=1e-4)

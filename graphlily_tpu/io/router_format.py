@@ -7,46 +7,33 @@ groups and whose fill collapses on hypersparse graphs (5-19% on the ICCAD
 stand-ins). It is the TPU counterpart of the reference's bounded 2-D
 partitioning (graphlily/hw/kernel_spmv_impl.h:470-513: output URAM row
 partitions x vector URAM col partitions), re-designed around what the v5e
-actually does fast.
+actually does fast. See ops/router_pallas.py for the kernel pipeline.
 
-Pipeline (two pallas kernels, see ops/router_pallas.py):
-
-  scatter kernel (phases A+B fused), grid over A-chunk batches:
-    * A-chunk = (8,128) slots holding up to 1024 nnz of ONE 128-column page,
-      packed row-sorted in lanes-major flat order (~99% fill: the only waste
-      is each page's final partial chunk). The x page is broadcast-selected
-      from the resident x via an ax0 dynamic_gather, so the element gather is
-      one ax1 dynamic_gather with NO bucket constraint (unlike the chunked
-      layout's sublane binning).
-    * g = val (x) x[col] is deposited into per-region accumulators: a
-      "region" is a 16384-row slice of the output (the radix digit).
-      Elements of one region form contiguous flat runs inside the row-sorted
-      chunk, so each deposit is a RANGE move: one dynamic lane roll + two
-      sublane rolls + masked merge into the region's (8,128) VMEM accumulator
-      at its cursor. Cursors/splits/parities are simulated here at format
-      time; the kernel executes a static descriptor stream.
-    * F flush slots per step copy full (or draining) accumulators to the
-      step's output block — the value stream leaves in FLUSH ORDER, no
-      positioning needed: the reduce kernel accumulates region blocks
-      resident in VMEM, so any chunk order is fine.
-
-  reduce kernel (phase C), grid over the flush stream:
-    * per flushed chunk (one region each, but steps may mix regions): per
-      sublane, a (128,L) hi one-hot against the static hi stream and a
-      (128,L) lo-masked value matrix contract on the MXU into a (128,128)
-      accumulator — which IS the region's output rows arranged as
-      [hi, lo] = [(row>>7)&127, row&127] — added into the resident
-      (nregions,128,128) output (zeroed at step 0).
-
-Only f32 values move at runtime; every index/descriptor stream is static,
-which is what makes the radix scatter affordable.
+Key layout decisions (all measured on this chip):
+  * A-chunk = (8,128) slots holding up to 1024 nnz of ONE 128-col page,
+    row-sorted in lanes-major flat order (~97-99% fill; the only waste is
+    each page's final partial chunk). One page per chunk because the chained
+    ax0+ax1 gather is only correct with a constant sublane plane, and
+    1024-wide single gathers are unsupported ("Multiple source vregs along
+    gather dimension").
+  * "region" = `region_rows` output rows (the radix digit). Runs of equal
+    region inside the row-sorted chunk become RANGE deposits; the region
+    count trades deposit count (npages*nrows/region_rows runs, ~50 ns each)
+    against phase-C MXU MACs (region_rows MACs/nnz) — `choose_region_rows`
+    picks the sqrt optimum per graph.
+  * A-chunks are assigned to grid steps by greedy LPT balancing of
+    descriptor weight: hub pages otherwise blow up RSTEP (the unrolled
+    per-step descriptor slot count; measured 708 -> 163 on googleplus).
+  * Cursors/splits/flush ordinals are simulated here at format time; the
+    kernel executes a static SMEM descriptor stream (per-descriptor SMEM
+    reads are ~2 cycles vs ~100 for VMEM scalar loads).
 
 Supported ops: MULADD and ANDOR (the <+> reduce is an MXU dot). ADDMIN
 (tropical) needs row-contiguous runs in phase C, which the scatter does not
-preserve across pages — tropical stays on the chunked kernel (SSSP-scale
-graphs fit it; see PARITY.md).
+preserve across pages — tropical stays on the chunked kernel (see PARITY.md
+for the full-scale tropical gap).
 
-Limits: rows <= REGION_ROWS * MAX_REGIONS and the resident output
+Limits: rows <= MAX_REGIONS * region_rows and the resident output
 (num_rows * 4B) must fit VMEM alongside streams — practically ~3.2M rows,
 which covers all six ICCAD graphs (orkut = 3.07M). Beyond that: the 2-pass
 extension (region-grouped intermediate), not yet needed.
@@ -62,9 +49,9 @@ from ..config import EngineConfig, DEFAULT_CONFIG
 from .matrix import CSRMatrix
 from .formatter import util_round_csr_matrix_dim
 
-REGION_ROWS = 16384      # rows per radix class: (128 hi) x (128 lo)
+REGION_ROWS = 16384      # max rows per radix class: (128 hi) x (128 lo)
 CHUNK = 1024             # elements per (8,128) chunk
-MAX_REGIONS = 200        # acc scratch 2*MAX_REGIONS*4KB + resident out cap
+MAX_REGIONS = 512        # scatter acc scratch cap (512 x 4KB = 2MB VMEM)
 
 
 @dataclasses.dataclass
@@ -77,14 +64,15 @@ class RouterSpMVLayout:
     """
 
     # ---- scatter kernel (phases A+B) ----
-    a_r: np.ndarray        # (NSTEPS*CB, 8, 128) int8 : col & 127 in the page
+    a_r: np.ndarray        # (NSTEPS*CB, 8, 128) int8 : col & 127 (lane)
+    a_sub: np.ndarray      # (NSTEPS*CB, 8, 128) int8 : (col >> 7) & 7 (sublane)
     a_vals: np.ndarray     # (NSTEPS*CB, 8, 128) f32  : nnz values (pad 0)
-    a_page: np.ndarray     # (NSTEPS*CB,) int32       : 128-col page id
+    a_page: np.ndarray     # (NSTEPS*CB,) int32       : 1024-col tile id
     rg: np.ndarray         # (NSTEPS, RSTEP, 2) int32 : unified descriptors
-                           #   deposit: w1 = src13 | dst10<<13
-                           #            w2 = region8 | len11<<16   (len > 0)
+                           #   deposit: w1 = src16 | dst10<<16
+                           #            w2 = region12 | len11<<16  (w2 > 0)
                            #   flush:   w1 = valid cursor (1..1024)
-                           #            w2 = region8 | q7<<8 | 1<<15
+                           #            w2 = region12 | q8<<16 | 1<<31 (w2 < 0)
                            #   w2 == 0 -> inactive slot
     # ---- reduce kernel (phase C) ----
     c_code: np.ndarray     # (NSTEPS*F,) int32 : region per flushed chunk,
@@ -97,6 +85,7 @@ class RouterSpMVLayout:
     nnz: int
     num_col_tiles: int     # padded_cols / 1024 (x resident shape)
     num_regions: int
+    region_rows: int       # rows per radix region (multiple of 128, <= 16384)
     cb: int
     rstep: int
     f: int
@@ -106,21 +95,62 @@ class RouterSpMVLayout:
 
     @property
     def mem_bytes(self) -> int:
-        return (self.a_r.nbytes + self.a_vals.nbytes + self.a_page.nbytes
+        return (self.a_r.nbytes + self.a_sub.nbytes
+                + self.a_vals.nbytes + self.a_page.nbytes
                 + self.rg.nbytes + self.c_code.nbytes
                 + self.c_hi.nbytes + self.c_lo.nbytes
                 + self.nsteps * self.f * CHUNK * 4)   # + runtime g stream
 
 
+def choose_region_rows(nrows: int, ncols: int, nnz: int) -> int:
+    """Pick the radix region height balancing deposit count against reduce
+    MACs. Deposits (one per (page x region) run, ~50 ns each) scale as
+    npages*nrows/R; the phase-C one-hot reduce costs R MACs/nnz on the MXU.
+    The sqrt optimum of that sum, rounded to a 128 multiple and clamped to
+    [1024, 16384] (hi byte width) and the MAX_REGIONS accumulator cap."""
+    npages = max(ncols // 128, 1)
+    # constant calibrated on TPU (tools/router_e2e.py R sweep, googleplus:
+    # 3584 -> 7.18 ms, 8192 -> 6.68 ms, 16384 -> 7.01 ms)
+    r_opt = (npages * nrows * 1.0e7 / max(nnz, 1)) ** 0.5
+    r = int(round(r_opt / 128)) * 128
+    r_min = ((nrows + MAX_REGIONS - 1) // MAX_REGIONS + 127) // 128 * 128
+    return max(min(max(r, 1024), REGION_ROWS), r_min)
+
+
+
+def _balance_chunks(weight: np.ndarray, nsteps: int, cb: int) -> np.ndarray:
+    """Greedy LPT assignment of A-chunks to grid steps (cb chunks each),
+    minimizing the max per-step descriptor weight. Returns the new chunk id
+    for each old chunk id."""
+    import heapq
+    order = np.argsort(-weight, kind="stable")
+    heap = [(0, s) for s in range(nsteps)]
+    heapq.heapify(heap)
+    fill = np.zeros(nsteps, np.int64)
+    new_of_old = np.empty(len(weight), np.int64)
+    for ci in order:
+        w, st = heapq.heappop(heap)
+        new_of_old[ci] = st * cb + fill[st]
+        fill[st] += 1
+        if fill[st] < cb:
+            heapq.heappush(heap, (w + int(weight[ci]), st))
+    return new_of_old
+
+
 def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
-                pad_val: float = 0.0, cb: int = 8) -> RouterSpMVLayout:
+                pad_val: float = 0.0, cb: int = 32,
+                region_rows: int | None = None) -> RouterSpMVLayout:
     """Build the router layout + schedules. `pad_val` must be the semiring
     <x> annihilator (0 for arithmetic/logical — the only router semirings)."""
     assert pad_val == 0.0, "router supports MULADD/ANDOR (pad 0) only"
+    assert cb <= 64, "src16 descriptor field caps cb*1024 source offsets"
     work = csr.copy()
     util_round_csr_matrix_dim(work, 1024, 1024)
     nrows, ncols = work.num_rows, work.num_cols
-    nregions = (nrows + REGION_ROWS - 1) // REGION_ROWS
+    if region_rows is None:
+        region_rows = choose_region_rows(nrows, ncols, work.nnz)
+    assert region_rows % 128 == 0 and 128 <= region_rows <= REGION_ROWS
+    nregions = (nrows + region_rows - 1) // region_rows
     if nregions > MAX_REGIONS:
         raise ValueError(
             f"{nrows} rows -> {nregions} regions exceeds the single-pass "
@@ -130,7 +160,13 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     cc = work.adj_indices[:nnz].astype(np.int64)
     vv = work.adj_data[:nnz].astype(np.float32)
 
-    # ---- A-order: sort by (page, row, col); pack per page ----------------
+    # ---- A-order: sort by (page, row, col); pack per 128-col page ---------
+    # an A-chunk draws from ONE 128-col page: the kernel's chained ax0+ax1
+    # dynamic_gather is only correct when the sublane index is CONSTANT per
+    # chunk (positional gathers compose as t[sub[s, r[s,l]], r[s,l]] — a
+    # per-element sub would be read at the gathered lane, not the element's
+    # slot; 1024-wide single gathers are "Not implemented: Multiple source
+    # vregs along gather dimension" on this libtpu).
     page = cc >> 7
     order = np.lexsort((cc, rr, page))
     rr, cc, vv, page = rr[order], cc[order], vv[order], page[order]
@@ -144,9 +180,40 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     pidx = np.searchsorted(page_ids, page)
     a_chunk = page_chunk_base[pidx] + rank // CHUNK
     a_flat = rank % CHUNK                      # lanes-major: (f//128, f%128)
+    # x is resident as (nct, 8, 128) tiles: the chunk's tile id + constant
+    # sublane (page % 8) drive the chained gather
+    chunk_page = (np.repeat(page_ids, chunks_per_page).astype(np.int32)
+                  if len(page_ids) else np.zeros(nca, np.int32))
+
+    # ---- balance A-chunks across grid steps by descriptor weight ----------
+    # Deposits execute in their source chunk's grid step, and hub pages
+    # produce chunks whose rows span many regions (many runs). Chunk ORDER is
+    # free, so a greedy LPT assignment of chunks to steps flattens the max
+    # descriptors/step (RSTEP, the unrolled per-step slot count) to ~avg —
+    # consecutive placement measured rstep=708 vs ~150 balanced (googleplus,
+    # cb=32): ~4 ms of inactive guarded slots.
+    region = (rr // region_rows).astype(np.int64)
+    nsteps_deposit = (nca + cb - 1) // cb
+    if nnz and nsteps_deposit > 1:
+        trans = np.zeros(nca, np.int64)
+        same = a_chunk[1:] == a_chunk[:-1]
+        np.add.at(trans, a_chunk[1:][same & (region[1:] != region[:-1])], 1)
+        weight = trans + 2                       # runs + ~flush share
+        new_of_old = _balance_chunks(weight, nsteps_deposit, cb)
+        a_chunk = new_of_old[a_chunk]
+        cp = np.zeros(nsteps_deposit * cb, np.int32)
+        cp[new_of_old] = chunk_page
+        chunk_page = cp
+        order2 = np.lexsort((a_flat, a_chunk))
+        rr, cc, vv = rr[order2], cc[order2], vv[order2]
+        a_chunk, a_flat = a_chunk[order2], a_flat[order2]
+        region = region[order2]
+    elif len(chunk_page) < nsteps_deposit * cb:
+        chunk_page = np.concatenate(
+            [chunk_page,
+             np.zeros(nsteps_deposit * cb - len(chunk_page), np.int32)])
 
     # ---- ranges: runs of equal region within each A-chunk ----------------
-    region = (rr >> 14).astype(np.int64)
     if nnz:
         newrun = np.ones(nnz, bool)
         newrun[1:] = (a_chunk[1:] != a_chunk[:-1]) | (region[1:] != region[:-1])
@@ -210,11 +277,10 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     # descriptor placed immediately after the topping deposit is always
     # safe, and each region needs exactly ONE accumulator (no parity).
     # Partial last chunks drain through trailing flush descriptors.
-    nsteps_deposit = (nca + cb - 1) // cb
     if nd_total:
         exec_order = np.lexsort((d_src13, d_step))
         e_step = d_step[exec_order]
-        e_w1 = (d_src13[exec_order] | (d_dst[exec_order] << 13)).astype(np.int64)
+        e_w1 = (d_src13[exec_order] | (d_dst[exec_order] << 16)).astype(np.int64)
         e_w2 = (d_region[exec_order] | (d_len[exec_order] << 16)).astype(np.int64)
         e_topping = (d_dst[exec_order] + d_len[exec_order]) == CHUNK
         e_rc = d_rc[exec_order]
@@ -276,11 +342,11 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                     0)
     f_max = max(int((q_of[it_is_flush].max() + 1)) if it_is_flush.any()
                 else 1, 1)
-    assert f_max <= 128, f"flush ordinal overflow ({f_max} > 7 bits)"
+    assert f_max <= 256, f"flush ordinal overflow ({f_max} > 8 bits)"
 
     rg = np.zeros((nsteps, rstep, 2), np.int32)
     w2_final = np.where(it_is_flush,
-                        it_w2 | (q_of << 8) | (1 << 15),
+                        it_w2 | (q_of << 16) | (np.int64(1) << 31),
                         it_w2)
     rg[it_step, slot_in_step, 0] = it_w1.astype(np.int32)
     rg[it_step, slot_in_step, 1] = w2_final.astype(np.int32)
@@ -315,9 +381,13 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     a_page_arr = np.zeros(ncap, np.int32)
     a_r[a_chunk, a_flat // 128, a_flat % 128] = (cc & 127).astype(np.int8)
     a_vals[a_chunk, a_flat // 128, a_flat % 128] = vv
-    if len(page_ids):
-        a_page_arr[:nca] = np.repeat(page_ids,
-                                     chunks_per_page).astype(np.int32)
+    a_page_arr[:len(chunk_page)] = chunk_page >> 3
+    # the sublane plane must hold the chunk constant page%8 at EVERY slot
+    # (padding included): the chained gather reads sub at (s, r[s,l]), an
+    # arbitrary slot of the plane — zero-padded slots would mis-route real
+    # elements whose lane index lands on padding.
+    a_sub = np.zeros((ncap, 8, 128), np.int8)
+    a_sub[:len(chunk_page)] = (chunk_page & 7).astype(np.int8)[:, None, None]
 
     # ---- phase C static streams --------------------------------------------
     # element stream position: its region-chunk's linear slot + its offset.
@@ -333,15 +403,16 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         elem_rc = reg_base[region] + elem_rpos // CHUNK
         elem_pos = rc_linear[elem_rc] * CHUNK + elem_rpos % CHUNK
         oc, of = elem_pos // CHUNK, elem_pos % CHUNK
-        row_in_reg = rr & (REGION_ROWS - 1)
+        row_in_reg = rr % region_rows
         c_hi[oc, of // 128, of % 128] = (row_in_reg >> 7).astype(np.int8)
         c_lo[oc, of // 128, of % 128] = (row_in_reg & 127).astype(np.int8)
 
     return RouterSpMVLayout(
-        a_r=a_r, a_vals=a_vals, a_page=a_page_arr,
+        a_r=a_r, a_sub=a_sub, a_vals=a_vals, a_page=a_page_arr,
         rg=rg, c_code=c_code, c_hi=c_hi, c_lo=c_lo,
         num_rows=nrows, num_cols=ncols, nnz=nnz,
         num_col_tiles=ncols // 1024, num_regions=nregions,
+        region_rows=region_rows,
         cb=cb, rstep=rstep, f=f, nsteps=nsteps,
         fill_a=nnz / max(nca * CHUNK, 1),
         fill_stream=nnz / max(nsteps * f * CHUNK, 1),

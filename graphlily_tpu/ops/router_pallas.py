@@ -1,34 +1,37 @@
 """Router SpMV engine: gather -> radix-scatter -> region-reduce.
 
 The scalable SpMV for graphs whose (row-window x col-tile) density is too low
-for the chunked dual-gather layout (ops/spmv_pallas.py). Two pallas kernels
-over the layout built by io/router_format.py (which precomputes EVERY index:
-only f32 values move at runtime):
+for the chunked dual-gather layout (ops/spmv_pallas.py). Consumes the layout
+built by io/router_format.py (which precomputes EVERY index: only values move
+at runtime; they ride as bf16 when MXU precision is "default").
 
-  scatter kernel (phases A+B fused), grid over A-chunk batches:
-    1. per A-chunk: broadcast-select the chunk's 128-col x page from the
-       resident x (ax0 dynamic_gather with a constant index — the known-good
-       8-sublane table form), one ax1 dynamic_gather, g = val (x) x[col];
-    2. walk the step's unified descriptor stream:
-       - deposit: move a flat run of g into its region's (8,128) VMEM
-         accumulator at the precomputed cursor (one dynamic lane roll, two
-         sublane rolls, masked merge);
-       - flush: copy the (masked) accumulator into the step's output block
-         at flush ordinal q — the value stream leaves in flush order.
+Two execution modes over the same layout:
 
-  reduce kernel (phase C), grid over the flush stream:
-    per flushed chunk (tagged with its 16384-row region, -1 = garbage): per
-    sublane, a (128,L) hi one-hot against the static hi stream and a (128,L)
-    lo-masked value matrix contract on the MXU into a (128,128) accumulator
-    — which IS the region's output rows arranged [hi, lo] = [(row>>7)&127,
-    row&127] — added into the VMEM-resident (nregions,128,128) output
-    (zeroed at step 0).
+  FUSED (default whenever x + output + accumulators fit VMEM, ~16 MB/core):
+  one kernel, grid over A-chunk batches —
+    1. phase A: per A-chunk, chained ax0+ax1 dynamic_gather against the
+       resident x tile (the ax0 index is the chunk's constant page%8 plane —
+       positional gathers compose as t[sub[s, r[s,l]], r[s,l]], so the
+       sublane plane must be constant across the whole chunk, padding
+       included), g = val (x) x[col];
+    2. phase B: walk the step's SMEM descriptor stream — deposits move flat
+       runs of g into per-region (8,128) VMEM accumulators (one dynamic lane
+       roll, two sublane rolls, masked merge at the precomputed cursor);
+       flushes copy the masked accumulator into an f-slot VMEM ring;
+    3. phase C: after the descriptor loop, each flush ordinal with a region
+       code >= 0 is one-hot placed into the VMEM-resident (nregions, rh, 128)
+       output on the MXU (hi one-hot x lo-masked value dots, rh =
+       region_rows/128). The value stream never round-trips HBM.
+
+  SPLIT (large graphs): the same phases as two kernels with an HBM flush
+  stream between them — x resident in the scatter, output resident in the
+  reduce, each within VMEM on its own.
 
 Counterpart of the reference's bounded 2-D partitioned SpMV
 (graphlily/hw/kernel_spmv_impl.h:470-513); the radix scatter plays the role
-of its shuffle stage, done through HBM with static schedules instead of a
-crossbar. Supported semirings: MULADD, ANDOR (see router_format.py for why
-tropical stays on the chunked kernel).
+of its shuffle stage, done through static schedules instead of a crossbar.
+Supported semirings: MULADD, ANDOR (see router_format.py for why tropical
+stays on the chunked kernel).
 """
 from __future__ import annotations
 
@@ -48,28 +51,54 @@ S = 8
 L = 128
 
 
-def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int):
-    def kernel(page_ref,              # (1, 1, cb) int32
-               r_ref,                 # (1, cb*8, 128) int8
-               v_ref,                 # (1, cb*8, 128) f32
-               rg_ref,                # (1, rstep, 2) int32
-               x_ref,                 # (nct, 8, 128) resident
-               o_ref,                 # (1, f, 8, 128) flush block
-               g_buf,                 # scratch (cb, 8, 128)
-               acc_ref):              # scratch (nreg, 8, 128)
-        # ---- phase A: gather + semiring mul for the step's cb chunks ------
+def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
+                         fuse: bool = False, rh: int = 0, precision=None,
+                         fnum: int = 0):
+    """Phases A+B (gather -> radix deposit). With `fuse`, phase C (the
+    one-hot MXU region reduce) runs INLINE at each flush — the value stream
+    never round-trips HBM (the split pipeline pays ~124 MB read+write on the
+    googleplus stand-in against a measured ~95 GB/s streaming ceiling) and
+    the reduce's MXU dots overlap the deposits' VPU rolls."""
+    def kernel(*refs):
+        if fuse:
+            (page_ref,            # (1, 1, cb) int32 SMEM : 1024-col tile ids
+             r_ref,               # (1, cb*8, 128) int8 : lane = col & 127
+             sub_ref,             # (1, cb*8, 128) int8 : sublane = (col>>7)&7
+             v_ref,               # (1, cb*8, 128) f32|bf16
+             rg_ref,              # (1, rstep, 2) int32 SMEM
+             code_ref,            # (1, 1, f) int32 SMEM : region per ordinal
+             hi_ref,              # (1, f*8, 128) int8, flush-ordinal aligned
+             lo_ref,              # (1, f*8, 128) int8
+             x_ref,               # (nct, 8, 128) resident
+             o_ref,               # (nregions, rh, 128) resident output
+             g_buf, acc_ref, ring_ref) = refs
+        else:
+            (page_ref, r_ref, sub_ref, v_ref, rg_ref, x_ref,
+             o_ref,               # (1, f, 8, 128) flush block
+             g_buf,               # scratch (cb, 8, 128)
+             acc_ref) = refs      # scratch (nreg, 8, 128)
+
+        if fuse:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                o_ref[...] = jnp.zeros_like(o_ref)
+
+        # ---- phase A: chained ax0+ax1 dynamic gather for cb chunks --------
+        # full 1024-col tile reach: xp[s,l] = t[sub[s,l], l], then
+        # g[s,l] = xp[s, lane[s,l]] -- both gather forms measured fast
+        # (79 / 35 G elem/s) on this chip
         r_all = r_ref[0].astype(jnp.int32)
+        sub_all = sub_ref[0].astype(jnp.int32)
         for k in range(cb):
-            p = page_ref[0, 0, k]
-            t = x_ref[p // 8]                               # (8, 128)
+            t = x_ref[page_ref[0, 0, k]]                    # (8, 128) tile
             xp = jnp.take_along_axis(
-                t, jnp.full((S, L), p % 8, jnp.int32), axis=0)
+                t, sub_all[k * S:(k + 1) * S, :], axis=0)
             g = jnp.take_along_axis(xp, r_all[k * S:(k + 1) * S, :], axis=1)
-            vals = v_ref[0, k * S:(k + 1) * S, :]
+            vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
             if op == OpType.MULADD:
                 g = g * vals
             elif op == OpType.ANDOR:
-                g = jnp.logical_and(vals != 0, g != 0).astype(vals.dtype)
+                g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
             else:
                 raise ValueError(op)
             g_buf[k] = g
@@ -85,15 +114,15 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int):
         for j in range(rstep):
             w1 = rg_ref[0, j, 0]
             w2 = rg_ref[0, j, 1]
-            ln = w2 >> 16
-            slot = w2 & 0xFF
+            slot = w2 & 0xFFF
 
-            @pl.when(ln > 0)
+            @pl.when(w2 > 0)   # deposit: region12 | len11<<16
             def _():
-                src13 = w1 & 0x1FFF
-                dst = (w1 >> 13) & 0x3FF
-                k = src13 // CHUNK
-                src = src13 % CHUNK
+                ln = w2 >> 16
+                src16 = w1 & 0xFFFF
+                dst = (w1 >> 16) & 0x3FF
+                k = src16 // CHUNK
+                src = src16 % CHUNK
                 delta = (dst - src) % CHUNK
                 dl = delta % L
                 ds = delta // L
@@ -105,12 +134,45 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int):
                 m = jnp.logical_and(flat_i >= dst, flat_i < dst + ln)
                 acc_ref[slot] = jnp.where(m, y, acc_ref[slot])
 
-            @pl.when((w2 >> 15) & 1 == 1)
+            @pl.when(w2 < 0)   # flush: region12 | q8<<16 | 1<<31
             def _():
-                q = (w2 >> 8) & 0x7F
+                q = (w2 >> 16) & 0xFF
                 cur = w1
-                o_ref[0, pl.ds(q, 1)] = jnp.where(flat_i < cur,
-                                                  acc_ref[slot], 0.0)[None]
+                gch = jnp.where(flat_i < cur, acc_ref[slot], 0.0)
+                if not fuse:
+                    o_ref[0, pl.ds(q, 1)] = gch[None]
+                else:
+                    ring_ref[pl.ds(q, 1)] = gch[None]
+
+        if not fuse:
+            return
+
+        # ---- inline phase C, AFTER the descriptor loop: one reduce per
+        # flush ordinal (code stream: region id, -1 = no flush this step).
+        # Keeping it out of the slot loop shrinks the unrolled kernel by
+        # ~rstep/f (compile time) and gives static hi/lo slices.
+        hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
+        lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        hi_all = hi_ref[0].astype(jnp.int32)
+        lo_all = lo_ref[0].astype(jnp.int32)
+        for qq in range(fnum):
+            c = code_ref[0, 0, qq]
+
+            @pl.when(c >= 0)
+            def _():
+                gch = ring_ref[qq]
+                accd = jnp.zeros((rh, L), jnp.float32)
+                for s in range(S):
+                    row = qq * S + s
+                    oh = (hi_t == hi_all[row:row + 1, :]).astype(jnp.float32)
+                    ml = jnp.where(
+                        lo_t == lo_all[row:row + 1, :],
+                        jnp.broadcast_to(gch[s:s + 1, :], (L, L)), 0.0)
+                    accd = accd + jax.lax.dot_general(
+                        oh, ml, (((1,), (1,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+                o_ref[c] += accd.astype(o_ref.dtype)
 
     return kernel
 
@@ -119,8 +181,8 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int):
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "nreg", "nct", "nsteps",
                      "interpret", "dtype"))
-def _router_scatter_call(page, r, vals, rg, x2, *, op, cb, rstep, f, nreg,
-                         nct, nsteps, interpret, dtype):
+def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
+                         nreg, nct, nsteps, interpret, dtype):
     kernel = _make_scatter_kernel(op, cb, rstep, nreg)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
@@ -128,6 +190,7 @@ def _router_scatter_call(page, r, vals, rg, x2, *, op, cb, rstep, f, nreg,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
@@ -142,22 +205,65 @@ def _router_scatter_call(page, r, vals, rg, x2, *, op, cb, rstep, f, nreg,
         ],
         interpret=interpret,
     )
-    return fn(page, r, vals, rg, x2)
+    return fn(page, r, sub, vals, rg, x2)
 
 
-def _make_reduce_kernel(cbc: int, precision):
+@functools.partial(
+    jax.jit,
+    static_argnames=("op", "cb", "rstep", "f", "nreg", "rh", "nregions",
+                     "nct", "nsteps", "mxu_precision", "interpret", "dtype"))
+def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2, *, op, cb,
+                       rstep, f, nreg, rh, nregions, nct, nsteps,
+                       mxu_precision, interpret, dtype):
+    precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
+                 else jax.lax.Precision.DEFAULT)
+    kernel = _make_scatter_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
+                                  precision=precision, fnum=f)
+    stream = lambda i: (i, 0, 0)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),   # resident output
+        out_shape=jax.ShapeDtypeStruct((nregions, rh, L), jnp.dtype(dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
+            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+            pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
+        ],
+        interpret=interpret,
+    )
+    return fn(page, r, sub, vals, rg, code, hi, lo, x2)
+
+
+def _make_reduce_kernel(cbc: int, rh: int, precision):
+    """rh = region_rows // 128: the hi one-hot height. Smaller regions cut
+    the MXU MAC count linearly (the dominant reduce cost at rh=128)."""
     def kernel(code_ref,              # (1, 1, cbc) int32 region ids (-1 skip)
                g_ref,                 # (1, cbc, 8, 128) f32 flushed values
                hi_ref,                # (1, cbc*8, 128) int8
                lo_ref,                # (1, cbc*8, 128) int8
-               o_ref):                # (nregions, 128, 128) resident output
+               o_ref):                # (nregions, rh, 128) resident output
         step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _():
             o_ref[...] = jnp.zeros_like(o_ref)
 
-        hi_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        # (bf16 one-hot builds would halve the VPU cost, but this libtpu
+        # rejects bf16 vector compares: "Target does not support this
+        # comparison" — builds stay f32.)
+        hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
         lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
         hi_all = hi_ref[0].astype(jnp.int32)
         lo_all = lo_ref[0].astype(jnp.int32)
@@ -166,13 +272,13 @@ def _make_reduce_kernel(cbc: int, precision):
 
             @pl.when(c >= 0)
             def _():
-                acc = jnp.zeros((L, L), jnp.float32)
+                acc = jnp.zeros((rh, L), jnp.float32)
                 for s in range(S):
                     row = k * S + s
                     g = g_ref[0, k, s:s + 1, :]
                     hi = hi_all[row:row + 1, :]
                     lo = lo_all[row:row + 1, :]
-                    oh_hi = (hi_t == hi).astype(jnp.float32)     # (128, L)
+                    oh_hi = (hi_t == hi).astype(jnp.float32)     # (rh, L)
                     m_lo = jnp.where(lo_t == lo,
                                      jnp.broadcast_to(g, (L, L)), 0.0)
                     acc = acc + jax.lax.dot_general(
@@ -186,16 +292,16 @@ def _make_reduce_kernel(cbc: int, precision):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cbc", "nregions", "nsteps", "mxu_precision",
+    static_argnames=("cbc", "nregions", "rh", "nsteps", "mxu_precision",
                      "interpret", "dtype"))
-def _router_reduce_call(code, g, hi, lo, *, cbc, nregions, nsteps,
+def _router_reduce_call(code, g, hi, lo, *, cbc, nregions, rh, nsteps,
                         mxu_precision, interpret, dtype):
     """Consumes the scatter output (nsteps, f, 8, 128) DIRECTLY — one reduce
     step per scatter step, no reshape between the kernels (a materialized
     reshape/copy of the stream measured ~4 ms on the googleplus stand-in)."""
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
-    kernel = _make_reduce_kernel(cbc, precision)
+    kernel = _make_reduce_kernel(cbc, rh, precision)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -208,7 +314,7 @@ def _router_reduce_call(code, g, hi, lo, *, cbc, nregions, nsteps,
             pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),   # whole out
-        out_shape=jax.ShapeDtypeStruct((nregions, L, L), jnp.dtype(dtype)),
+        out_shape=jax.ShapeDtypeStruct((nregions, rh, L), jnp.dtype(dtype)),
         interpret=interpret,
     )
     return fn(code, g, hi, lo)
@@ -219,7 +325,8 @@ class RouterArrays:
     """Device-resident router streams as a pytree (jit-argument friendly:
     large operands must never be closure constants on this sandbox)."""
 
-    FIELDS = ("a_page", "a_r", "a_vals", "rg", "c_code", "c_hi", "c_lo")
+    FIELDS = ("a_page", "a_r", "a_sub", "a_vals", "rg",
+              "c_code", "c_hi", "c_lo")
 
     def __init__(self, *children):
         for name, c in zip(self.FIELDS, children):
@@ -259,43 +366,72 @@ class RouterSpMV:
         self.cbc = cbc
         nsteps_c = lay.nsteps
         code, hi, lo = lay.c_code, lay.c_hi, lay.c_lo
+        # matrix values ride as bf16 when the MXU runs at DEFAULT precision
+        # (inputs get rounded to bf16 by the dot anyway): halves the
+        # dominant a_vals stream against the ~95 GB/s streaming ceiling
+        vdt = (jnp.bfloat16 if config.mxu_precision == "default"
+               else jnp.dtype(config.dtype))
         self.arrays = RouterArrays(
             jnp.asarray(lay.a_page.reshape(lay.nsteps, 1, lay.cb)),
             jnp.asarray(lay.a_r.reshape(lay.nsteps, lay.cb * S, L)),
+            jnp.asarray(lay.a_sub.reshape(lay.nsteps, lay.cb * S, L)),
             jnp.asarray(lay.a_vals.reshape(lay.nsteps, lay.cb * S, L)
-                        .astype(config.dtype)),
+                        .astype(vdt)),
             jnp.asarray(lay.rg),
             jnp.asarray(code.reshape(nsteps_c, 1, cbc)),
             jnp.asarray(hi.reshape(nsteps_c, cbc * S, L)),
             jnp.asarray(lo.reshape(nsteps_c, cbc * S, L)),
         )
+        rh = lay.region_rows // 128
         self._static_scatter = dict(
             op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
             nreg=lay.num_regions, nct=lay.num_col_tiles, nsteps=lay.nsteps,
             interpret=config.resolve_interpret(), dtype=config.dtype,
         )
         self._static_reduce = dict(
-            cbc=cbc, nregions=lay.num_regions, nsteps=nsteps_c,
+            cbc=cbc, nregions=lay.num_regions, rh=rh,
+            nsteps=nsteps_c, mxu_precision=config.mxu_precision,
+            interpret=config.resolve_interpret(), dtype=config.dtype,
+        )
+        self._static_fused = dict(
+            op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
+            nreg=lay.num_regions, rh=rh, nregions=lay.num_regions,
+            nct=lay.num_col_tiles, nsteps=lay.nsteps,
             mxu_precision=config.mxu_precision,
             interpret=config.resolve_interpret(), dtype=config.dtype,
         )
+        # fused when everything resident fits VMEM (~16 MB/core): x + output
+        # + accumulators + double-buffered stream blocks, with headroom
+        vbytes = jnp.dtype(vdt).itemsize
+        est = (lay.num_col_tiles * 4096            # x resident
+               + lay.num_regions * rh * L * 4      # output resident
+               + (lay.num_regions + lay.cb) * 4096  # acc + g_buf scratch
+               + 2 * (lay.cb * S * L * (2 + vbytes)
+                      + 2 * lay.f * S * L + lay.rstep * 8 + lay.cb * 4))
+        self.fused = est <= 12e6
 
     def scatter(self, x, arrays: RouterArrays | None = None):
         """Run phases A+B only: returns the flush-ordered value stream
         (exposed for tests against the formatter simulation)."""
         a = self.arrays if arrays is None else arrays
         x2 = x.reshape(self.layout.num_col_tiles, S, L)
-        return _router_scatter_call(a.a_page, a.a_r, a.a_vals, a.rg, x2,
-                                    **self._static_scatter)
+        return _router_scatter_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
+                                    a.rg, x2, **self._static_scatter)
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
                  arrays: RouterArrays | None = None):
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
-        g = self.scatter(x, arrays=a)
-        blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
-                                     **self._static_reduce)
+        if self.fused:
+            x2 = x.reshape(lay.num_col_tiles, S, L)
+            blocks = _router_fused_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
+                                        a.rg, a.c_code, a.c_hi, a.c_lo, x2,
+                                        **self._static_fused)
+        else:
+            g = self.scatter(x, arrays=a)
+            blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
+                                         **self._static_reduce)
         y = blocks.reshape(-1)[:self.num_rows]
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))

@@ -91,6 +91,23 @@ def test_router_hub_page(rng):
     np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("region_rows", [1024, 4096, 16384])
+def test_router_region_sizes(region_rows, rng):
+    """Explicit radix region heights (the perf tuning knob): same results."""
+    csr = rmat_csr(num_rows=20000, nnz=120000, seed=9)
+    config = EngineConfig(interpret=True)
+    lay = pack_router(csr, config, region_rows=region_rows)
+    assert lay.region_rows == region_rows
+    eng = RouterSpMV(lay, ArithmeticSemiring, config)
+    x = rng.random(lay.num_cols).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x)))
+    padded = csr.copy()
+    util_round_csr_matrix_dim(padded, 1024, 1024)
+    want = np.asarray(spmv_coo(coo_from_csr(padded), jnp.asarray(x),
+                               ArithmeticSemiring))
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
 def test_router_fill_quality():
     """The point of the router: fill depends only on nnz-per-128-col-page
     (ceil waste of each page's final chunk), NOT on (row-window x col-tile)
@@ -103,4 +120,4 @@ def test_router_fill_quality():
     csr2 = uniform_csr(50000, 50000, 24, seed=3)
     lay2 = pack_router(csr2, EngineConfig(interpret=True))
     assert lay2.fill_a > 0.85, lay2.fill_a
-    assert lay2.fill_stream > 0.6, lay2.fill_stream
+    assert lay2.fill_stream > 0.55, lay2.fill_stream

@@ -4,6 +4,8 @@ descriptor time goes. Usage: python tools/router_ab.py [variants...]
 Variants:
   base      - the shipping kernel
   nodep     - gathers only, deposits skipped        (grid + phase-A floor)
+  dslice    - nodep with dynamic-slice page select  (vs ax0 broadcast gather)
+  nogather  - nodep without the ax1 element gather  (phase-A fixed costs)
   noroll    - deposits without the 3 rolls          (roll cost)
   fixedacc  - deposits into acc slot 0              (dynamic-index cost)
   nowhen    - deposits without the pl.when guard    (branch cost)
@@ -36,17 +38,37 @@ def make_kernel(cb, rstep, nreg, variant):
         else:
             page_ref, r_ref, v_ref, rg_ref, x_ref, o_ref, g_buf, acc_ref = refs
         i = pl.program_id(0)
+        if variant == "empty":
+            o_ref[0, 0] = v_ref[0, :S, :]
+            return
+        if variant == "nocast":
+            for k in range(cb):
+                g_buf[k] = v_ref[0, k * S:(k + 1) * S, :]
+            o_ref[0, 0] = g_buf[cb - 1]
+            return
         r_all = r_ref[0].astype(jnp.int32)
+        if variant == "castonly":
+            o_ref[0, 0] = r_all[:S, :].astype(jnp.float32)
+            return
         for k in range(cb):
             p = page_ref[0, 0, k]
-            t = x_ref[p // 8]
-            xp = jnp.take_along_axis(t, jnp.full((S, L), p % 8, jnp.int32), 0)
-            g = jnp.take_along_axis(xp, r_all[k * S:(k + 1) * S, :], axis=1)
+            if variant == "dslice":
+                row = x_ref[p // 8, pl.ds(p % 8, 1), :]       # (1, 128)
+                xp = jnp.broadcast_to(row, (S, L))
+            else:
+                t = x_ref[p // 8]
+                xp = jnp.take_along_axis(
+                    t, jnp.full((S, L), p % 8, jnp.int32), 0)
+            if variant == "nogather":
+                g = xp
+            else:
+                g = jnp.take_along_axis(
+                    xp, r_all[k * S:(k + 1) * S, :], axis=1)
             g_buf[k] = g * v_ref[0, k * S:(k + 1) * S, :]
 
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
         flat_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) * L + lane_i
-        if variant == "nodep":
+        if variant in ("nodep", "dslice", "nogather"):
             o_ref[0, 0] = g_buf[cb - 1]
             return
         for j in range(rstep):
@@ -57,13 +79,13 @@ def make_kernel(cb, rstep, nreg, variant):
                 w1 = rg_ref[0, j, 0]
                 w2 = rg_ref[0, j, 1]
             ln = w2 >> 16
-            slot = w2 & 0xFF
+            slot = w2 & 0xFFF
 
             def deposit():
-                src13 = w1 & 0x1FFF
-                dst = (w1 >> 13) & 0x3FF
-                k = src13 // CHUNK
-                src = src13 % CHUNK
+                src16 = w1 & 0xFFFF
+                dst = (w1 >> 16) & 0x3FF
+                k = src16 // CHUNK
+                src = src16 % CHUNK
                 delta = (dst - src) % CHUNK
                 dl = delta % L
                 ds = delta // L
@@ -80,13 +102,13 @@ def make_kernel(cb, rstep, nreg, variant):
                 acc_ref[sl] = jnp.where(m, y, acc_ref[sl])
 
             if variant == "when":
-                pl.when(ln > 0)(deposit)
+                pl.when(w2 > 0)(deposit)
             else:
                 deposit()
 
-            @pl.when((w2 >> 15) & 1 == 1)
+            @pl.when(w2 < 0)
             def _():
-                q = (w2 >> 8) & 0x7F
+                q = (w2 >> 16) & 0xFF
                 o_ref[0, pl.ds(q, 1)] = jnp.where(flat_i < w1,
                                                   acc_ref[slot], 0.0)[None]
 
@@ -149,11 +171,19 @@ def run(lay, x2, variant):
 
 
 def main():
+    cb = 8
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--cb="):
+            cb = int(a.split("=")[1])
+        else:
+            args.append(a)
+    sys.argv[1:] = args
     cfg = EngineConfig(mxu_precision="default")
     g = iccad_standin("googleplus", scale=1.0, seed=0)
     util_round_csr_matrix_dim(g, 1024, 1024)
     util_normalize_csr_matrix_by_outdegree(g)
-    lay = pack_router(g, cfg)
+    lay = pack_router(g, cfg, cb=cb)
     print(f"nsteps={lay.nsteps} rstep={lay.rstep} f={lay.f} "
           f"rg={lay.rg.nbytes/1e6:.1f}MB", flush=True)
     x2 = jnp.ones((lay.num_col_tiles, S, L), jnp.float32)

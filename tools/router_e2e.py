@@ -1,0 +1,113 @@
+"""Router SpMV end-to-end TPU timing: scatter, reduce, and the full pipeline
+on the full-scale googleplus stand-in (or a named graph/scale).
+
+Usage: python tools/router_e2e.py [graph] [scale] [phases...] [--r=REGION]
+  phases: e2e scatter reduce   (default: all three)
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from graphlily_tpu import EngineConfig, ArithmeticSemiring
+from graphlily_tpu.io import iccad_standin, util_round_csr_matrix_dim
+from graphlily_tpu.io.formatter import util_normalize_csr_matrix_by_outdegree
+from graphlily_tpu.io.router_format import pack_router
+from graphlily_tpu.ops.router_pallas import RouterSpMV, _router_reduce_call
+
+S, L = 8, 128
+
+
+FLOOR = [None]
+
+
+def dispatch_floor():
+    if FLOOR[0] is None:
+        f = jax.jit(lambda v: v[:8].sum())
+        v = jnp.ones(128)
+        for _ in range(2):
+            np.asarray(f(v))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            np.asarray(f(v))
+        FLOOR[0] = (time.perf_counter() - t0) / 4
+    return FLOOR[0]
+
+
+def timeit(fn, iters=50):
+    @jax.jit
+    def loop():
+        def body(_i, acc):
+            out = fn()
+            return acc + out.reshape(-1)[0] * 0.0
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    np.asarray(loop())
+    t0 = time.perf_counter()
+    np.asarray(loop())
+    return max((time.perf_counter() - t0 - dispatch_floor()), 1e-9) / iters
+
+
+def main():
+    rr_opt = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--r="):
+            rr_opt = int(a.split("=")[1])
+        else:
+            args.append(a)
+    graph = args[0] if args else "googleplus"
+    scale = float(args[1]) if len(args) > 1 else 1.0
+    phases = args[2:] or ["e2e", "scatter", "reduce"]
+
+    cfg = EngineConfig(mxu_precision="default")
+    g = iccad_standin(graph, scale=scale, seed=0)
+    nnz = g.nnz
+    util_round_csr_matrix_dim(g, 1024, 1024)
+    util_normalize_csr_matrix_by_outdegree(g)
+    t0 = time.perf_counter()
+    lay = pack_router(g, cfg, region_rows=rr_opt)
+    print(f"{graph} s{scale}: nnz={nnz} pack={time.perf_counter()-t0:.1f}s "
+          f"nsteps={lay.nsteps} cb={lay.cb} rstep={lay.rstep} f={lay.f} "
+          f"nreg={lay.num_regions} fill_a={lay.fill_a:.2%} "
+          f"fill_stream={lay.fill_stream:.2%} mem={lay.mem_bytes/1e9:.2f}GB",
+          flush=True)
+
+    eng = RouterSpMV(lay, ArithmeticSemiring, cfg)
+    a = eng.arrays
+    rng = np.random.default_rng(3)
+    xh = rng.random(lay.num_cols).astype(np.float32)
+    x = jnp.asarray(xh)
+
+    # correctness gate: Mosaic-compiled result vs a host oracle
+    y = np.asarray(eng(x, arrays=a))
+    indptr = g.adj_indptr.astype(np.int64)
+    want = np.zeros(lay.num_rows, np.float64)
+    np.add.at(want, g.row_ids().astype(np.int64),
+              g.adj_data[:g.nnz].astype(np.float64)
+              * xh[g.adj_indices[:g.nnz].astype(np.int64)])
+    err = np.max(np.abs(y - want) / np.maximum(np.abs(want), 1e-3))
+    print(f"correctness: max rel err {err:.2e}", flush=True)
+    assert err < 3e-2, "router result does not match oracle on TPU"
+
+    for ph in phases:
+        if ph == "e2e":
+            dt = timeit(lambda: eng(x, arrays=a))
+        elif ph == "scatter":
+            dt = timeit(lambda: eng.scatter(x, arrays=a))
+        elif ph == "reduce":
+            gs = eng.scatter(x, arrays=a)
+            gs.block_until_ready()
+            dt = timeit(lambda: _router_reduce_call(
+                a.c_code, gs, a.c_hi, a.c_lo, **eng._static_reduce))
+        else:
+            raise SystemExit(f"unknown phase {ph}")
+        print(f"{ph:8s}: {dt*1e3:8.3f} ms  ({nnz/dt/1e9:6.2f} GTEPS)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

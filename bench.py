@@ -8,16 +8,24 @@ Protocol (reference benchmark/, see BASELINE.md):
     so host-looped timing would measure the tunnel, not the chip).
   * PageRank: per-iteration time, damping 0.9, 10 iters (bench_pagerank.cpp).
   * BFS/SSSP: total time for the per-dataset iteration counts (run_bfs.sh:20).
+  * SpMSpV: frontier-sparsity sweep, avg of 20 runs (bench_spmspv.cpp:270).
+
+Engines: the router engine (gather -> radix scatter -> fused MXU region
+reduce) runs every graph at FULL scale — including the 1M+-vertex ones whose
+chunked layout explodes; the chunked kernel covers tropical (SSSP) and is
+cross-checked on the primary graph. Before any timing, a correctness gate
+compares both Mosaic-compiled engines against a float64 host oracle across
+semirings and masks (reference: verified warm-up before timing,
+benchmark/bench_spmspv.cpp:203-225).
 
 Datasets: zero-egress sandbox -> deterministic RMAT stand-ins at the six
 ICCAD'21 graph scales (io/generate.py). The primary metric (the single JSON
-line on stdout) is SpMV GTEPS on the full-scale googleplus stand-in
-(107,614 vertices / 13.7M edges); vs_baseline divides by the reference
-platform's derived peak of 21.2 GTEPS (128 PEs x 166 MHz — BASELINE.md), the
-only throughput number derivable from the reference repo itself.
+line on stdout) is SpMV GTEPS on the full-scale googleplus stand-in;
+vs_baseline divides by the reference platform's derived peak of 21.2 GTEPS
+(128 PEs x 166 MHz — BASELINE.md).
 
-Usage: python bench.py [--full] [--scale S] [--skip-apps]
-Detailed per-graph results go to BENCH_DETAILS.json + stderr.
+Usage: python bench.py [--skip-apps] [--skip-gate] [--skip-big] [--scale S]
+BENCH_DETAILS.json is (re)written incrementally after every graph.
 """
 import argparse
 import json
@@ -27,6 +35,7 @@ import time
 import numpy as np
 
 PEAK_REFERENCE_GTEPS = 21.2  # derived U280 bound, BASELINE.md
+SSSP_EST_CAP_GB = 5.0        # chunked-layout budget for tropical apps
 
 
 def log(*a):
@@ -44,40 +53,126 @@ def measure_floor(jax, jnp):
     return (time.perf_counter() - t0) / 4
 
 
-def bench_spmv(csr, config, iters=100):
-    """Arithmetic SpMV, no mask; matrix outdegree-normalized (bounded
-    spectrum so the iterated vector stays finite)."""
-    import jax
-    import jax.numpy as jnp
-    from graphlily_tpu import ArithmeticSemiring
+def _prep(csr, config, degree_sort):
     from graphlily_tpu.io.formatter import (
-        pack_csr_chunks, util_round_csr_matrix_dim,
-        util_normalize_csr_matrix_by_outdegree)
-    from graphlily_tpu.ops.spmv_pallas import PallasSpMV
-    from graphlily_tpu.utils.profiling import analyze_layout
-
+        util_round_csr_matrix_dim, util_normalize_csr_matrix_by_outdegree)
     work = csr.copy()
-    if config.sort_rows_by_degree:
+    if degree_sort:
         from graphlily_tpu.io.formatter import (symmetric_permute,
                                                 degree_sort_permutation)
         work = symmetric_permute(work, degree_sort_permutation(work))
     util_round_csr_matrix_dim(work, 1024, 1024)
     util_normalize_csr_matrix_by_outdegree(work)
     work.adj_data = work.adj_data * 0.9
+    return work
 
+
+def tpu_correctness_gate(config):
+    """Mosaic-compiled engines vs a float64 host oracle before any timing:
+    chunked kernel (3 semirings x 3 masks) + router (2 semirings x 3 masks).
+    Aborts the benchmark loudly on a miscompile instead of publishing finite
+    garbage."""
+    import jax.numpy as jnp
+    from graphlily_tpu import (ArithmeticSemiring, LogicalSemiring,
+                               TropicalSemiring, MaskType, EngineConfig)
+    from graphlily_tpu.io import rmat_csr, util_round_csr_matrix_dim
+    from graphlily_tpu.io.formatter import pack_csr_chunks
+    from graphlily_tpu.io.router_format import pack_router
+    from graphlily_tpu.ops.spmv_pallas import PallasSpMV
+    from graphlily_tpu.ops.router_pallas import RouterSpMV
+    from graphlily_tpu.semiring import FLOAT_INF, OpType, apply_mask
+
+    csr = rmat_csr(num_rows=30000, nnz=300000, seed=17)
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    rng = np.random.default_rng(11)
+    x = rng.random(work.num_cols).astype(np.float32)
+    x[rng.random(work.num_cols) < 0.3] = 0.0
+    mask = (rng.random(work.num_rows) < 0.5).astype(np.float32)
+    rr = work.row_ids().astype(np.int64)
+    cc = work.adj_indices[:work.nnz].astype(np.int64)
+    vv = work.adj_data[:work.nnz].astype(np.float64)
+
+    def oracle(semiring):
+        if semiring.op == OpType.MULADD:
+            y = np.zeros(work.num_rows)
+            np.add.at(y, rr, vv * x[cc])
+        elif semiring.op == OpType.ANDOR:
+            y = np.zeros(work.num_rows)
+            np.logical_or.at(y, rr, (vv != 0) & (x[cc] != 0))
+            y = y.astype(np.float64)
+        else:
+            y = np.full(work.num_rows, float(FLOAT_INF))
+            np.minimum.at(y, rr, np.minimum(vv + x[cc], float(FLOAT_INF)))
+        return y
+
+    cases = []
+    lay_c = pack_csr_chunks(work, config, pad_val=0.0)
+    for sem in (ArithmeticSemiring, LogicalSemiring):
+        cases.append((f"chunked/{sem.name}", PallasSpMV(lay_c, sem, config),
+                      sem))
+    lay_t = pack_csr_chunks(work, config, pad_val=float(FLOAT_INF))
+    cases.append(("chunked/tropical",
+                  PallasSpMV(lay_t, TropicalSemiring, config),
+                  TropicalSemiring))
+    lay_r = pack_router(work, config)
+    for sem in (ArithmeticSemiring, LogicalSemiring):
+        cases.append((f"router/{sem.name}", RouterSpMV(lay_r, sem, config),
+                      sem))
+
+    tol = 3e-2 if config.mxu_precision == "default" else 2e-3
+    for name, eng, sem in cases:
+        want_plain = oracle(sem)
+        for mt in (MaskType.NO_MASK, MaskType.WRITE_TO_ZERO,
+                   MaskType.WRITE_TO_ONE):
+            y = np.asarray(eng(jnp.asarray(x), jnp.asarray(mask), mt))
+            want = want_plain if mt == MaskType.NO_MASK else np.asarray(
+                apply_mask(jnp.asarray(want_plain.astype(np.float32)),
+                           jnp.asarray(mask), mt, sem.zero))
+            scale = np.maximum(np.abs(want), 1e-3)
+            err = float(np.max(np.abs(y[:len(want)] - want) / scale))
+            assert err < tol, (
+                f"TPU correctness gate FAILED: {name} mask={mt.name} "
+                f"rel err {err:.3e} (tol {tol}) — Mosaic miscompile?")
+        log(f"gate ok: {name}")
+    log("TPU correctness gate passed (15 engine/semiring/mask combos)")
+
+
+def bench_spmv(csr, config, iters=100, engine="router"):
+    """Arithmetic SpMV, no mask; matrix outdegree-normalized (bounded
+    spectrum so the iterated vector stays finite)."""
+    import jax
+    import jax.numpy as jnp
+    from graphlily_tpu import ArithmeticSemiring
+
+    work = _prep(csr, config, degree_sort=(engine == "chunked"
+                                           and config.sort_rows_by_degree))
     t0 = time.perf_counter()
-    lay = pack_csr_chunks(work, config, pad_val=0.0)
-    t_pack = time.perf_counter() - t0
-    stats = analyze_layout(lay)
-    stats["pack_s"] = t_pack
-
-    eng = PallasSpMV(lay, ArithmeticSemiring, config)
+    if engine == "chunked":
+        from graphlily_tpu.io.formatter import pack_csr_chunks
+        from graphlily_tpu.ops.spmv_pallas import PallasSpMV
+        from graphlily_tpu.utils.profiling import analyze_layout
+        lay = pack_csr_chunks(work, config, pad_val=0.0)
+        stats = analyze_layout(lay)
+        eng = PallasSpMV(lay, ArithmeticSemiring, config)
+    else:
+        from graphlily_tpu.io.router_format import pack_router
+        from graphlily_tpu.ops.router_pallas import RouterSpMV
+        lay = pack_router(work, config)
+        eng = RouterSpMV(lay, ArithmeticSemiring, config)
+        stats = {"fill": lay.fill_a, "fill_stream": lay.fill_stream,
+                 "mem_bytes": lay.mem_bytes, "region_rows": lay.region_rows,
+                 "nsteps": lay.nsteps, "rstep": lay.rstep,
+                 "fused": eng.fused,
+                 "slots": lay.nsteps * lay.cb * 1024}
+    stats["pack_s"] = time.perf_counter() - t0
+    stats["engine"] = engine
     n = lay.num_rows
 
     @jax.jit
     def loop(arrays, x):
         def body(_i, v):
-            return eng(v, arrays=arrays) + (0.1 / n)
+            return eng(v, arrays=arrays)[:n] + (0.1 / n)
         return jax.lax.fori_loop(0, iters, body, x)
 
     x0 = jnp.full(n, 1.0 / n, config.jdtype)
@@ -92,26 +187,7 @@ def bench_spmv(csr, config, iters=100):
     per_iter = dt / iters
     stats["spmv_ms"] = per_iter * 1e3
     stats["spmv_gteps"] = csr.nnz / per_iter / 1e9
-    stats["slots_per_s"] = stats["slots"] / per_iter / 1e9
     return stats
-
-
-def estimate_layout_gb(csr, config):
-    """Cheap (no-pack) estimate of chunk-layout device memory."""
-    from graphlily_tpu.io.formatter import util_round_csr_matrix_dim
-    work = csr.copy()
-    util_round_csr_matrix_dim(work, 1024, 1024)
-    nnz = work.nnz
-    rows = work.row_ids()
-    cols = work.adj_indices[:nnz].astype(np.int64)
-    nct = work.num_cols // 1024
-    ckey = ((rows // 128) * nct + cols // 1024) * 8 + ((cols % 1024) >> 7)
-    uniq, counts = np.unique(ckey, return_counts=True)
-    need = (counts + 127) // 128
-    guniq, ginv = np.unique(uniq // 8, return_inverse=True)
-    gneed = np.zeros(len(guniq), np.int64)
-    np.maximum.at(gneed, ginv, need)
-    return float(gneed.sum() * 1024 * 12) / 1e9
 
 
 def bench_spmspv_sweep(csr, config, sparsities=(0.9, 0.95, 0.99, 0.995,
@@ -171,8 +247,9 @@ def bench_spmspv_sweep(csr, config, sparsities=(0.9, 0.95, 0.99, 0.995,
     return out
 
 
-def bench_apps(csr, config, bfs_iters):
-    """BFS pull_push + SSSP pull_push + PageRank x10 timings."""
+def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
+               sssp_scale=1.0):
+    """PageRank x10 + BFS pull_push + (feasible-scale) SSSP pull_push."""
     import jax
     import jax.numpy as jnp
     from graphlily_tpu.apps import BFS, SSSP, PageRank
@@ -203,81 +280,116 @@ def bench_apps(csr, config, bfs_iters):
     res["bfs_gteps"] = csr.nnz / dt / 1e9
     res["bfs_edges_x_iters_gteps"] = csr.nnz * bfs_iters / dt / 1e9
 
-    sssp = SSSP(config)
-    sssp.load_and_format_matrix(csr)
-    sssp.pull_push(0, bfs_iters, threshold=0.001)
-    t0 = time.perf_counter()
-    sssp.pull_push(0, bfs_iters, threshold=0.001)
-    dt = max(time.perf_counter() - t0 - floor, 1e-9)
-    res["sssp_pull_push_ms"] = dt * 1e3
+    if with_sssp:
+        g = sssp_csr if sssp_csr is not None else csr
+        sssp = SSSP(config)
+        sssp.load_and_format_matrix(g)
+        sssp.pull_push(0, bfs_iters, threshold=0.001)
+        t0 = time.perf_counter()
+        sssp.pull_push(0, bfs_iters, threshold=0.001)
+        dt = max(time.perf_counter() - t0 - floor, 1e-9)
+        res["sssp_pull_push_ms"] = dt * 1e3
+        res["sssp_scale"] = sssp_scale
     return res
+
+
+def feasible_sssp_scale(name, config):
+    """Largest stand-in scale whose chunked (tropical-capable) layout fits
+    the memory budget — the router has no tropical reduce (PARITY.md gap)."""
+    from graphlily_tpu.io import iccad_standin
+    from graphlily_tpu.io.formatter import estimate_chunk_layout_gb
+    for sc in (1.0, 0.5, 0.25, 0.1, 0.05):
+        g = iccad_standin(name, scale=sc, seed=1)
+        if estimate_chunk_layout_gb(g) <= SSSP_EST_CAP_GB:
+            return sc, g
+    return None, None
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--full", action="store_true",
-                    help="run every graph at full scale (memory permitting)")
-    ap.add_argument("--scale", type=float, default=0.02,
+    ap.add_argument("--scale", type=float, default=1.0,
                     help="scale for the five larger graph stand-ins")
     ap.add_argument("--skip-apps", action="store_true")
+    ap.add_argument("--skip-gate", action="store_true")
+    ap.add_argument("--skip-big", action="store_true",
+                    help="googleplus only (fast mode)")
     ap.add_argument("--iters", type=int, default=100)
     args = ap.parse_args()
 
     from graphlily_tpu import EngineConfig
     from graphlily_tpu.io import iccad_standin, ICCAD_GRAPHS
 
-    # bench config: degree-sorted relabeling (fill), default MXU precision
-    # (the reference computes in 32-bit fixed point; bf16-pass MXU f32 is
-    # comparable), resident kernel auto
+    # bench config: default MXU precision (the reference computes in 32-bit
+    # fixed point; bf16-input MXU f32-accumulate is comparable); the router
+    # engine carries values as bf16 at this precision
     config = EngineConfig(mxu_precision="default", sort_rows_by_degree=True)
     details = {}
 
+    def save():
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=2)
+
+    if not args.skip_gate:
+        t0 = time.perf_counter()
+        tpu_correctness_gate(config)
+        details["correctness_gate"] = {
+            "ok": True, "seconds": time.perf_counter() - t0}
+        save()
+
     # ---- primary: full-scale googleplus stand-in -------------------------
-    log("== building googleplus stand-in (full scale) ==")
+    log("== googleplus stand-in (full scale) ==")
     csr = iccad_standin("googleplus", scale=1.0, seed=0)
-    stats = bench_spmv(csr, config, iters=args.iters)
-    details["googleplus_full"] = stats
-    log(f"googleplus full: {stats['spmv_gteps']:.3f} GTEPS, "
-        f"fill={stats['fill']:.2%}, {stats['spmv_ms']:.3f} ms/SpMV, "
-        f"mem={stats['mem_bytes']/1e9:.2f} GB")
-    primary = stats["spmv_gteps"]
+    stats_r = bench_spmv(csr, config, iters=args.iters, engine="router")
+    log(f"googleplus router: {stats_r['spmv_gteps']:.3f} GTEPS "
+        f"({stats_r['spmv_ms']:.3f} ms, fill={stats_r['fill']:.2%})")
+    stats_c = bench_spmv(csr, config, iters=args.iters, engine="chunked")
+    log(f"googleplus chunked: {stats_c['spmv_gteps']:.3f} GTEPS "
+        f"({stats_c['spmv_ms']:.3f} ms, fill={stats_c['fill']:.2%})")
+    best = max(stats_r, stats_c, key=lambda s: s["spmv_gteps"])
+    details["googleplus_full"] = dict(best)
+    details["googleplus_full"]["spmv_chunked_ms"] = stats_c["spmv_ms"]
+    details["googleplus_full"]["spmv_router_ms"] = stats_r["spmv_ms"]
+    primary = best["spmv_gteps"]
+    save()
 
     if not args.skip_apps:
         appres = bench_apps(csr, config, ICCAD_GRAPHS["googleplus"]["iters"])
         details["googleplus_full"].update(appres)
-        log(f"apps: {appres}")
+        log(f"googleplus apps: {appres}")
         sweep = bench_spmspv_sweep(csr, config)
         details["googleplus_full"]["spmspv_sweep"] = sweep
         log(f"spmspv sweep: "
             f"{ {k: round(v['ms'],2) for k,v in sweep.items()} } ms")
+        save()
 
-    # ---- secondary: the other five at the largest feasible scale ---------
-    for name in ["ogbl_ppa", "hollywood", "pokec", "ogbn_products", "orkut"]:
+    # ---- the other five at full scale (router engine) --------------------
+    big = [] if args.skip_big else ["ogbl_ppa", "hollywood", "pokec",
+                                    "ogbn_products", "orkut"]
+    for name in big:
+        key = f"{name}_s{args.scale}"
         try:
-            for sc in ([1.0] if args.full else [0.1, 0.05, args.scale]):
-                g = iccad_standin(name, scale=sc, seed=1)
-                if config.sort_rows_by_degree:
-                    from graphlily_tpu.io.formatter import (
-                        symmetric_permute, degree_sort_permutation)
-                    est = estimate_layout_gb(
-                        symmetric_permute(g, degree_sort_permutation(g)),
-                        config)
-                else:
-                    est = estimate_layout_gb(g, config)
-                if est <= 6.0:
-                    break
-                log(f"{name} scale {sc}: est {est:.1f} GB, trying smaller")
-            log(f"== {name} (scale {sc}, est {est:.1f} GB) ==")
-            st = bench_spmv(g, config, iters=20)
-            details[f"{name}_s{sc}"] = st
-            log(f"{name} s{sc}: {st['spmv_gteps']:.3f} GTEPS, "
-                f"fill={st['fill']:.2%}, mem={st['mem_bytes']/1e9:.2f} GB")
+            g = iccad_standin(name, scale=args.scale, seed=1)
+            log(f"== {name} (scale {args.scale}, nnz={g.nnz}) ==")
+            st = bench_spmv(g, config, iters=20, engine="router")
+            details[key] = st
+            log(f"{name}: {st['spmv_gteps']:.3f} GTEPS "
+                f"({st['spmv_ms']:.3f} ms, fill={st['fill']:.2%}, "
+                f"mem={st['mem_bytes']/1e9:.2f} GB, "
+                f"pack={st['pack_s']:.0f}s)")
+            save()
+            if not args.skip_apps:
+                sc_s, g_s = feasible_sssp_scale(name, config)
+                appres = bench_apps(
+                    g, config, ICCAD_GRAPHS[name]["iters"],
+                    with_sssp=sc_s is not None, sssp_csr=g_s,
+                    sssp_scale=sc_s if sc_s is not None else 0.0)
+                details[key].update(appres)
+                log(f"{name} apps: {appres}")
+                save()
         except Exception as e:  # keep the primary metric robust
             log(f"{name} failed: {type(e).__name__}: {e}")
-            details[f"{name}_s{sc}"] = {"error": str(e)}
-
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
+            details[key] = {"error": f"{type(e).__name__}: {e}"}
+            save()
 
     print(json.dumps({
         "metric": "SpMV GTEPS (arithmetic, no mask, googleplus-scale RMAT "

@@ -219,6 +219,99 @@ class BFS(ModuleCollection):
             frontier, distance, jnp.asarray(num_iterations),
             jnp.asarray(threshold, jnp.float32))))
 
+    def pull_push_time_breakdown(self, source: int, num_iterations: int,
+                                 threshold: float = 0.05) -> dict:
+        """Instrumented pull_push: per-phase host timings with the same
+        iteration semantics as the fused loop. Counterpart of
+        BFS::pull_push_time_breakdown (app/bfs.h:222-347), which splits
+        compute/assign/transfer per phase. Here each phase is its own jitted
+        call synced with block_until_ready; `dispatch_floor_ms` is the
+        measured per-call tunnel overhead (subtract n_calls x floor to
+        approximate on-chip time — the fused loop is the production path)."""
+        from ..utils.profiling import PhaseTimer
+        import time as _time
+        source = self._internal_source(source)
+        n = self.matrix_num_rows_
+        sstate = self.SpMSpV_.device_state()
+        mstate = self.SpMV_.device_state()
+        if getattr(self, "_ops_instr", None) is None:
+            spmspv_dense = self.SpMSpV_.apply_dense
+            spmv = self.SpMV_.apply
+            self._ops_instr = dict(
+                spmspv=jax.jit(lambda fr, dist, st:
+                               spmspv_dense(fr, dist, state=st)),
+                push_assign=jax.jit(lambda y, dist, val:
+                                    jnp.where(y != 0, val, dist)),
+                spmv=jax.jit(lambda fr, dist, st: spmv(fr, dist, state=st)),
+                pull_assign=jax.jit(lambda dist, y, val: assign_vector_dense(
+                    dist, y, val, MaskType.WRITE_TO_ONE)),
+            )
+        ops = self._ops_instr
+        # warm-up (compile outside the timings)
+        fr0, dist0 = self._init_state(source)
+        y, nnz = ops["spmspv"](fr0, dist0, sstate)
+        ops["push_assign"](y, dist0, jnp.asarray(2.0, dist0.dtype))
+        y2 = ops["spmv"](fr0, dist0, mstate)
+        ops["pull_assign"](dist0, y2, jnp.asarray(2.0, dist0.dtype))
+        f = jax.jit(lambda v: v[:8].sum())
+        v = jnp.ones(128)
+        np.asarray(f(v))
+        t0 = _time.perf_counter()
+        for _ in range(4):
+            np.asarray(f(v))
+        floor_ms = (_time.perf_counter() - t0) / 4 * 1e3
+
+        timer = PhaseTimer()
+        calls = {"spmspv": 0, "push_assign": 0, "nnz_readback": 0,
+                 "spmv": 0, "pull_assign": 0}
+        frontier, distance = self._init_state(source)
+        it = 0
+        push_iters = 0
+        t_all = _time.perf_counter()
+        while True:  # do-while push (bfs.h:179-190)
+            with timer.phase("push_spmspv"):
+                frontier, nnz = ops["spmspv"](frontier, distance, sstate)
+                frontier.block_until_ready()
+            calls["spmspv"] += 1
+            it += 1
+            push_iters += 1
+            with timer.phase("push_assign"):
+                distance = ops["push_assign"](
+                    frontier, distance, jnp.asarray(it + 1, distance.dtype))
+                distance.block_until_ready()
+            calls["push_assign"] += 1
+            with timer.phase("nnz_readback"):
+                nnz_host = int(nnz)   # the reference's get_results_nnz D2D
+            calls["nnz_readback"] += 1
+            if not (it < num_iterations and nnz_host / n < threshold):
+                break
+        pull_iters = 0
+        while it < num_iterations:
+            it += 1
+            pull_iters += 1
+            with timer.phase("pull_spmv"):
+                frontier = ops["spmv"](frontier, distance, mstate)
+                frontier.block_until_ready()
+            calls["spmv"] += 1
+            with timer.phase("pull_assign"):
+                distance = ops["pull_assign"](
+                    distance, frontier, jnp.asarray(it + 1, distance.dtype))
+                distance.block_until_ready()
+            calls["pull_assign"] += 1
+        total_ms = (_time.perf_counter() - t_all) * 1e3
+        ncalls = sum(calls.values())
+        return {
+            "phases_ms": dict(timer.times_ms),
+            "push_iterations": push_iters,
+            "pull_iterations": pull_iters,
+            "calls": calls,
+            "dispatch_floor_ms": floor_ms,
+            "dispatch_overhead_ms": floor_ms * ncalls,
+            "total_ms": total_ms,
+            "total_minus_dispatch_ms": max(total_ms - floor_ms * ncalls, 0.0),
+            "distance": self._external(np.asarray(distance)),
+        }
+
     # ---- chained (module-by-module) variants for cross-checking ----------
     def _pull_chained(self, source, num_iterations):
         frontier, distance = self._init_state(source)

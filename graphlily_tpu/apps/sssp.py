@@ -181,6 +181,97 @@ class SSSP(ModuleCollection):
             frontier, self._init_distance(source),
             jnp.asarray(num_iterations), jnp.asarray(threshold, jnp.float32))))
 
+    def pull_push_time_breakdown(self, source: int, num_iterations: int,
+                                 threshold: float = 0.05) -> dict:
+        """Instrumented pull_push: per-phase host timings with the fused
+        loop's iteration semantics (counterpart of the reference's
+        instrumented apps, app/bfs.h:222-347 / app/pagerank.h:93-147). Each
+        phase is a separate jitted call synced with block_until_ready;
+        subtract `dispatch_overhead_ms` to approximate on-chip time."""
+        from ..utils.profiling import PhaseTimer
+        import time as _time
+        source = self._internal_source(source)
+        n = self.matrix_num_rows_
+        sstate = self.SpMSpV_.device_state()
+        mstate = self.SpMV_.device_state()
+        inf = jnp.asarray(self.semiring_.zero, self.config.jdtype)
+        if getattr(self, "_ops_instr", None) is None:
+            spmspv_dense = self.SpMSpV_.apply_dense
+            spmv = self.SpMV_.apply
+
+            def _push(fr, dist, st):
+                y, _ = spmspv_dense(fr, state=st)
+                return y
+
+            def _relax(y, dist):
+                improved = y < dist
+                return (jnp.where(improved, y, dist),
+                        jnp.where(improved, y, inf),
+                        jnp.sum(improved).astype(jnp.int32))
+
+            self._ops_instr = dict(
+                spmspv=jax.jit(_push),
+                relax=jax.jit(_relax),
+                spmv=jax.jit(lambda d, st: spmv(d, state=st)),
+            )
+        ops = self._ops_instr
+        d0 = self._init_distance(source)
+        y = ops["spmspv"](d0, d0, sstate)          # compile warm-up
+        ops["relax"](y, d0)
+        ops["spmv"](d0, mstate)
+        f = jax.jit(lambda v: v[:8].sum())
+        v = jnp.ones(128)
+        np.asarray(f(v))
+        t0 = _time.perf_counter()
+        for _ in range(4):
+            np.asarray(f(v))
+        floor_ms = (_time.perf_counter() - t0) / 4 * 1e3
+
+        timer = PhaseTimer()
+        calls = {"spmspv": 0, "relax": 0, "nnz_readback": 0, "spmv": 0}
+        frontier = self._init_distance(source)
+        distance = self._init_distance(source)
+        it = 0
+        push_iters = 0
+        t_all = _time.perf_counter()
+        while True:  # do-while push (sssp.h:222-229)
+            with timer.phase("push_spmspv"):
+                y = ops["spmspv"](frontier, distance, sstate)
+                y.block_until_ready()
+            calls["spmspv"] += 1
+            with timer.phase("push_relax"):
+                distance, frontier, nnz = ops["relax"](y, distance)
+                distance.block_until_ready()
+            calls["relax"] += 1
+            it += 1
+            push_iters += 1
+            with timer.phase("nnz_readback"):
+                nnz_host = int(nnz)
+            calls["nnz_readback"] += 1
+            if not (it < num_iterations and nnz_host / n < threshold):
+                break
+        pull_iters = 0
+        while it < num_iterations:
+            it += 1
+            pull_iters += 1
+            with timer.phase("pull_spmv"):
+                distance = ops["spmv"](distance, mstate)
+                distance.block_until_ready()
+            calls["spmv"] += 1
+        total_ms = (_time.perf_counter() - t_all) * 1e3
+        ncalls = sum(calls.values())
+        return {
+            "phases_ms": dict(timer.times_ms),
+            "push_iterations": push_iters,
+            "pull_iterations": pull_iters,
+            "calls": calls,
+            "dispatch_floor_ms": floor_ms,
+            "dispatch_overhead_ms": floor_ms * ncalls,
+            "total_ms": total_ms,
+            "total_minus_dispatch_ms": max(total_ms - floor_ms * ncalls, 0.0),
+            "distance": self._external(np.asarray(distance)),
+        }
+
     # ---- CPU oracle (sssp.h:248-256) -------------------------------------
     def compute_reference_results(self, source: int, num_iterations: int):
         source = self._internal_source(source)

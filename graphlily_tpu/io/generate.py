@@ -56,21 +56,34 @@ def rmat_csr(num_rows: int, nnz: int, seed: int = 0,
     """
     rng = np.random.default_rng(seed)
     scale = int(np.ceil(np.log2(max(num_rows, 2))))
-    n = 1 << scale
-    rows = np.zeros(nnz, dtype=np.int64)
-    cols = np.zeros(nnz, dtype=np.int64)
-    d = 1.0 - a - b - c
-    p = np.array([a, b, c, d])
-    thresholds = np.cumsum(p)
+    # in-place int32 updates on preallocated buffers: this host pays ~0.1
+    # GB/s first-touch page faults, so every fresh temporary is a real cost
+    # (single-core; 22 levels x 213M draws for the orkut stand-in)
+    rows = np.zeros(nnz, dtype=np.int32)
+    cols = np.zeros(nnz, dtype=np.int32)
+    u = np.empty(nnz, dtype=np.uint32)
+    bit = np.empty(nnz, dtype=np.int32)
+    tmp = np.empty(nnz, dtype=bool)
+    t0, t1, t2 = (int(t * 2**32) for t in
+                  np.cumsum([a, b, c]).astype(np.float64))
     for level in range(scale):
-        u = rng.random(nnz)
-        quad = np.searchsorted(thresholds, u)
-        rows = rows * 2 + (quad >= 2)
-        cols = cols * 2 + (quad % 2)
-    # fold into requested range and drop nothing (duplicates OK for benchmarks)
-    rows %= num_rows
-    cols %= num_rows
-    vals = rng.random(nnz).astype(dtype)
+        u[:] = rng.integers(0, 2**32, size=nnz, dtype=np.uint32)
+        # quad = #thresholds passed; row bit = (quad >= 2) == (u >= t1),
+        # col bit = quad & 1 == (u>=t0) ^ (u>=t1) ^ (u>=t2)
+        np.left_shift(rows, 1, out=rows)
+        np.greater_equal(u, t1, out=tmp)
+        np.add(rows, tmp, out=rows, casting="unsafe")
+        np.left_shift(cols, 1, out=cols)
+        np.greater_equal(u, t0, out=tmp)
+        bit[:] = tmp
+        np.greater_equal(u, t1, out=tmp)
+        np.bitwise_xor(bit, tmp, out=bit, casting="unsafe")
+        np.greater_equal(u, t2, out=tmp)
+        np.bitwise_xor(bit, tmp, out=bit, casting="unsafe")
+        np.add(cols, bit, out=cols)
+    np.mod(rows, num_rows, out=rows)
+    np.mod(cols, num_rows, out=cols)
+    vals = rng.random(nnz, dtype=np.float32).astype(dtype, copy=False)
     return csr_from_coo(rows, cols, vals, num_rows, num_rows)
 
 

@@ -70,8 +70,8 @@ def csr_from_coo(rows, cols, vals, num_rows, num_cols) -> CSRMatrix:
     order = np.argsort(rows, kind="stable")
     rows, cols, vals = rows[order], np.asarray(cols)[order], np.asarray(vals)[order]
     indptr = np.zeros(num_rows + 1, dtype=np.uint32)
-    np.add.at(indptr, rows + 1, 1)
-    indptr = np.cumsum(indptr, dtype=np.uint64).astype(np.uint32)
+    counts = np.bincount(rows, minlength=num_rows)  # np.add.at is ~1M op/s
+    indptr[1:] = np.cumsum(counts, dtype=np.uint64).astype(np.uint32)
     return CSRMatrix(num_rows, num_cols, vals, cols.astype(np.uint32), indptr)
 
 

@@ -138,17 +138,27 @@ def _balance_chunks(weight: np.ndarray, nsteps: int, cb: int) -> np.ndarray:
 
 
 def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
-                pad_val: float = 0.0, cb: int = 32,
+                pad_val: float = 0.0, cb: int | None = None,
                 region_rows: int | None = None) -> RouterSpMVLayout:
     """Build the router layout + schedules. `pad_val` must be the semiring
-    <x> annihilator (0 for arithmetic/logical — the only router semirings)."""
+    <x> annihilator (0 for arithmetic/logical — the only router semirings).
+
+    `cb` (chunks per grid step) defaults adaptively: large batches amortize
+    the per-step SMEM stream latency, but the kernel body unrolls RSTEP
+    descriptor slots, so deposit-heavy (hypersparse) graphs get smaller
+    batches to bound compile time and inactive-slot overhead."""
     assert pad_val == 0.0, "router supports MULADD/ANDOR (pad 0) only"
-    assert cb <= 64, "src16 descriptor field caps cb*1024 source offsets"
     work = csr.copy()
     util_round_csr_matrix_dim(work, 1024, 1024)
     nrows, ncols = work.num_rows, work.num_cols
     if region_rows is None:
         region_rows = choose_region_rows(nrows, ncols, work.nnz)
+    if cb is None:
+        epg = (work.nnz * region_rows
+               / max((ncols // 128) * nrows, 1))   # elements per (page, region)
+        dpc = 1024 / max(epg, 1.0) + 2.2           # ~descriptors per chunk
+        cb = int(min(32, max(8, 256 // dpc)))
+    assert cb <= 64, "src16 descriptor field caps cb*1024 source offsets"
     assert region_rows % 128 == 0 and 128 <= region_rows <= REGION_ROWS
     nregions = (nrows + region_rows - 1) // region_rows
     if nregions > MAX_REGIONS:
@@ -168,7 +178,13 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     # slot; 1024-wide single gathers are "Not implemented: Multiple source
     # vregs along gather dimension" on this libtpu).
     page = cc >> 7
-    order = np.lexsort((cc, rr, page))
+    if nrows < (1 << 22) and ncols < (1 << 22):
+        # one radix argsort on a composite key instead of 3 lexsort passes
+        key = ((page.astype(np.uint64) << 44)
+               | (rr.astype(np.uint64) << 22) | cc.astype(np.uint64))
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((cc, rr, page))
     rr, cc, vv, page = rr[order], cc[order], vv[order], page[order]
 
     page_ids, pstart, pcount = np.unique(page, return_index=True,

@@ -62,13 +62,24 @@ class SpMVModule(BaseModule):
         engine = self.config.resolve_engine()
         self._pallas = None
         self._coo = None
+        tropical = self.semiring_.op == OpType.ADDMIN
+        if engine == "router" and tropical:
+            # tropical has no MXU reduce (min is not a dot); the chunked
+            # kernel owns ADDMIN — honor the capability, not the knob
+            engine = "pallas"
         if engine == "auto" or engine == "pallas":
-            tropical = self.semiring_.op == OpType.ADDMIN
             use_chunked = engine == "pallas"
             if engine == "auto":
                 from ..io.formatter import estimate_chunk_layout_gb
+                # router wins on benchmark-scale arithmetic/logical graphs
+                # (higher fill + fused reduce: 6.7 vs 8.3 ms on the
+                # googleplus stand-in) and is the only full-scale option
+                # for the 1M+-vertex graphs; the chunked kernel keeps
+                # tropical and small inputs (format cost, interpret speed)
                 use_chunked = (tropical
-                               or estimate_chunk_layout_gb(csr_matrix) <= 2.0)
+                               or (csr_matrix.nnz < 2_000_000
+                                   and estimate_chunk_layout_gb(csr_matrix)
+                                   <= 2.0))
             if use_chunked:
                 lay = pack_csr_chunks(csr_matrix, self.config,
                                       pad_val=float(self.semiring_.zero))

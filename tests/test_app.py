@@ -110,3 +110,27 @@ def test_apps_with_degree_sort_relabeling(graph):
     pr2.load_and_format_matrix(graph, damping=0.9)
     np.testing.assert_allclose(got, pr2.compute_reference_results(0.9, 5),
                                rtol=2e-3, atol=1e-7)
+
+
+def test_bfs_time_breakdown_matches_fused(graph):
+    """Instrumented pull_push (reference app/bfs.h:222-347 counterpart):
+    same distances as the fused loop, phases and iteration counts recorded."""
+    app = BFS(CFG)
+    app.load_and_format_matrix(graph)
+    bd = app.pull_push_time_breakdown(3, 5, threshold=0.05)
+    fused = app.pull_push(3, 5, threshold=0.05)
+    np.testing.assert_allclose(bd["distance"], fused, atol=1e-4)
+    assert bd["push_iterations"] + bd["pull_iterations"] == 5
+    assert "push_spmspv" in bd["phases_ms"]
+    assert bd["pull_iterations"] == 0 or "pull_spmv" in bd["phases_ms"]
+    assert bd["total_ms"] > 0
+
+
+def test_sssp_time_breakdown_matches_fused(graph):
+    from graphlily_tpu.apps import SSSP
+    app = SSSP(CFG)
+    app.load_and_format_matrix(graph)
+    bd = app.pull_push_time_breakdown(3, 5, threshold=0.05)
+    fused = app.pull_push(3, 5, threshold=0.05)
+    np.testing.assert_allclose(bd["distance"], fused, atol=1e-4)
+    assert bd["push_iterations"] + bd["pull_iterations"] == 5

@@ -156,14 +156,22 @@ def bench_spmv(csr, config, iters=100, engine="router"):
         stats = analyze_layout(lay)
         eng = PallasSpMV(lay, ArithmeticSemiring, config)
     else:
-        from graphlily_tpu.io.router_format import pack_router
-        from graphlily_tpu.ops.router_pallas import RouterSpMV
-        lay = pack_router(work, config)
-        eng = RouterSpMV(lay, ArithmeticSemiring, config)
+        from graphlily_tpu.module.spmv_module import resolve_router_flavor
+        flavor = resolve_router_flavor(work)
+        if flavor == "roll":
+            from graphlily_tpu.io.router_format import pack_router
+            from graphlily_tpu.ops.router_pallas import RouterSpMV
+            lay = pack_router(work, config)
+            eng = RouterSpMV(lay, ArithmeticSemiring, config)
+        else:
+            from graphlily_tpu.io.planar_format import pack_planar
+            from graphlily_tpu.ops.router_pallas import PlanarSpMV
+            lay = pack_planar(work, config)
+            eng = PlanarSpMV(lay, ArithmeticSemiring, config)
         stats = {"fill": lay.fill_a, "fill_stream": lay.fill_stream,
                  "mem_bytes": lay.mem_bytes, "region_rows": lay.region_rows,
                  "nsteps": lay.nsteps, "rstep": lay.rstep,
-                 "fused": eng.fused,
+                 "fused": eng.fused, "flavor": flavor,
                  "slots": lay.nsteps * lay.cb * 1024}
     stats["pack_s"] = time.perf_counter() - t0
     stats["engine"] = engine

@@ -1,0 +1,430 @@
+"""Planar-deposit router layout: bucket-binned tile chunks + plane-driven
+deposits. The scalable SpMV format for hypersparse graphs.
+
+Why a second router format (see router_format.py for the range/roll one):
+page-based A-chunks reach only 128 columns, so on hypersparse graphs the
+(page x region) runs shrink to a handful of elements and the deposit count
+explodes (pokec stand-in: ~1.3M roll deposits, 700+ unrolled descriptor
+slots per grid step). Binning each 1024-col TILE's elements into
+sublane = (col>>7)&7 buckets makes the phase-A gather a single ax1
+dynamic_gather (the sublane IS the bucket — no gather-composition hazard)
+and gives 8x longer region runs at tile reach.
+
+The price is that a region's elements inside a chunk are now 8 PER-SUBLANE
+lane ranges instead of one flat run, so deposits can't be a roll: each
+deposit ships a precomputed (8,128) int8 PLANE — entry < 0 means "take
+source lane (v & 127) of the same sublane", else keep — and the kernel
+executes gather + select into the region accumulator. One plane descriptor
+moves a whole (tile x region) group (~8 runs) per ~50 ns.
+
+Cursor discipline: per (region, sublane) cursors advance independently;
+when a deposit would overflow any sublane past 128 lanes, the accumulator
+is flushed FIRST (whole chunks, no splits) and zeroed, so flushed chunks
+carry zeros in unused slots (the phase-C one-hot reduce adds 0 at hi=lo=0
+— harmless). Phase C itself is IDENTICAL to the roll-router's: static
+c_code/c_hi/c_lo streams drive the fused or split one-hot MXU reduce.
+
+Counterpart of the reference's bounded 2-D partitioned SpMV + shuffle
+(graphlily/hw/kernel_spmv_impl.h:470-513, hw/shuffle.h), with the crossbar
+replaced by static plane schedules. MULADD/ANDOR only (phase C is a dot).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from .matrix import CSRMatrix
+from .formatter import util_round_csr_matrix_dim
+from .router_format import REGION_ROWS, CHUNK, MAX_REGIONS, _balance_chunks
+
+S = 8
+L = 128
+
+
+@dataclasses.dataclass
+class PlanarSpMVLayout:
+    """Static streams + schedules for the planar router SpMV (all numpy)."""
+
+    a_r: np.ndarray        # (NSTEPS*CB, 8, 128) int8 : x2 lane of the col
+    xperm: np.ndarray      # (NTILES, 8, 8, 128) int8 : x-shuffle planes;
+                           #   [t, s_src, d, l] < 0 -> x2[t,d,l] takes source
+                           #   lane (v & 127) of x[t, s_src]
+    a_vals: np.ndarray     # (NSTEPS*CB, 8, 128) f32  : values (pad 0)
+    a_page: np.ndarray     # (NSTEPS*CB,) int32       : 1024-col tile id
+    rg: np.ndarray         # (NSTEPS, RSTEP, 2) int32 : descriptors
+                           #   deposit: w1 = k (chunk in step)
+                           #            w2 = slot | 1<<15          (w2 > 0)
+                           #   flush:   w1 = 0
+                           #            w2 = slot | q8<<16 | 1<<31 (w2 < 0)
+                           #   w2 == 0 -> inactive
+    planes: np.ndarray     # (NSTEPS, RSTEP*8, 128) int8: per-slot deposit
+                           #   plane; v<0 -> take source lane (v&127), else
+                           #   keep accumulator
+    c_code: np.ndarray     # (NSTEPS*F,) int32 : region per flush (-1 skip)
+    c_hi: np.ndarray       # (NSTEPS*F, 8, 128) int8
+    c_lo: np.ndarray       # (NSTEPS*F, 8, 128) int8
+    num_rows: int
+    num_cols: int
+    nnz: int
+    num_col_tiles: int
+    num_regions: int
+    region_rows: int
+    cb: int
+    rstep: int
+    f: int
+    nsteps: int
+    fill_a: float
+    fill_stream: float
+
+    @property
+    def mem_bytes(self) -> int:
+        return (self.a_r.nbytes + self.xperm.nbytes
+                + self.a_vals.nbytes + self.a_page.nbytes
+                + self.rg.nbytes + self.planes.nbytes + self.c_code.nbytes
+                + self.c_hi.nbytes + self.c_lo.nbytes)
+
+
+def choose_planar_region_rows(nrows: int, ncols: int, nnz: int) -> int:
+    """Deposits scale as ntiles*nrows/R (~50 ns each); the phase-C reduce
+    costs R MACs/nnz. With tile-reach runs the deposit term is 8x smaller
+    than the page router's, pushing the optimum toward the 16384 cap for
+    every benchmark graph; the cap itself is the (128 hi x 128 lo) one-hot
+    limit."""
+    ntiles = max(ncols // 1024, 1)
+    r_opt = (ntiles * nrows * 2.0e8 / max(nnz, 1)) ** 0.5
+    r = int(round(r_opt / 128)) * 128
+    r_min = ((nrows + MAX_REGIONS - 1) // MAX_REGIONS + 127) // 128 * 128
+    return max(min(max(r, 1024), REGION_ROWS), r_min)
+
+
+def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
+                pad_val: float = 0.0, cb: int | None = None,
+                region_rows: int | None = None) -> PlanarSpMVLayout:
+    assert pad_val == 0.0, "planar router supports MULADD/ANDOR (pad 0) only"
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    nrows, ncols = work.num_rows, work.num_cols
+    if region_rows is None:
+        region_rows = choose_planar_region_rows(nrows, ncols, work.nnz)
+    assert region_rows % 128 == 0 and 128 <= region_rows <= REGION_ROWS
+    nregions = (nrows + region_rows - 1) // region_rows
+    if nregions > MAX_REGIONS:
+        raise ValueError(
+            f"{nrows} rows -> {nregions} regions exceeds the planar router "
+            f"limit {MAX_REGIONS}")
+    nnz = work.nnz
+    rr = work.row_ids().astype(np.int64)
+    cc = work.adj_indices[:nnz].astype(np.int64)
+    vv = work.adj_data[:nnz].astype(np.float32)
+    tile = cc >> 10
+
+    # ---- per-tile column re-layout: balance bucket loads ------------------
+    # The element's sublane is its column's bucket, and power-law hub
+    # columns make physical buckets wildly imbalanced (measured 29% chunk
+    # fill on the googleplus stand-in). Columns are therefore REASSIGNED to
+    # (sublane, lane) slots within their tile — degree-sorted snake deal
+    # across the 8 sublanes — and a tiny static x-shuffle pre-pass
+    # (8 gather+selects per tile) materializes x in that layout at runtime.
+    ntiles_pad = ncols // 1024
+    deg = np.zeros(ncols, np.int64)
+    np.add.at(deg, cc, 1)
+    col_mat = np.arange(ncols).reshape(ntiles_pad, 1024)
+    dorder = np.argsort(-deg.reshape(ntiles_pad, 1024), axis=1,
+                        kind="stable")                     # per-tile desc
+    pos = np.empty((ntiles_pad, 1024), np.int64)
+    np.put_along_axis(pos, dorder, np.arange(1024)[None, :], axis=1)
+    rnd, idx8 = pos // 8, pos % 8
+    sub_of_pos = np.where(rnd % 2 == 0, idx8, 7 - idx8)    # snake over subs
+    lane_of_pos = rnd
+    col_sub = sub_of_pos.reshape(-1)                       # per column
+    col_lane = lane_of_pos.reshape(-1)
+    bucket = col_sub[cc]
+
+    # x-shuffle planes: for each (tile, src sublane): dest plane (8,128)
+    # with bit7 = take, low 7 bits = source lane
+    src_sub = ((col_mat % 1024) >> 7)
+    src_lane = (col_mat % 128)
+    xperm = np.zeros((ntiles_pad, S, S, L), np.int8)
+    xperm[col_mat // 1024, src_sub, col_sub.reshape(ntiles_pad, 1024),
+          col_lane.reshape(ntiles_pad, 1024)] = (
+        src_lane - 128).astype(np.int8)
+    if nrows < (1 << 22) and ncols < (1 << 19):
+        key = ((tile.astype(np.uint64) << 47)
+               | (bucket.astype(np.uint64) << 44)
+               | (rr.astype(np.uint64) << 22) | cc.astype(np.uint64))
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((cc, rr, bucket, tile))
+    rr, cc, vv = rr[order], cc[order], vv[order]
+    tile, bucket = tile[order], bucket[order]
+
+    # ---- chunk/lane assignment: rank within (tile, bucket) ---------------
+    grp = (tile << 3) | bucket
+    newg = np.ones(nnz, bool)
+    if nnz:
+        newg[1:] = grp[1:] != grp[:-1]
+    gstart = np.nonzero(newg)[0] if nnz else np.zeros(0, np.int64)
+    gcount = np.diff(np.concatenate([gstart, [nnz]]))
+    rank = np.arange(nnz, dtype=np.int64) - np.repeat(gstart, gcount)
+    lane = rank % L
+    cit = rank // L                          # chunk-in-tile (per bucket)
+    # chunks per tile = max over buckets of ceil(count/128)
+    g_tile = (grp[gstart] >> 3) if nnz else np.zeros(0, np.int64)
+    ntiles_pad = ncols // 1024
+    cpt = np.zeros(ntiles_pad, np.int64)
+    if nnz:
+        np.maximum.at(cpt, g_tile, (gcount + L - 1) // L)
+    tile_base = np.concatenate([[0], np.cumsum(cpt)])
+    nca = max(int(tile_base[-1]), 1)
+    a_chunk = tile_base[tile] + cit
+    chunk_tile = (np.repeat(np.arange(ntiles_pad), cpt).astype(np.int32)
+                  if nca > 1 or cpt.sum() else np.zeros(nca, np.int32))
+
+    # ---- subruns: contiguous (chunk, sublane, region) ranges -------------
+    region = rr // region_rows
+    if nnz:
+        ns = np.ones(nnz, bool)
+        ns[1:] = ((a_chunk[1:] != a_chunk[:-1])
+                  | (bucket[1:] != bucket[:-1])
+                  | (region[1:] != region[:-1]))
+        s_start = np.nonzero(ns)[0]
+        s_len = np.diff(np.concatenate([s_start, [nnz]]))
+    else:
+        s_start = s_len = np.zeros(0, np.int64)
+    s_chunk = a_chunk[s_start] if nnz else np.zeros(0, np.int64)
+    s_sub = bucket[s_start] if nnz else np.zeros(0, np.int64)
+    s_region = region[s_start] if nnz else np.zeros(0, np.int64)
+    s_lane0 = lane[s_start] if nnz else np.zeros(0, np.int64)
+    nsub = len(s_start)
+
+    # ---- deposits: one per (chunk, region) -------------------------------
+    dk = s_chunk * np.int64(nregions) + s_region
+    d_order = np.argsort(dk, kind="stable")      # subruns grouped by deposit
+    dk_s = dk[d_order]
+    ndg = np.ones(nsub, bool)
+    if nsub:
+        ndg[1:] = dk_s[1:] != dk_s[:-1]
+    d_first = np.nonzero(ndg)[0] if nsub else np.zeros(0, np.int64)
+    nd = len(d_first)
+    d_chunk = dk_s[d_first] // nregions if nd else np.zeros(0, np.int64)
+    d_region = dk_s[d_first] % nregions if nd else np.zeros(0, np.int64)
+    sub_of_dep = np.repeat(np.arange(nd),
+                           np.diff(np.concatenate([d_first, [nsub]])))
+    # per-deposit per-sublane lengths
+    d_lens = np.zeros((nd, S), np.int64)
+    if nsub:
+        d_lens[sub_of_dep, s_sub[d_order]] = s_len[d_order]
+
+    # ---- balance chunks across grid steps by deposit weight --------------
+    if cb is None:
+        dpc = nd / max(nca, 1) + 2.0
+        cb = int(min(32, max(8, 256 // dpc)))
+    nsteps_dep = (nca + cb - 1) // cb
+    if nsteps_dep > 1:
+        weight = np.zeros(nca, np.int64)
+        np.add.at(weight, d_chunk, 1)
+        # flushes land in their triggering deposit's step and scale with
+        # element volume: fold it in so F (max flushes/step, which sizes the
+        # per-step flush stream) stays near the average
+        weight += np.bincount(a_chunk, minlength=nca) // 512 + 1
+        new_of_old = _balance_chunks(weight, nsteps_dep, cb)
+        nca2 = nsteps_dep * cb
+        ct = np.zeros(nca2, np.int32)
+        ct[new_of_old[:len(chunk_tile)]] = chunk_tile
+        chunk_tile = ct
+        a_chunk = new_of_old[a_chunk]
+        d_chunk = new_of_old[d_chunk]
+    elif len(chunk_tile) < nsteps_dep * cb:
+        chunk_tile = np.concatenate(
+            [chunk_tile,
+             np.zeros(nsteps_dep * cb - len(chunk_tile), np.int32)])
+
+    # deposits execute in (chunk, region) order
+    ed = np.lexsort((d_region, d_chunk))
+    d_chunk, d_region, d_lens = d_chunk[ed], d_region[ed], d_lens[ed]
+    inv_ed = np.empty(nd, np.int64)
+    inv_ed[ed] = np.arange(nd)
+
+    # ---- cursor simulation (sequential over deposits) --------------------
+    # per (region, sublane) cursors; a deposit that would overflow any
+    # sublane past 128 lanes is SPLIT at the boundary: piece 1 tops the
+    # accumulator, a flush (copy + zero) drains it, piece 2 restarts at
+    # lane 0. Splitting keeps flushed chunks ~full (no-split flushing
+    # measured 50% stream fill on the googleplus stand-in: deposits there
+    # are near-chunk-sized, so the accumulator never merged two of them).
+    C = np.zeros((nregions, S), np.int64)
+    cycle = np.zeros(nregions, np.int64)
+    d_dest1 = np.zeros((nd, S), np.int64)
+    d_part1 = np.zeros((nd, S), np.int64)
+    d_cyc1 = np.zeros(nd, np.int64)
+    d_cyc2 = np.zeros(nd, np.int64)
+    d_split = np.zeros(nd, bool)
+    d_step = d_chunk // cb
+    for i in range(nd):
+        r = d_region[i]
+        lens = d_lens[i]
+        Cr = C[r]
+        if np.any(Cr + lens > L):
+            p1 = np.minimum(lens, L - Cr)
+            d_dest1[i] = Cr
+            d_part1[i] = p1
+            d_cyc1[i] = cycle[r]
+            d_split[i] = True
+            cycle[r] += 1
+            C[r] = lens - p1
+            d_cyc2[i] = cycle[r]
+        else:
+            d_dest1[i] = Cr
+            d_part1[i] = lens
+            d_cyc1[i] = d_cyc2[i] = cycle[r]
+            C[r] = Cr + lens
+    drain_regions = np.nonzero(C.any(axis=1))[0]
+
+    # region-chunk (rc) ids: (region, cycle) -> linear
+    ncyc = cycle + C.any(axis=1)
+    rc_base = np.concatenate([[0], np.cumsum(ncyc)])
+    nrc = int(rc_base[-1])
+
+    # ---- descriptor stream layout ----------------------------------------
+    # split deposits expand to [piece1, flush, piece2]; drains trail
+    n_drain = len(drain_regions)
+    drain_per_step = cb + 2
+    n_drain_steps = (n_drain + drain_per_step - 1) // drain_per_step
+    nsteps = nsteps_dep + n_drain_steps
+
+    per_dep = np.where(d_split, 3, 1)
+    dbase = np.concatenate([[0], np.cumsum(per_dep)[:-1]]) if nd else \
+        np.zeros(0, np.int64)
+    nid = int(per_dep.sum()) if nd else 0
+    n_items = nid + n_drain
+    it_step = np.zeros(n_items, np.int64)
+    it_w1 = np.zeros(n_items, np.int64)
+    it_w2 = np.zeros(n_items, np.int64)
+    it_is_flush = np.zeros(n_items, bool)
+    it_rc = np.full(n_items, -1, np.int64)
+    it_piece = np.full(n_items, -1, np.int64)   # 2*dep + piece for planes
+    if nd:
+        it_step[dbase] = d_step
+        it_w1[dbase] = d_chunk % cb
+        it_w2[dbase] = d_region | (1 << 15)
+        it_piece[dbase] = 2 * np.arange(nd)
+        sp = np.nonzero(d_split)[0]
+        it_step[dbase[sp] + 1] = d_step[sp]
+        it_w2[dbase[sp] + 1] = d_region[sp]
+        it_is_flush[dbase[sp] + 1] = True
+        it_rc[dbase[sp] + 1] = rc_base[d_region[sp]] + d_cyc1[sp]
+        it_step[dbase[sp] + 2] = d_step[sp]
+        it_w1[dbase[sp] + 2] = d_chunk[sp] % cb
+        it_w2[dbase[sp] + 2] = d_region[sp] | (1 << 15)
+        it_piece[dbase[sp] + 2] = 2 * sp + 1
+    if n_drain:
+        dr_pos = nid + np.arange(n_drain)
+        it_step[dr_pos] = nsteps_dep + np.arange(n_drain) // drain_per_step
+        it_w2[dr_pos] = drain_regions
+        it_is_flush[dr_pos] = True
+        it_rc[dr_pos] = rc_base[drain_regions] + cycle[drain_regions]
+
+    per_step = np.zeros(nsteps, np.int64)
+    np.add.at(per_step, it_step, 1)
+    rstep = max(int(per_step.max()) if n_items else 1, 1)
+    step_first = np.concatenate([[0], np.cumsum(per_step)[:-1]])
+    slot_in_step = np.arange(n_items) - step_first[it_step]
+    fcum = np.cumsum(it_is_flush)
+    q_of = np.where(it_is_flush,
+                    fcum - 1 - np.concatenate([[0], fcum])[step_first[it_step]],
+                    0)
+    f_max = max(int(q_of[it_is_flush].max() + 1) if it_is_flush.any() else 1,
+                1)
+    assert f_max <= 256, f"flush ordinal overflow ({f_max})"
+    f = f_max
+
+    rg = np.zeros((nsteps, rstep, 2), np.int32)
+    w2_final = np.where(it_is_flush,
+                        it_w2 | (q_of << 16) | (np.int64(1) << 31), it_w2)
+    rg[it_step, slot_in_step, 0] = it_w1.astype(np.int32)
+    rg[it_step, slot_in_step, 1] = w2_final.astype(np.int32)
+
+    # rc -> flush stream position
+    c_code = np.full(nsteps * f, -1, np.int32)
+    rc_linear = np.zeros(nrc + 1, np.int64)
+    fm = it_is_flush
+    rc_linear[it_rc[fm]] = it_step[fm] * f + q_of[fm]
+    c_code[rc_linear[it_rc[fm]]] = np.searchsorted(
+        rc_base, it_rc[fm], side="right") - 1
+
+    # ---- deposit planes + phase-C streams ---------------------------------
+    planes = np.zeros((nsteps, rstep * S, L), np.int8)
+    c_hi = np.zeros((nsteps * f, S, L), np.int8)
+    c_lo = np.zeros((nsteps * f, S, L), np.int8)
+    if nsub:
+        piece_step = np.empty(2 * nd, np.int64)
+        piece_slot = np.empty(2 * nd, np.int64)
+        pm = it_piece >= 0
+        piece_step[it_piece[pm]] = it_step[pm]
+        piece_slot[it_piece[pm]] = slot_in_step[pm]
+
+        sr_dep = inv_ed[sub_of_dep]              # exec-order deposit ids
+        sr_sub = s_sub[d_order]
+        sr_len = s_len[d_order]
+        sr_lane0 = s_lane0[d_order]
+        sr_p1 = np.minimum(d_part1[sr_dep, sr_sub], sr_len)
+        sr_dest1 = d_dest1[sr_dep, sr_sub]
+
+        def scatter_planes(lens, src0, dest0, piece_ids):
+            keep = lens > 0
+            ln, s0, dd = lens[keep], src0[keep], dest0[keep]
+            st = piece_step[piece_ids[keep]]
+            sl = piece_slot[piece_ids[keep]]
+            sb = sr_sub[keep]
+            tot = int(ln.sum())
+            off = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(ln)[:-1]]), ln)
+            flat = (np.repeat(st, ln) * (rstep * S * L)
+                    + (np.repeat(sl, ln) * S + np.repeat(sb, ln)) * L
+                    + np.repeat(dd, ln) + off)
+            planes.reshape(-1)[flat] = (
+                (np.repeat(s0, ln) + off) - 128).astype(np.int8)
+
+        scatter_planes(sr_p1, sr_lane0, sr_dest1, 2 * sr_dep)
+        scatter_planes(sr_len - sr_p1, sr_lane0 + sr_p1,
+                       np.zeros(nsub, np.int64), 2 * sr_dep + 1)
+
+        # element stream positions (piece-aware)
+        tot = int(sr_len.sum())
+        off = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(sr_len)[:-1]]), sr_len)
+        in1 = off < np.repeat(sr_p1, sr_len)
+        pos = np.where(in1, np.repeat(sr_dest1, sr_len) + off,
+                       off - np.repeat(sr_p1, sr_len))
+        cyc = np.where(in1, np.repeat(d_cyc1[sr_dep], sr_len),
+                       np.repeat(d_cyc2[sr_dep], sr_len))
+        el_rc = np.repeat(rc_base[d_region[sr_dep]], sr_len) + cyc
+        el_stream = (rc_linear[el_rc] * CHUNK
+                     + np.repeat(sr_sub, sr_len) * L + pos)
+        el_src = np.repeat(s_start[d_order], sr_len) + off
+        row_in_reg = (rr[el_src] % region_rows)
+        oc, of_ = el_stream // CHUNK, el_stream % CHUNK
+        c_hi[oc, of_ // L, of_ % L] = (row_in_reg >> 7).astype(np.int8)
+        c_lo[oc, of_ // L, of_ % L] = (row_in_reg & 127).astype(np.int8)
+
+    # ---- A streams --------------------------------------------------------
+    ncap = nsteps * cb
+    a_r = np.zeros((ncap, S, L), np.int8)
+    a_vals = np.zeros((ncap, S, L), np.float32)
+    a_page = np.zeros(ncap, np.int32)
+    a_r[a_chunk, bucket, lane] = col_lane[cc].astype(np.int8)
+    a_vals[a_chunk, bucket, lane] = vv
+    a_page[:len(chunk_tile)] = chunk_tile
+
+    return PlanarSpMVLayout(
+        a_r=a_r, xperm=xperm, a_vals=a_vals, a_page=a_page, rg=rg,
+        planes=planes,
+        c_code=c_code, c_hi=c_hi, c_lo=c_lo,
+        num_rows=nrows, num_cols=ncols, nnz=nnz,
+        num_col_tiles=ncols // 1024, num_regions=nregions,
+        region_rows=region_rows, cb=cb, rstep=rstep, f=f, nsteps=nsteps,
+        fill_a=nnz / max(nca * CHUNK, 1),
+        fill_stream=nnz / max(nsteps * f * CHUNK, 1),
+    )

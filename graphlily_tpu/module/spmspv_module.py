@@ -74,11 +74,19 @@ class SpMSpVModule(BaseModule):
                 self._pallas = PallasSpMV(lay, self.semiring_, self.config,
                                           MaskType.NO_MASK)
             else:
-                from ..io.router_format import pack_router
-                from ..ops.router_pallas import RouterSpMV
-                lay = pack_router(csr_twin, self.config)
-                self._pallas = RouterSpMV(lay, self.semiring_, self.config,
-                                          MaskType.NO_MASK)
+                from .spmv_module import resolve_router_flavor
+                if resolve_router_flavor(csr_twin) == "roll":
+                    from ..io.router_format import pack_router
+                    from ..ops.router_pallas import RouterSpMV
+                    lay = pack_router(csr_twin, self.config)
+                    self._pallas = RouterSpMV(lay, self.semiring_,
+                                              self.config, MaskType.NO_MASK)
+                else:
+                    from ..io.planar_format import pack_planar
+                    from ..ops.router_pallas import PlanarSpMV
+                    lay = pack_planar(csr_twin, self.config)
+                    self._pallas = PlanarSpMV(lay, self.semiring_,
+                                              self.config, MaskType.NO_MASK)
         else:
             self._coo = coo_from_csc(csc_matrix, dtype=self.config.jdtype)
 

@@ -24,6 +24,23 @@ from ..ops.spmv_pallas import PallasSpMV
 from .base import BaseModule, DeviceBuffer
 
 
+def resolve_router_flavor(csr) -> str:
+    """Pick the router variant by run length: the roll router's range
+    deposits win while (page x region) runs stay long (~one roll moves
+    hundreds of elements); the planar router's bucket-binned plane deposits
+    win on hypersparse graphs where page-level runs collapse to a handful
+    of elements (measured on TPU: googleplus 6.7 ms roll vs 11.0 ms planar;
+    pokec-class graphs invert the ordering and blow up the roll kernel's
+    unrolled descriptor slots)."""
+    from ..io.router_format import choose_region_rows
+    import numpy as np
+    nrows = ((csr.num_rows + 1023) // 1024) * 1024
+    ncols = ((csr.num_cols + 1023) // 1024) * 1024
+    r = choose_region_rows(nrows, ncols, csr.nnz)
+    epg = csr.nnz * r / max((ncols // 128) * nrows, 1)
+    return "roll" if epg >= 200 else "planar"
+
+
 class SpMVModule(BaseModule):
     def __init__(self, config: EngineConfig = DEFAULT_CONFIG,
                  num_channels: int | None = None,
@@ -89,10 +106,19 @@ class SpMVModule(BaseModule):
                 return
             engine = "router"
         if engine == "router":
+            engine = resolve_router_flavor(csr_matrix)
+        if engine == "roll":
             from ..io.router_format import pack_router
             from ..ops.router_pallas import RouterSpMV
             lay = pack_router(csr_matrix, self.config)
             self._pallas = RouterSpMV(lay, self.semiring_, self.config,
+                                      self.mask_type_)
+            self.num_rows_, self.num_cols_ = lay.num_rows, lay.num_cols
+        elif engine == "planar":
+            from ..io.planar_format import pack_planar
+            from ..ops.router_pallas import PlanarSpMV
+            lay = pack_planar(csr_matrix, self.config)
+            self._pallas = PlanarSpMV(lay, self.semiring_, self.config,
                                       self.mask_type_)
             self.num_rows_, self.num_cols_ = lay.num_rows, lay.num_cols
         else:

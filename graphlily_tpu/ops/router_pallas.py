@@ -320,6 +320,340 @@ def _router_reduce_call(code, g, hi, lo, *, cbc, nregions, rh, nsteps,
     return fn(code, g, hi, lo)
 
 
+def _make_xperm_kernel(tb: int):
+    """Per-tile static column re-layout of x (see planar_format.py): for
+    each source sublane, broadcast its row and gather/select by the tile's
+    shuffle plane. 8 gather+selects per tile, ~30 us for the largest graph."""
+    def kernel(pl_ref,    # (1, tb*64, 128) int8 : per tile 8 source planes
+               x_ref,     # (1, tb*8, 128) input tiles
+               o_ref):    # (1, tb*8, 128) re-laid tiles
+        for t in range(tb):
+            xt = x_ref[0, t * S:(t + 1) * S, :]
+            out = jnp.zeros((S, L), xt.dtype)
+            for s in range(S):
+                tab = jnp.broadcast_to(xt[s:s + 1, :], (S, L))
+                pv = pl_ref[0, (t * S + s) * S:(t * S + s + 1) * S, :]
+                pv = pv.astype(jnp.int32)
+                g = jnp.take_along_axis(tab, pv & 127, axis=1)
+                out = jnp.where(pv < 0, g, out)
+            o_ref[0, t * S:(t + 1) * S, :] = out
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nct", "interpret", "dtype"))
+def _xperm_call(planes, x2, *, nct, interpret, dtype):
+    tb = 1
+    for cand in (16, 8, 4, 2, 1):
+        if nct % cand == 0:
+            tb = cand
+            break
+    kernel = _make_xperm_kernel(tb)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(nct // tb,),
+        in_specs=[
+            pl.BlockSpec((1, tb * 64, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb * S, L), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tb * S, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nct // tb, tb * S, L),
+                                       jnp.dtype(dtype)),
+        interpret=interpret,
+    )
+    return fn(planes.reshape(nct // tb, tb * 64, L),
+              x2.reshape(nct // tb, tb * S, L)).reshape(nct, S, L)
+
+
+def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
+                        fuse: bool = False, rh: int = 0, precision=None,
+                        fnum: int = 0):
+    """Planar-deposit kernel (see io/planar_format.py): bucket-binned tile
+    chunks make phase A a single ax1 dynamic_gather, and each deposit ships
+    a static (8,128) int8 plane — entry < 0 routes source lane (v & 127) of
+    the same sublane into the region accumulator, else the accumulator is
+    kept. Accumulators are zeroed at flush, so flushed chunks carry zeros in
+    unused slots and the phase-C reduce needs no cursor mask."""
+    def kernel(*refs):
+        if fuse:
+            (page_ref,            # (1, 1, cb) int32 SMEM : tile ids
+             r_ref,               # (1, cb*8, 128) int8 : lane = col & 127
+             v_ref,               # (1, cb*8, 128) f32|bf16
+             rg_ref,              # (1, rstep, 2) int32 SMEM
+             pl_ref,              # (1, rstep*8, 128) int8 deposit planes
+             code_ref,            # (1, 1, f) int32 SMEM
+             hi_ref,              # (1, f*8, 128) int8
+             lo_ref,              # (1, f*8, 128) int8
+             x_ref,               # (nct, 8, 128) resident
+             o_ref,               # (nregions, rh, 128) resident output
+             g_buf, acc_ref, ring_ref) = refs
+        else:
+            (page_ref, r_ref, v_ref, rg_ref, pl_ref, x_ref,
+             o_ref,               # (1, f, 8, 128) flush stream block
+             g_buf, acc_ref) = refs
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            if fuse:
+                o_ref[...] = jnp.zeros_like(o_ref)
+
+        # ---- phase A: one ax1 gather per chunk (sublane == col bucket) ----
+        r_all = r_ref[0].astype(jnp.int32)
+        for k in range(cb):
+            t = x_ref[page_ref[0, 0, k]]                    # (8, 128) tile
+            g = jnp.take_along_axis(t, r_all[k * S:(k + 1) * S, :], axis=1)
+            vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
+            if op == OpType.MULADD:
+                g = g * vals
+            elif op == OpType.ANDOR:
+                g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
+            else:
+                raise ValueError(op)
+            g_buf[k] = g
+
+        # ---- phase B: plane deposits + flushes ----------------------------
+        pl_all = pl_ref[0]
+        for j in range(rstep):
+            w1 = rg_ref[0, j, 0]
+            w2 = rg_ref[0, j, 1]
+            slot = w2 & 0xFFF
+
+            @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step, plane at slot j
+            def _():
+                pv = pl_all[j * S:(j + 1) * S, :].astype(jnp.int32)
+                idx = pv & 127
+                g = jnp.take_along_axis(g_buf[w1], idx, axis=1)
+                acc_ref[slot] = jnp.where(pv < 0, g, acc_ref[slot])
+
+            @pl.when(w2 < 0)   # flush: copy + zero
+            def _():
+                q = (w2 >> 16) & 0xFF
+                gch = acc_ref[slot]
+                if fuse:
+                    ring_ref[pl.ds(q, 1)] = gch[None]
+                else:
+                    o_ref[0, pl.ds(q, 1)] = gch[None]
+                acc_ref[slot] = jnp.zeros_like(gch)
+
+        if not fuse:
+            return
+
+        # ---- inline phase C (identical to the roll-router fused tail) -----
+        hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
+        lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        hi_all = hi_ref[0].astype(jnp.int32)
+        lo_all = lo_ref[0].astype(jnp.int32)
+        for qq in range(fnum):
+            c = code_ref[0, 0, qq]
+
+            @pl.when(c >= 0)
+            def _():
+                gch = ring_ref[qq]
+                accd = jnp.zeros((rh, L), jnp.float32)
+                for s in range(S):
+                    row = qq * S + s
+                    oh = (hi_t == hi_all[row:row + 1, :]).astype(jnp.float32)
+                    ml = jnp.where(
+                        lo_t == lo_all[row:row + 1, :],
+                        jnp.broadcast_to(gch[s:s + 1, :], (L, L)), 0.0)
+                    accd = accd + jax.lax.dot_general(
+                        oh, ml, (((1,), (1,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+                o_ref[c] += accd.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("op", "cb", "rstep", "f", "nreg", "nct", "nsteps",
+                     "interpret", "dtype"))
+def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
+                         nreg, nct, nsteps, interpret, dtype):
+    kernel = _make_planar_kernel(op, cb, rstep, nreg)
+    stream = lambda i: (i, 0, 0)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rstep * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+        ],
+        out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L), jnp.dtype(dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
+            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+        ],
+        interpret=interpret,
+    )
+    return fn(page, r, vals, rg, planes, x2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("op", "cb", "rstep", "f", "nreg", "rh", "nregions",
+                     "nct", "nsteps", "mxu_precision", "interpret", "dtype"))
+def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
+                       cb, rstep, f, nreg, rh, nregions, nct, nsteps,
+                       mxu_precision, interpret, dtype):
+    precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
+                 else jax.lax.Precision.DEFAULT)
+    kernel = _make_planar_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
+                                 precision=precision, fnum=f)
+    stream = lambda i: (i, 0, 0)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rstep * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nregions, rh, L), jnp.dtype(dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
+            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+            pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
+        ],
+        interpret=interpret,
+    )
+    return fn(page, r, vals, rg, planes, code, hi, lo, x2)
+
+
+@jax.tree_util.register_pytree_node_class
+class PlanarArrays:
+    """Device-resident planar streams as a jit-argument pytree."""
+
+    FIELDS = ("a_page", "a_r", "xperm", "a_vals", "rg", "planes",
+              "c_code", "c_hi", "c_lo")
+
+    def __init__(self, *children):
+        for name, c in zip(self.FIELDS, children):
+            setattr(self, name, c)
+
+    def tree_flatten(self):
+        return tuple(getattr(self, n) for n in self.FIELDS), None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
+
+
+class PlanarSpMV:
+    """Compiled planar-router SpMV over a PlanarSpMVLayout. Same call
+    surface as PallasSpMV/RouterSpMV."""
+
+    def __init__(self, layout, semiring: Semiring,
+                 config: EngineConfig = DEFAULT_CONFIG,
+                 mask_type: MaskType = MaskType.NO_MASK):
+        if semiring.op == OpType.ADDMIN:
+            raise ValueError("planar router supports MULADD/ANDOR only "
+                             "(tropical has no MXU reduce; use the chunked "
+                             "kernel)")
+        self.layout = layout
+        self.semiring = semiring
+        self.config = config
+        self.mask_type = mask_type
+        self.num_rows = layout.num_rows
+        self.num_cols = layout.num_cols
+        lay = layout
+        vdt = (jnp.bfloat16 if config.mxu_precision == "default"
+               else jnp.dtype(config.dtype))
+        self.arrays = PlanarArrays(
+            jnp.asarray(lay.a_page.reshape(lay.nsteps, 1, lay.cb)),
+            jnp.asarray(lay.a_r.reshape(lay.nsteps, lay.cb * S, L)),
+            jnp.asarray(lay.xperm),
+            jnp.asarray(lay.a_vals.reshape(lay.nsteps, lay.cb * S, L)
+                        .astype(vdt)),
+            jnp.asarray(lay.rg),
+            jnp.asarray(lay.planes.reshape(lay.nsteps, lay.rstep * S, L)),
+            jnp.asarray(lay.c_code.reshape(lay.nsteps, 1, lay.f)),
+            jnp.asarray(lay.c_hi.reshape(lay.nsteps, lay.f * S, L)),
+            jnp.asarray(lay.c_lo.reshape(lay.nsteps, lay.f * S, L)),
+        )
+        rh = lay.region_rows // 128
+        self._static_scatter = dict(
+            op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
+            nreg=lay.num_regions, nct=lay.num_col_tiles, nsteps=lay.nsteps,
+            interpret=config.resolve_interpret(), dtype=config.dtype,
+        )
+        self._static_reduce = dict(
+            cbc=lay.f, nregions=lay.num_regions, rh=rh, nsteps=lay.nsteps,
+            mxu_precision=config.mxu_precision,
+            interpret=config.resolve_interpret(), dtype=config.dtype,
+        )
+        self._static_fused = dict(
+            op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
+            nreg=lay.num_regions, rh=rh, nregions=lay.num_regions,
+            nct=lay.num_col_tiles, nsteps=lay.nsteps,
+            mxu_precision=config.mxu_precision,
+            interpret=config.resolve_interpret(), dtype=config.dtype,
+        )
+        vbytes = jnp.dtype(vdt).itemsize
+        est = (lay.num_col_tiles * 4096
+               + lay.num_regions * rh * L * 4
+               + (lay.num_regions + lay.cb + lay.f) * 4096
+               + 2 * (lay.cb * S * L * (1 + vbytes)
+                      + lay.rstep * S * L + 2 * lay.f * S * L
+                      + lay.rstep * 8 + lay.cb * 4))
+        self.fused = est <= 12e6
+
+    def _x2(self, x, a):
+        """Static per-tile column re-layout of x (bucket balancing)."""
+        nct = self.layout.num_col_tiles
+        return _xperm_call(a.xperm, x.reshape(nct, S, L), nct=nct,
+                           interpret=self.config.resolve_interpret(),
+                           dtype=x.dtype)
+
+    def scatter(self, x, arrays=None):
+        a = self.arrays if arrays is None else arrays
+        x2 = self._x2(x, a)
+        return _planar_scatter_call(a.a_page, a.a_r, a.a_vals, a.rg,
+                                    a.planes, x2, **self._static_scatter)
+
+    def __call__(self, x, mask=None, mask_type: MaskType | None = None,
+                 arrays=None):
+        mt = self.mask_type if mask_type is None else mask_type
+        a = self.arrays if arrays is None else arrays
+        lay = self.layout
+        if self.fused:
+            x2 = self._x2(x, a)
+            blocks = _planar_fused_call(a.a_page, a.a_r, a.a_vals, a.rg,
+                                        a.planes, a.c_code, a.c_hi, a.c_lo,
+                                        x2, **self._static_fused)
+        else:
+            g = self.scatter(x, arrays=a)
+            blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
+                                         **self._static_reduce)
+        y = blocks.reshape(-1)[:self.num_rows]
+        if self.semiring.op == OpType.ANDOR:
+            y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))
+        if mask is not None and mt != MaskType.NO_MASK:
+            y = apply_mask(y, mask, mt, self.semiring.zero)
+        return y
+
+
 @jax.tree_util.register_pytree_node_class
 class RouterArrays:
     """Device-resident router streams as a pytree (jit-argument friendly:

@@ -37,26 +37,33 @@ def dispatch_floor():
     return FLOOR[0]
 
 
-def timeit(fn, iters=50):
+def timeit(fn, arrays, x, iters=50):
+    """fn(arrays, x) -> array; arrays/x are jit ARGUMENTS (the remote
+    compiler rejects large HLO constants with HTTP 413)."""
     @jax.jit
-    def loop():
+    def loop(a, xv):
         def body(_i, acc):
-            out = fn()
-            return acc + out.reshape(-1)[0] * 0.0
+            # carry-dependent input + carry-defining output: keeps XLA from
+            # hoisting the body out of the loop (LICM)
+            out = fn(a, xv + acc * 1e-30)
+            return out.reshape(-1)[0].astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    np.asarray(loop())
+    np.asarray(loop(arrays, x))
     t0 = time.perf_counter()
-    np.asarray(loop())
+    np.asarray(loop(arrays, x))
     return max((time.perf_counter() - t0 - dispatch_floor()), 1e-9) / iters
 
 
 def main():
     rr_opt = None
+    engine = "router"
     args = []
     for a in sys.argv[1:]:
         if a.startswith("--r="):
             rr_opt = int(a.split("=")[1])
+        elif a.startswith("--engine="):
+            engine = a.split("=")[1]
         else:
             args.append(a)
     graph = args[0] if args else "googleplus"
@@ -69,14 +76,23 @@ def main():
     util_round_csr_matrix_dim(g, 1024, 1024)
     util_normalize_csr_matrix_by_outdegree(g)
     t0 = time.perf_counter()
-    lay = pack_router(g, cfg, region_rows=rr_opt)
+    if engine == "planar":
+        from graphlily_tpu.io.planar_format import pack_planar
+        lay = pack_planar(g, cfg, region_rows=rr_opt)
+    else:
+        lay = pack_router(g, cfg, region_rows=rr_opt)
     print(f"{graph} s{scale}: nnz={nnz} pack={time.perf_counter()-t0:.1f}s "
           f"nsteps={lay.nsteps} cb={lay.cb} rstep={lay.rstep} f={lay.f} "
           f"nreg={lay.num_regions} fill_a={lay.fill_a:.2%} "
           f"fill_stream={lay.fill_stream:.2%} mem={lay.mem_bytes/1e9:.2f}GB",
           flush=True)
 
-    eng = RouterSpMV(lay, ArithmeticSemiring, cfg)
+    if engine == "planar":
+        from graphlily_tpu.ops.router_pallas import PlanarSpMV
+        eng = PlanarSpMV(lay, ArithmeticSemiring, cfg)
+    else:
+        eng = RouterSpMV(lay, ArithmeticSemiring, cfg)
+    print(f"fused={eng.fused}", flush=True)
     a = eng.arrays
     rng = np.random.default_rng(3)
     xh = rng.random(lay.num_cols).astype(np.float32)
@@ -95,14 +111,14 @@ def main():
 
     for ph in phases:
         if ph == "e2e":
-            dt = timeit(lambda: eng(x, arrays=a))
+            dt = timeit(lambda aa, xv: eng(xv, arrays=aa), a, x)
         elif ph == "scatter":
-            dt = timeit(lambda: eng.scatter(x, arrays=a))
+            dt = timeit(lambda aa, xv: eng.scatter(xv, arrays=aa), a, x)
         elif ph == "reduce":
             gs = eng.scatter(x, arrays=a)
             gs.block_until_ready()
-            dt = timeit(lambda: _router_reduce_call(
-                a.c_code, gs, a.c_hi, a.c_lo, **eng._static_reduce))
+            dt = timeit(lambda aa, _xv: _router_reduce_call(
+                aa.c_code, gs, aa.c_hi, aa.c_lo, **eng._static_reduce), a, x)
         else:
             raise SystemExit(f"unknown phase {ph}")
         print(f"{ph:8s}: {dt*1e3:8.3f} ms  ({nnz/dt/1e9:6.2f} GTEPS)",

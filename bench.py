@@ -359,6 +359,16 @@ def main():
     details["googleplus_full"]["spmv_router_ms"] = stats_r["spmv_ms"]
     primary = best["spmv_gteps"]
     save()
+    # the one-line primary metric goes out NOW (nothing else is printed to
+    # stdout): the remaining sections can be long on this 1-core host and
+    # the driver must see the metric even if the run is cut short
+    print(json.dumps({
+        "metric": "SpMV GTEPS (arithmetic, no mask, googleplus-scale RMAT "
+                  "107614v/13.7Me, 100-run avg on device)",
+        "value": round(primary, 4),
+        "unit": "GTEPS",
+        "vs_baseline": round(primary / PEAK_REFERENCE_GTEPS, 4),
+    }), flush=True)
 
     if not args.skip_apps:
         appres = bench_apps(csr, config, ICCAD_GRAPHS["googleplus"]["iters"])
@@ -399,13 +409,6 @@ def main():
             details[key] = {"error": f"{type(e).__name__}: {e}"}
             save()
 
-    print(json.dumps({
-        "metric": "SpMV GTEPS (arithmetic, no mask, googleplus-scale RMAT "
-                  "107614v/13.7Me, 100-run avg on device)",
-        "value": round(primary, 4),
-        "unit": "GTEPS",
-        "vs_baseline": round(primary / PEAK_REFERENCE_GTEPS, 4),
-    }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,91 @@
+"""Planar-deposit router engine vs a float64 host oracle (interpret mode).
+
+Counterpart of test_router.py for the bucket-binned plane-deposit engine
+(io/planar_format.py + PlanarSpMV): fused and split modes, both supported
+semirings, the per-tile column re-layout (x-shuffle), and deposit splitting
+at accumulator boundaries.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graphlily_tpu import (ArithmeticSemiring, LogicalSemiring, MaskType,
+                           EngineConfig)
+from graphlily_tpu.io import rmat_csr, uniform_csr, util_round_csr_matrix_dim
+from graphlily_tpu.io.planar_format import pack_planar
+from graphlily_tpu.ops.router_pallas import PlanarSpMV
+
+CFG = EngineConfig(interpret=True)
+
+
+def oracle(csr, x, logical=False):
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    y = np.zeros(work.num_rows, np.float64)
+    rr = work.row_ids().astype(np.int64)
+    cc = work.adj_indices[:work.nnz].astype(np.int64)
+    vv = work.adj_data[:work.nnz].astype(np.float64)
+    if logical:
+        np.logical_or.at(y, rr, (vv != 0) & (x[cc] != 0))
+        return y.astype(np.float64)
+    np.add.at(y, rr, vv * x[cc])
+    return y
+
+
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "split"])
+@pytest.mark.parametrize("semiring", [ArithmeticSemiring, LogicalSemiring],
+                         ids=lambda s: s.name)
+def test_planar_semirings(semiring, fused, rng):
+    csr = rmat_csr(num_rows=9000, nnz=60000, seed=3)
+    lay = pack_planar(csr, CFG)
+    eng = PlanarSpMV(lay, semiring, CFG)
+    eng.fused = fused
+    x = rng.random(lay.num_cols).astype(np.float32)
+    x[rng.random(lay.num_cols) < 0.3] = 0.0
+    y = np.asarray(eng(jnp.asarray(x)))
+    if semiring is LogicalSemiring:
+        np.testing.assert_array_equal(
+            y, oracle(csr, x, logical=True))
+    else:
+        want = oracle(csr, x)
+        np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
+def test_planar_masks(rng):
+    from graphlily_tpu.semiring import apply_mask
+    csr = rmat_csr(num_rows=6000, nnz=40000, seed=4)
+    lay = pack_planar(csr, CFG)
+    x = rng.random(lay.num_cols).astype(np.float32)
+    mask = (rng.random(lay.num_rows) < 0.5).astype(np.float32)
+    want = oracle(csr, x).astype(np.float32)
+    for mt in (MaskType.WRITE_TO_ZERO, MaskType.WRITE_TO_ONE):
+        eng = PlanarSpMV(lay, ArithmeticSemiring, CFG, mt)
+        y = np.asarray(eng(jnp.asarray(x), jnp.asarray(mask)))
+        wm = np.asarray(apply_mask(jnp.asarray(want), jnp.asarray(mask), mt,
+                                   ArithmeticSemiring.zero))
+        np.testing.assert_allclose(y, wm, rtol=2e-3, atol=2e-3)
+
+
+def test_planar_region_sizes(rng):
+    """Small regions force many accumulators, cross-boundary deposit splits,
+    and multi-region hub tiles."""
+    csr = rmat_csr(num_rows=20000, nnz=80000, seed=7)
+    for rrows in (1024, 4096):
+        lay = pack_planar(csr, CFG, region_rows=rrows)
+        assert lay.region_rows == rrows
+        eng = PlanarSpMV(lay, ArithmeticSemiring, CFG)
+        x = rng.random(lay.num_cols).astype(np.float32)
+        y = np.asarray(eng(jnp.asarray(x)))
+        np.testing.assert_allclose(y, oracle(csr, x), rtol=2e-3, atol=2e-3)
+
+
+def test_planar_fill_balanced():
+    """The per-tile column re-layout keeps chunk fill high even though RMAT
+    hub columns concentrate whole physical buckets (snake re-layout measured
+    28% -> ~78% on the benchmark stand-ins)."""
+    csr = rmat_csr(num_rows=20000, nnz=200000, seed=8)
+    lay = pack_planar(csr, CFG)
+    assert lay.fill_a > 0.6, lay.fill_a
+    csr2 = uniform_csr(20000, 20000, 10, seed=9)
+    lay2 = pack_planar(csr2, CFG)
+    assert lay2.fill_a > 0.8, lay2.fill_a

@@ -322,7 +322,15 @@ def main():
     ap.add_argument("--skip-big", action="store_true",
                     help="googleplus only (fast mode)")
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--apps-budget-min", type=float, default=100.0,
+                    help="stop benching big-graph apps past this elapsed time")
+    ap.add_argument("--total-budget-min", type=float, default=170.0,
+                    help="stop starting new graphs past this elapsed time")
     args = ap.parse_args()
+    t_start = time.perf_counter()
+
+    def elapsed_min():
+        return (time.perf_counter() - t_start) / 60.0
 
     from graphlily_tpu import EngineConfig
     from graphlily_tpu.io import iccad_standin, ICCAD_GRAPHS
@@ -385,6 +393,13 @@ def main():
                                     "ogbn_products", "orkut"]
     for name in big:
         key = f"{name}_s{args.scale}"
+        if elapsed_min() > args.total_budget_min:
+            log(f"{name}: skipped (elapsed {elapsed_min():.0f} min > "
+                f"--total-budget-min; pack alone takes 10-30 min on this "
+                f"1-core host)")
+            details[key] = {"skipped": "total time budget"}
+            save()
+            continue
         try:
             g = iccad_standin(name, scale=args.scale, seed=1)
             log(f"== {name} (scale {args.scale}, nnz={g.nnz}) ==")
@@ -395,7 +410,12 @@ def main():
                 f"mem={st['mem_bytes']/1e9:.2f} GB, "
                 f"pack={st['pack_s']:.0f}s)")
             save()
-            if not args.skip_apps:
+            if not args.skip_apps and elapsed_min() > args.apps_budget_min:
+                log(f"{name} apps: skipped (elapsed {elapsed_min():.0f} min "
+                    f"> --apps-budget-min)")
+                details[key]["apps_skipped"] = "time budget"
+                save()
+            elif not args.skip_apps:
                 sc_s, g_s = feasible_sssp_scale(name, config)
                 appres = bench_apps(
                     g, config, ICCAD_GRAPHS[name]["iters"],

@@ -145,28 +145,32 @@ def bench_spmv(csr, config, iters=100, engine="router"):
     import jax.numpy as jnp
     from graphlily_tpu import ArithmeticSemiring
 
-    work = _prep(csr, config, degree_sort=(engine == "chunked"
-                                           and config.sort_rows_by_degree))
+    # degree sort helps EVERY engine: chunked fill 12->19% (round 1), and
+    # planar deposits drop 4x (389K -> 98K on full pokec, fill 0.78 -> 0.97
+    # — tools/planar_variants.py): heavy rows concentrate the radix regions
+    # a chunk's row-sorted slices span
+    work = _prep(csr, config, degree_sort=config.sort_rows_by_degree)
     t0 = time.perf_counter()
+    from graphlily_tpu.io.layout_cache import pack_cached
     if engine == "chunked":
-        from graphlily_tpu.io.formatter import pack_csr_chunks
         from graphlily_tpu.ops.spmv_pallas import PallasSpMV
         from graphlily_tpu.utils.profiling import analyze_layout
-        lay = pack_csr_chunks(work, config, pad_val=0.0)
+        lay = pack_cached("chunked", work, config,
+                          cache_dir=config.layout_cache, log=log, pad_val=0.0)
         stats = analyze_layout(lay)
         eng = PallasSpMV(lay, ArithmeticSemiring, config)
     else:
         from graphlily_tpu.module.spmv_module import resolve_router_flavor
         flavor = resolve_router_flavor(work)
         if flavor == "roll":
-            from graphlily_tpu.io.router_format import pack_router
             from graphlily_tpu.ops.router_pallas import RouterSpMV
-            lay = pack_router(work, config)
+            lay = pack_cached("router", work, config,
+                              cache_dir=config.layout_cache, log=log)
             eng = RouterSpMV(lay, ArithmeticSemiring, config)
         else:
-            from graphlily_tpu.io.planar_format import pack_planar
             from graphlily_tpu.ops.router_pallas import PlanarSpMV
-            lay = pack_planar(work, config)
+            lay = pack_cached("planar", work, config,
+                              cache_dir=config.layout_cache, log=log)
             eng = PlanarSpMV(lay, ArithmeticSemiring, config)
         stats = {"fill": lay.fill_a, "fill_stream": lay.fill_stream,
                  "mem_bytes": lay.mem_bytes, "region_rows": lay.region_rows,
@@ -180,10 +184,13 @@ def bench_spmv(csr, config, iters=100, engine="router"):
     @jax.jit
     def loop(arrays, x):
         def body(_i, v):
-            return eng(v, arrays=arrays)[:n] + (0.1 / n)
+            # 3D (tile, sublane, lane) carry: the engines' out_3d view is
+            # free, while a 1D carry pays a ~2.3 GB/s 1D<->tiled relayout
+            # per iteration (measured 5.6 ms on full-scale pokec)
+            return eng(v, arrays=arrays, out_3d=True) + (0.1 / n)
         return jax.lax.fori_loop(0, iters, body, x)
 
-    x0 = jnp.full(n, 1.0 / n, config.jdtype)
+    x0 = jnp.full((n // 1024, 8, 128), 1.0 / n, config.jdtype)
     out = np.asarray(loop(eng.arrays, x0))  # compile + first run
     assert np.isfinite(out).all()
     floor = measure_floor(jax, jnp)
@@ -322,6 +329,7 @@ def main():
     ap.add_argument("--skip-big", action="store_true",
                     help="googleplus only (fast mode)")
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--no-layout-cache", action="store_true")
     ap.add_argument("--apps-budget-min", type=float, default=100.0,
                     help="stop benching big-graph apps past this elapsed time")
     ap.add_argument("--total-budget-min", type=float, default=170.0,
@@ -337,8 +345,12 @@ def main():
 
     # bench config: default MXU precision (the reference computes in 32-bit
     # fixed point; bf16-input MXU f32-accumulate is comparable); the router
-    # engine carries values as bf16 at this precision
-    config = EngineConfig(mxu_precision="default", sort_rows_by_degree=True)
+    # engine carries values as bf16 at this precision. Layouts are cached on
+    # disk (packing is 1.5-17 min/graph on this 1-vCPU host; the cache turns
+    # repeat runs and the apps' re-packs into load + O(nnz) value refills).
+    config = EngineConfig(mxu_precision="default", sort_rows_by_degree=True,
+                          layout_cache=(None if args.no_layout_cache
+                                        else ".layout_cache"))
     details = {}
 
     def save():

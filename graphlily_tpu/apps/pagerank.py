@@ -58,22 +58,30 @@ class PageRank(ModuleCollection):
 
     def _build_fused(self):
         spmv = self.SpMV_.apply
+        use3d = self.SpMV_._pallas is not None
 
         @jax.jit
         def pull_fused(mstate, rank, offset, num_iterations):
             def body(_i, r):
-                return ewise_add_scalar(spmv(r, state=mstate), offset)
+                return ewise_add_scalar(spmv(r, state=mstate, out_3d=use3d),
+                                        offset)
             return jax.lax.fori_loop(0, num_iterations, body, rank)
 
         self._pull_fused = pull_fused
+        self._use3d = use3d
 
     def pull(self, damping: float, num_iterations: int):
         n = self.matrix_num_rows_
-        rank = jnp.full(n, 1.0 / n, self.config.jdtype)
+        # 3D (tile, sublane, lane) rank carry with pallas engines: the
+        # SpMV's tiled output view is free, a 1D carry pays a ~2.3 GB/s
+        # relayout per iteration
+        shape = (n // 1024, 8, 128) if self._use3d else (n,)
+        rank = jnp.full(shape, 1.0 / n, self.config.jdtype)
         offset = jnp.asarray((1 - damping) / n, self.config.jdtype)
-        return self._external(np.asarray(self._pull_fused(
+        out = np.asarray(self._pull_fused(
             self.SpMV_.device_state(), rank, offset,
-            jnp.asarray(num_iterations))))
+            jnp.asarray(num_iterations)))
+        return self._external(out.reshape(-1))
 
     def compute_reference_results(self, damping: float, num_iterations: int):
         """pagerank.h:150-159."""

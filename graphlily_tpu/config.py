@@ -56,6 +56,8 @@ class EngineConfig:
     # --- formatter behavior ---
     sort_rows_by_degree: bool = False  # SELL-sigma style row reordering
     skip_empty_rows: bool = True       # parity knob (reference csr2cpsr flag)
+    layout_cache: Optional[str] = None  # layout disk-cache dir; None checks
+                                        # $GLT_LAYOUT_CACHE (io/layout_cache)
 
     # --- sparse-vector (SpMSpV) static capacity ---
     # results/frontier buffers get a static capacity = num_rows (worst case) unless set

@@ -199,6 +199,8 @@ class ChunkedSpMVLayout:
     inv: Optional[np.ndarray] = None       # tropical run-end lanes (see above)
     step_touch: Optional[np.ndarray] = None  # (nsteps, nct) incidence when
                                              # packed with chunk_order="col"
+    el_slot: Optional[np.ndarray] = None   # (nnz,) original-order nnz -> flat
+                                           # vals slot (structure/value split)
 
     @property
     def num_chunks(self) -> int:
@@ -284,6 +286,15 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     rows_arr[chunk_id, sub, lane] = (rr % W).astype(np.int8)
     vals[chunk_id, sub, lane] = vv
 
+    # original-order element -> flat vals slot (the native path never
+    # reorders elements; the numpy path applied `order`)
+    el_slot = np.empty(nnz, np.int64)
+    flat_slot = chunk_id * (S * L) + sub * L + lane
+    if assigned is not None:
+        el_slot[:] = flat_slot
+    else:
+        el_slot[order] = flat_slot
+
     # tropical layouts additionally carry `inv`: the last lane of each
     # row-local run per (chunk, sublane); -1 where the row is absent (padding
     # slots never enter inv, so the scan gather reads only real minima)
@@ -322,6 +333,9 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                                    code[order2])
         if with_inv:
             inv = np.concatenate([inv, np.full((nm, S, W), -1, np.int8)])[order2]
+        inv2 = np.empty(len(order2), np.int64)
+        inv2[order2] = np.arange(len(order2))
+        el_slot = inv2[el_slot // (S * L)] * (S * L) + el_slot % (S * L)
         nchunk += nm
 
     if chunk_order == "col":
@@ -330,6 +344,9 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                                    vals[order3], code[order3])
         if inv is not None:
             inv = inv[order3]
+        inv3 = np.empty(len(order3), np.int64)
+        inv3[order3] = np.arange(len(order3))
+        el_slot = inv3[el_slot // (S * L)] * (S * L) + el_slot % (S * L)
 
     # pad chunk count to a multiple of the resident kernel's per-step batch
     # (filler chunks revisit the last code with pad values — harmless)
@@ -361,6 +378,7 @@ def pack_csr_chunks(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         fill=nnz / (nchunk * S * L),
         inv=inv,
         step_touch=step_touch,
+        el_slot=el_slot,
     )
 
 

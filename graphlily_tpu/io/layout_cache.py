@@ -1,0 +1,182 @@
+"""Layout disk cache + structure/value pack split.
+
+Packing the router/planar layouts is host-bound: the schedule simulation and
+the nnz-scale sorts take 1.5-17 minutes per benchmark graph on this 1-vCPU
+host (orkut full scale measured 1049 s), and the apps re-pack the SAME
+structure up to three times per bench run (SpMV, PageRank, BFS). The
+reference re-formats per run too, but its formatter is seconds of C++
+(graphlily/io/data_formatter.h); the TPU layouts precompute far more (every
+runtime index + the deposit/flush schedules), so persistence is the right
+tool. Two mechanisms:
+
+  * disk cache: layouts persist as .npz (uncompressed zip64), keyed by a
+    BLAKE2b hash of (packer kind + PACK_VERSION + packer params + matrix
+    STRUCTURE: dims/indptr/indices). An exact value-hash match loads as-is.
+  * structure/value split: every layout carries `el_slot`, the
+    original-order nnz -> value-stream flat slot permutation. A structure
+    hit with different values (PageRank's outdegree-normalized matrix vs
+    BFS's unit weights on the same adjacency) refills the value stream with
+    ONE O(nnz) scatter instead of re-simulating schedules.
+
+Enable by passing `cache_dir`, or globally via $GLT_LAYOUT_CACHE.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+# bump when any packer's layout semantics change: stale cache entries from
+# an older code version must miss, not deserialize into wrong schedules
+PACK_VERSION = 5
+
+
+def _config_key_fields(kind: str, config) -> dict:
+    """Config fields that shape the packed layout (must key the cache —
+    params alone miss them: the chunked packer reads its geometry off the
+    config, and all packers take the value dtype from it)."""
+    if config is None:
+        return {}
+    d = {"dtype": str(config.dtype)}
+    if kind == "chunked":
+        d.update(row_window=config.row_window, col_tile=config.col_tile,
+                 chunk_sublanes=config.chunk_sublanes, lanes=config.lanes,
+                 skip_empty_rows=config.skip_empty_rows)
+    return d
+
+
+def _packers():
+    from .formatter import pack_csr_chunks, ChunkedSpMVLayout
+    from .router_format import pack_router, RouterSpMVLayout
+    from .planar_format import pack_planar, PlanarSpMVLayout
+    return {
+        "chunked": (pack_csr_chunks, ChunkedSpMVLayout),
+        "router": (pack_router, RouterSpMVLayout),
+        "planar": (pack_planar, PlanarSpMVLayout),
+    }
+
+
+def resolve_cache_dir(cache_dir: Optional[str] = None) -> Optional[str]:
+    d = cache_dir if cache_dir is not None else os.environ.get(
+        "GLT_LAYOUT_CACHE")
+    return d or None
+
+
+def _hash_update_array(h, a: np.ndarray) -> None:
+    a = np.ascontiguousarray(a)
+    h.update(str(a.dtype).encode())
+    h.update(str(a.shape).encode())
+    h.update(memoryview(a).cast("B"))
+
+
+def structure_key(kind: str, csr, params: dict) -> str:
+    h = hashlib.blake2b(digest_size=16)
+    h.update(f"{kind}|v{PACK_VERSION}|{csr.num_rows}x{csr.num_cols}"
+             f"|{csr.nnz}|{json.dumps(params, sort_keys=True)}".encode())
+    _hash_update_array(h, csr.adj_indptr)
+    _hash_update_array(h, csr.adj_indices[:csr.nnz])
+    return h.hexdigest()
+
+
+def value_key(csr) -> str:
+    h = hashlib.blake2b(digest_size=16)
+    _hash_update_array(h, csr.adj_data[:csr.nnz])
+    return h.hexdigest()
+
+
+def save_layout(path: str, layout, vkey: str, pad_val: float) -> None:
+    arrays, meta = {}, {"value_key": vkey, "pad_val": pad_val,
+                        "cls": type(layout).__name__}
+    for f in dataclasses.fields(layout):
+        v = getattr(layout, f.name)
+        if isinstance(v, np.ndarray):
+            arrays[f.name] = v
+        elif v is None:
+            meta.setdefault("none_fields", []).append(f.name)
+        else:
+            meta[f.name] = v
+    # atomic publish: a parallel/interrupted writer must never leave a
+    # truncated npz that future runs deserialize
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, __meta__=np.frombuffer(
+                json.dumps(meta).encode(), dtype=np.uint8), **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_layout(path: str, cls):
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        kw = {}
+        for f in dataclasses.fields(cls):
+            if f.name in z.files:
+                kw[f.name] = z[f.name]
+            elif f.name in meta:
+                kw[f.name] = meta[f.name]
+            # else: None default
+    return cls(**kw), meta
+
+
+def _refill_values(layout, csr, pad_val: float) -> None:
+    """Structure hit, value miss: rewrite the value stream in place."""
+    vals = layout.vals if hasattr(layout, "vals") else layout.a_vals
+    flat = vals.reshape(-1)
+    flat[:] = pad_val
+    flat[layout.el_slot] = csr.adj_data[:csr.nnz].astype(vals.dtype)
+
+
+def pack_cached(kind: str, csr, config=None, cache_dir: Optional[str] = None,
+                log=None, **params):
+    """Pack `csr` with the `kind` packer, through the disk cache when a
+    cache dir is configured. Returns the layout (el_slot populated)."""
+    packer, cls = _packers()[kind]
+    if cache_dir is None and config is not None:
+        cache_dir = getattr(config, "layout_cache", None)
+    d = resolve_cache_dir(cache_dir)
+    kwargs = dict(params)
+    if config is not None:
+        kwargs["config"] = config
+    if d is None:
+        return packer(csr, **kwargs)
+    skey = structure_key(kind, csr, dict(params,
+                                         **_config_key_fields(kind, config)))
+    vkey = value_key(csr)
+    path = os.path.join(d, f"{kind}_{skey}.npz")
+    pad_val = float(params.get("pad_val", 0.0))
+    if os.path.exists(path):
+        try:
+            layout, meta = load_layout(path, cls)
+        except Exception as e:  # corrupt entry: repack
+            if log:
+                log(f"layout cache: unreadable entry {path} ({e}); repacking")
+            layout = None
+        if layout is not None:
+            if meta.get("value_key") != vkey:
+                _refill_values(layout, csr, pad_val)
+                if log:
+                    log(f"layout cache: structure hit + value refill ({kind})")
+            elif log:
+                log(f"layout cache: hit ({kind})")
+            return layout
+    layout = packer(csr, **kwargs)
+    try:
+        save_layout(path, layout, vkey, pad_val)
+        if log:
+            log(f"layout cache: stored {path} "
+                f"({os.path.getsize(path) / 1e9:.2f} GB)")
+    except Exception as e:  # cache is best-effort (disk full etc.)
+        if log:
+            log(f"layout cache: store failed ({e})")
+    return layout

@@ -54,14 +54,16 @@ class PlanarSpMVLayout:
     a_vals: np.ndarray     # (NSTEPS*CB, 8, 128) f32  : values (pad 0)
     a_page: np.ndarray     # (NSTEPS*CB,) int32       : 1024-col tile id
     rg: np.ndarray         # (NSTEPS, RSTEP, 2) int32 : descriptors
-                           #   deposit: w1 = k (chunk in step)
+                           #   deposit: w1 = k | p<<8 (chunk in step, plane
+                           #            ordinal in step)
                            #            w2 = slot | 1<<15          (w2 > 0)
                            #   flush:   w1 = 0
                            #            w2 = slot | q8<<16 | 1<<31 (w2 < 0)
                            #   w2 == 0 -> inactive
-    planes: np.ndarray     # (NSTEPS, RSTEP*8, 128) int8: per-slot deposit
-                           #   plane; v<0 -> take source lane (v&127), else
-                           #   keep accumulator
+    planes: np.ndarray     # (NSTEPS, DMAX, 8, 128) int8: deposit planes in
+                           #   per-step deposit-ordinal order (flush/inactive
+                           #   slots carry none); v<0 -> take source lane
+                           #   (v&127), else keep accumulator
     c_code: np.ndarray     # (NSTEPS*F,) int32 : region per flush (-1 skip)
     c_hi: np.ndarray       # (NSTEPS*F, 8, 128) int8
     c_lo: np.ndarray       # (NSTEPS*F, 8, 128) int8
@@ -74,9 +76,14 @@ class PlanarSpMVLayout:
     cb: int
     rstep: int
     f: int
+    dmax: int
     nsteps: int
     fill_a: float
     fill_stream: float
+    el_slot: np.ndarray | None = None   # (nnz,) original-order nnz -> flat
+                                        # a_vals slot (structure/value split:
+                                        # re-valuing a cached layout is one
+                                        # O(nnz) scatter, no re-simulation)
 
     @property
     def mem_bytes(self) -> int:
@@ -217,69 +224,91 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     if nsub:
         d_lens[sub_of_dep, s_sub[d_order]] = s_len[d_order]
 
-    # ---- balance chunks across grid steps by deposit weight --------------
-    if cb is None:
-        dpc = nd / max(nca, 1) + 2.0
-        cb = int(min(32, max(8, 256 // dpc)))
-    nsteps_dep = (nca + cb - 1) // cb
-    if nsteps_dep > 1:
-        weight = np.zeros(nca, np.int64)
-        np.add.at(weight, d_chunk, 1)
-        # flushes land in their triggering deposit's step and scale with
-        # element volume: fold it in so F (max flushes/step, which sizes the
-        # per-step flush stream) stays near the average
-        weight += np.bincount(a_chunk, minlength=nca) // 512 + 1
-        new_of_old = _balance_chunks(weight, nsteps_dep, cb)
-        nca2 = nsteps_dep * cb
-        ct = np.zeros(nca2, np.int32)
-        ct[new_of_old[:len(chunk_tile)]] = chunk_tile
-        chunk_tile = ct
-        a_chunk = new_of_old[a_chunk]
-        d_chunk = new_of_old[d_chunk]
-    elif len(chunk_tile) < nsteps_dep * cb:
-        chunk_tile = np.concatenate(
-            [chunk_tile,
-             np.zeros(nsteps_dep * cb - len(chunk_tile), np.int32)])
-
-    # deposits execute in (chunk, region) order
-    ed = np.lexsort((d_region, d_chunk))
-    d_chunk, d_region, d_lens = d_chunk[ed], d_region[ed], d_lens[ed]
-    inv_ed = np.empty(nd, np.int64)
-    inv_ed[ed] = np.arange(nd)
-
-    # ---- cursor simulation (sequential over deposits) --------------------
+    # ---- cursor simulation helper -----------------------------------------
     # per (region, sublane) cursors; a deposit that would overflow any
     # sublane past 128 lanes is SPLIT at the boundary: piece 1 tops the
     # accumulator, a flush (copy + zero) drains it, piece 2 restarts at
     # lane 0. Splitting keeps flushed chunks ~full (no-split flushing
     # measured 50% stream fill on the googleplus stand-in: deposits there
     # are near-chunk-sized, so the accumulator never merged two of them).
-    C = np.zeros((nregions, S), np.int64)
-    cycle = np.zeros(nregions, np.int64)
-    d_dest1 = np.zeros((nd, S), np.int64)
-    d_part1 = np.zeros((nd, S), np.int64)
-    d_cyc1 = np.zeros(nd, np.int64)
-    d_cyc2 = np.zeros(nd, np.int64)
-    d_split = np.zeros(nd, bool)
+    def _simulate(dc, dr, dl):
+        """Run deposits in (chunk, region) order through the cursors.
+        Returns exec order + the permuted arrays + per-deposit placement."""
+        ed = np.lexsort((dr, dc))
+        dc, dr, dl = dc[ed], dr[ed], dl[ed]
+        nd_ = len(dc)
+        C = np.zeros((nregions, S), np.int64)
+        cycle = np.zeros(nregions, np.int64)
+        d_dest1 = np.zeros((nd_, S), np.int64)
+        d_part1 = np.zeros((nd_, S), np.int64)
+        d_cyc1 = np.zeros(nd_, np.int64)
+        d_cyc2 = np.zeros(nd_, np.int64)
+        d_split = np.zeros(nd_, bool)
+        for i in range(nd_):
+            r = dr[i]
+            lens = dl[i]
+            Cr = C[r]
+            if np.any(Cr + lens > L):
+                p1 = np.minimum(lens, L - Cr)
+                d_dest1[i] = Cr
+                d_part1[i] = p1
+                d_cyc1[i] = cycle[r]
+                d_split[i] = True
+                cycle[r] += 1
+                C[r] = lens - p1
+                d_cyc2[i] = cycle[r]
+            else:
+                d_dest1[i] = Cr
+                d_part1[i] = lens
+                d_cyc1[i] = d_cyc2[i] = cycle[r]
+                C[r] = Cr + lens
+        import types
+        return types.SimpleNamespace(
+            ed=ed, dc=dc, dr=dr, dl=dl, dest1=d_dest1, part1=d_part1,
+            cyc1=d_cyc1, cyc2=d_cyc2, split=d_split, C=C, cycle=cycle)
+
+    # ---- balance chunks across grid steps by EXACT item weight ------------
+    # Flushes land in their triggering deposit's step, so rstep (max items
+    # per step: the unrolled kernel size AND the plane stream height) and f
+    # (max flushes per step: the flush stream width) are both set by the
+    # worst step. Pass 1 balances on a heuristic, simulates, and feeds the
+    # exact per-chunk item counts (deposit pieces + split flushes) into a
+    # second LPT pass.
+    if cb is None:
+        dpc = nd / max(nca, 1) + 2.0
+        cb = int(min(32, max(8, 256 // dpc)))
+    nsteps_dep = (nca + cb - 1) // cb
+    d_chunk0 = d_chunk                       # pre-balance chunk ids
+    if nsteps_dep > 1:
+        weight = np.zeros(nca, np.int64)
+        np.add.at(weight, d_chunk0, 1)
+        weight += np.bincount(a_chunk, minlength=nca) // 512 + 1
+        new1 = _balance_chunks(weight, nsteps_dep, cb)
+        sim1 = _simulate(new1[d_chunk0], d_region, d_lens)
+        items = np.ones(nca, np.int64)
+        np.add.at(items, d_chunk0[sim1.ed], np.where(sim1.split, 3, 1))
+        new_of_old = _balance_chunks(items, nsteps_dep, cb)
+        nca2 = nsteps_dep * cb
+        ct = np.zeros(nca2, np.int32)
+        ct[new_of_old[:len(chunk_tile)]] = chunk_tile
+        chunk_tile = ct
+        a_chunk = new_of_old[a_chunk]
+        d_chunk = new_of_old[d_chunk0]
+    elif len(chunk_tile) < nsteps_dep * cb:
+        chunk_tile = np.concatenate(
+            [chunk_tile,
+             np.zeros(nsteps_dep * cb - len(chunk_tile), np.int32)])
+
+    # deposits execute in (chunk, region) order
+    sim = _simulate(d_chunk, d_region, d_lens)
+    ed = sim.ed
+    d_chunk, d_region, d_lens = sim.dc, sim.dr, sim.dl
+    d_dest1, d_part1 = sim.dest1, sim.part1
+    d_cyc1, d_cyc2, d_split = sim.cyc1, sim.cyc2, sim.split
+    C, cycle = sim.C, sim.cycle
+    inv_ed = np.empty(nd, np.int64)
+    inv_ed[ed] = np.arange(nd)
     d_step = d_chunk // cb
-    for i in range(nd):
-        r = d_region[i]
-        lens = d_lens[i]
-        Cr = C[r]
-        if np.any(Cr + lens > L):
-            p1 = np.minimum(lens, L - Cr)
-            d_dest1[i] = Cr
-            d_part1[i] = p1
-            d_cyc1[i] = cycle[r]
-            d_split[i] = True
-            cycle[r] += 1
-            C[r] = lens - p1
-            d_cyc2[i] = cycle[r]
-        else:
-            d_dest1[i] = Cr
-            d_part1[i] = lens
-            d_cyc1[i] = d_cyc2[i] = cycle[r]
-            C[r] = Cr + lens
     drain_regions = np.nonzero(C.any(axis=1))[0]
 
     # region-chunk (rc) ids: (region, cycle) -> linear
@@ -339,6 +368,17 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                 1)
     assert f_max <= 256, f"flush ordinal overflow ({f_max})"
     f = f_max
+    # plane ordinal p: deposits index the plane stream by their per-step
+    # DEPOSIT count, not their descriptor slot — flush and inactive slots
+    # carry no plane, so the plane stream shrinks from rstep to dmax chunks
+    # per step (the dominant HBM stream on deposit-heavy graphs)
+    dep_mask = ~it_is_flush
+    dcum = np.cumsum(dep_mask)
+    p_of = np.where(dep_mask,
+                    dcum - 1 - np.concatenate([[0], dcum])[step_first[it_step]],
+                    0)
+    dmax = max(int(p_of[dep_mask].max() + 1) if dep_mask.any() else 1, 1)
+    it_w1 = np.where(dep_mask, it_w1 | (p_of << 8), it_w1)
 
     rg = np.zeros((nsteps, rstep, 2), np.int32)
     w2_final = np.where(it_is_flush,
@@ -355,7 +395,7 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         rc_base, it_rc[fm], side="right") - 1
 
     # ---- deposit planes + phase-C streams ---------------------------------
-    planes = np.zeros((nsteps, rstep * S, L), np.int8)
+    planes = np.zeros((nsteps, dmax, S, L), np.int8)
     c_hi = np.zeros((nsteps * f, S, L), np.int8)
     c_lo = np.zeros((nsteps * f, S, L), np.int8)
     if nsub:
@@ -363,7 +403,7 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         piece_slot = np.empty(2 * nd, np.int64)
         pm = it_piece >= 0
         piece_step[it_piece[pm]] = it_step[pm]
-        piece_slot[it_piece[pm]] = slot_in_step[pm]
+        piece_slot[it_piece[pm]] = p_of[pm]
 
         sr_dep = inv_ed[sub_of_dep]              # exec-order deposit ids
         sr_sub = s_sub[d_order]
@@ -381,7 +421,7 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
             tot = int(ln.sum())
             off = np.arange(tot, dtype=np.int64) - np.repeat(
                 np.concatenate([[0], np.cumsum(ln)[:-1]]), ln)
-            flat = (np.repeat(st, ln) * (rstep * S * L)
+            flat = (np.repeat(st, ln) * (dmax * S * L)
                     + (np.repeat(sl, ln) * S + np.repeat(sb, ln)) * L
                     + np.repeat(dd, ln) + off)
             planes.reshape(-1)[flat] = (
@@ -417,6 +457,8 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     a_r[a_chunk, bucket, lane] = col_lane[cc].astype(np.int8)
     a_vals[a_chunk, bucket, lane] = vv
     a_page[:len(chunk_tile)] = chunk_tile
+    el_slot = np.empty(nnz, np.int64)
+    el_slot[order] = (a_chunk * CHUNK + bucket * L + lane)
 
     return PlanarSpMVLayout(
         a_r=a_r, xperm=xperm, a_vals=a_vals, a_page=a_page, rg=rg,
@@ -424,7 +466,9 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         c_code=c_code, c_hi=c_hi, c_lo=c_lo,
         num_rows=nrows, num_cols=ncols, nnz=nnz,
         num_col_tiles=ncols // 1024, num_regions=nregions,
-        region_rows=region_rows, cb=cb, rstep=rstep, f=f, nsteps=nsteps,
+        region_rows=region_rows, cb=cb, rstep=rstep, f=f, dmax=dmax,
+        nsteps=nsteps,
         fill_a=nnz / max(nca * CHUNK, 1),
         fill_stream=nnz / max(nsteps * f * CHUNK, 1),
+        el_slot=el_slot,
     )

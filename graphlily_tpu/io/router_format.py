@@ -92,6 +92,8 @@ class RouterSpMVLayout:
     nsteps: int
     fill_a: float          # nnz / A-chunk slots
     fill_stream: float     # nnz / flush-stream slots
+    el_slot: np.ndarray | None = None   # (nnz,) original-order nnz -> flat
+                                        # a_vals slot (structure/value split)
 
     @property
     def mem_bytes(self) -> int:
@@ -186,6 +188,7 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     else:
         order = np.lexsort((cc, rr, page))
     rr, cc, vv, page = rr[order], cc[order], vv[order], page[order]
+    perm = order                      # original element -> current position
 
     page_ids, pstart, pcount = np.unique(page, return_index=True,
                                          return_counts=True)
@@ -224,6 +227,7 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         rr, cc, vv = rr[order2], cc[order2], vv[order2]
         a_chunk, a_flat = a_chunk[order2], a_flat[order2]
         region = region[order2]
+        perm = perm[order2]
     elif len(chunk_page) < nsteps_deposit * cb:
         chunk_page = np.concatenate(
             [chunk_page,
@@ -397,6 +401,8 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     a_page_arr = np.zeros(ncap, np.int32)
     a_r[a_chunk, a_flat // 128, a_flat % 128] = (cc & 127).astype(np.int8)
     a_vals[a_chunk, a_flat // 128, a_flat % 128] = vv
+    el_slot = np.empty(nnz, np.int64)
+    el_slot[perm] = a_chunk * CHUNK + a_flat
     a_page_arr[:len(chunk_page)] = chunk_page >> 3
     # the sublane plane must hold the chunk constant page%8 at EVERY slot
     # (padding included): the chained gather reads sub at (s, r[s,l]), an
@@ -432,4 +438,5 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         cb=cb, rstep=rstep, f=f, nsteps=nsteps,
         fill_a=nnz / max(nca * CHUNK, 1),
         fill_stream=nnz / max(nsteps * f * CHUNK, 1),
+        el_slot=el_slot,
     )

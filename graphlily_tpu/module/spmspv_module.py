@@ -68,23 +68,26 @@ class SpMSpVModule(BaseModule):
                 # chunk_order="col": groups each grid step's chunks by col
                 # tile so the predicated kernel can skip steps whose tiles
                 # hold no frontier entries (work-proportional push)
-                lay = pack_csr_chunks(csr_twin, self.config,
-                                      pad_val=float(self.semiring_.zero),
-                                      chunk_order="col")
+                from ..io.layout_cache import pack_cached
+                lay = pack_cached("chunked", csr_twin, self.config,
+                                  cache_dir=self.config.layout_cache,
+                                  pad_val=float(self.semiring_.zero),
+                                  chunk_order="col")
                 self._pallas = PallasSpMV(lay, self.semiring_, self.config,
                                           MaskType.NO_MASK)
             else:
                 from .spmv_module import resolve_router_flavor
+                from ..io.layout_cache import pack_cached
                 if resolve_router_flavor(csr_twin) == "roll":
-                    from ..io.router_format import pack_router
                     from ..ops.router_pallas import RouterSpMV
-                    lay = pack_router(csr_twin, self.config)
+                    lay = pack_cached("router", csr_twin, self.config,
+                                      cache_dir=self.config.layout_cache)
                     self._pallas = RouterSpMV(lay, self.semiring_,
                                               self.config, MaskType.NO_MASK)
                 else:
-                    from ..io.planar_format import pack_planar
                     from ..ops.router_pallas import PlanarSpMV
-                    lay = pack_planar(csr_twin, self.config)
+                    lay = pack_cached("planar", csr_twin, self.config,
+                                      cache_dir=self.config.layout_cache)
                     self._pallas = PlanarSpMV(lay, self.semiring_,
                                               self.config, MaskType.NO_MASK)
         else:

@@ -98,8 +98,10 @@ class SpMVModule(BaseModule):
                                    and estimate_chunk_layout_gb(csr_matrix)
                                    <= 2.0))
             if use_chunked:
-                lay = pack_csr_chunks(csr_matrix, self.config,
-                                      pad_val=float(self.semiring_.zero))
+                from ..io.layout_cache import pack_cached
+                lay = pack_cached("chunked", csr_matrix, self.config,
+                                  cache_dir=self.config.layout_cache,
+                                  pad_val=float(self.semiring_.zero))
                 self._pallas = PallasSpMV(lay, self.semiring_, self.config,
                                           self.mask_type_)
                 self.num_rows_, self.num_cols_ = lay.num_rows, lay.num_cols
@@ -108,16 +110,18 @@ class SpMVModule(BaseModule):
         if engine == "router":
             engine = resolve_router_flavor(csr_matrix)
         if engine == "roll":
-            from ..io.router_format import pack_router
+            from ..io.layout_cache import pack_cached
             from ..ops.router_pallas import RouterSpMV
-            lay = pack_router(csr_matrix, self.config)
+            lay = pack_cached("router", csr_matrix, self.config,
+                              cache_dir=self.config.layout_cache)
             self._pallas = RouterSpMV(lay, self.semiring_, self.config,
                                       self.mask_type_)
             self.num_rows_, self.num_cols_ = lay.num_rows, lay.num_cols
         elif engine == "planar":
-            from ..io.planar_format import pack_planar
+            from ..io.layout_cache import pack_cached
             from ..ops.router_pallas import PlanarSpMV
-            lay = pack_planar(csr_matrix, self.config)
+            lay = pack_cached("planar", csr_matrix, self.config,
+                              cache_dir=self.config.layout_cache)
             self._pallas = PlanarSpMV(lay, self.semiring_, self.config,
                                       self.mask_type_)
             self.num_rows_, self.num_cols_ = lay.num_rows, lay.num_cols
@@ -184,10 +188,14 @@ class SpMVModule(BaseModule):
         return self._pallas.arrays if self._pallas is not None else self._coo
 
     def apply(self, x: jax.Array, mask: jax.Array | None = None,
-              state=None) -> jax.Array:
-        """Functional core: y = mask(A (x) x). Jittable."""
+              state=None, out_3d: bool = False) -> jax.Array:
+        """Functional core: y = mask(A (x) x). Jittable. With `out_3d`
+        (pallas engines only) x/y ride as (n/1024, 8, 128) tiles so fused
+        loops skip the 1D<->tiled relayout each iteration."""
         if self._pallas is not None:
-            return self._pallas(x, mask, self.mask_type_, arrays=state)
+            return self._pallas(x, mask, self.mask_type_, arrays=state,
+                                out_3d=out_3d)
+        assert not out_3d, "3D carries need a pallas engine"
         coo = state if state is not None else self._coo
         return spmv_coo(coo, x, self.semiring_, mask, self.mask_type_)
 

@@ -140,7 +140,10 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                 cur = w1
                 gch = jnp.where(flat_i < cur, acc_ref[slot], 0.0)
                 if not fuse:
-                    o_ref[0, pl.ds(q, 1)] = gch[None]
+                    # HBM flush stream may ride narrower than the f32
+                    # accumulator (bf16 when the reduce dot rounds to bf16
+                    # anyway at DEFAULT precision: halves the round-trip)
+                    o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
                 else:
                     ring_ref[pl.ds(q, 1)] = gch[None]
 
@@ -180,9 +183,9 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
 @functools.partial(
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "nreg", "nct", "nsteps",
-                     "interpret", "dtype"))
+                     "interpret", "dtype", "gdtype"))
 def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
-                         nreg, nct, nsteps, interpret, dtype):
+                         nreg, nct, nsteps, interpret, dtype, gdtype=None):
     kernel = _make_scatter_kernel(op, cb, rstep, nreg)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
@@ -198,7 +201,8 @@ def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
         ],
         out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L), jnp.dtype(dtype)),
+        out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L),
+                                       jnp.dtype(gdtype or dtype)),
         scratch_shapes=[
             pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
             pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
@@ -275,7 +279,8 @@ def _make_reduce_kernel(cbc: int, rh: int, precision):
                 acc = jnp.zeros((rh, L), jnp.float32)
                 for s in range(S):
                     row = k * S + s
-                    g = g_ref[0, k, s:s + 1, :]
+                    # upcast on the (1,128) row: the stream may ride bf16
+                    g = g_ref[0, k, s:s + 1, :].astype(jnp.float32)
                     hi = hi_all[row:row + 1, :]
                     lo = lo_all[row:row + 1, :]
                     oh_hi = (hi_t == hi).astype(jnp.float32)     # (rh, L)
@@ -384,7 +389,7 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
              r_ref,               # (1, cb*8, 128) int8 : lane = col & 127
              v_ref,               # (1, cb*8, 128) f32|bf16
              rg_ref,              # (1, rstep, 2) int32 SMEM
-             pl_ref,              # (1, rstep*8, 128) int8 deposit planes
+             pl_ref,              # (1, dmax, 8, 128) int8 deposit planes
              code_ref,            # (1, 1, f) int32 SMEM
              hi_ref,              # (1, f*8, 128) int8
              lo_ref,              # (1, f*8, 128) int8
@@ -419,17 +424,16 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
             g_buf[k] = g
 
         # ---- phase B: plane deposits + flushes ----------------------------
-        pl_all = pl_ref[0]
         for j in range(rstep):
             w1 = rg_ref[0, j, 0]
             w2 = rg_ref[0, j, 1]
             slot = w2 & 0xFFF
 
-            @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step, plane at slot j
+            @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step | plane<<8
             def _():
-                pv = pl_all[j * S:(j + 1) * S, :].astype(jnp.int32)
+                pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
                 idx = pv & 127
-                g = jnp.take_along_axis(g_buf[w1], idx, axis=1)
+                g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
                 acc_ref[slot] = jnp.where(pv < 0, g, acc_ref[slot])
 
             @pl.when(w2 < 0)   # flush: copy + zero
@@ -439,7 +443,7 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                 if fuse:
                     ring_ref[pl.ds(q, 1)] = gch[None]
                 else:
-                    o_ref[0, pl.ds(q, 1)] = gch[None]
+                    o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
                 acc_ref[slot] = jnp.zeros_like(gch)
 
         if not fuse:
@@ -474,10 +478,11 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("op", "cb", "rstep", "f", "nreg", "nct", "nsteps",
-                     "interpret", "dtype"))
+    static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "nct",
+                     "nsteps", "interpret", "dtype", "gdtype"))
 def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
-                         nreg, nct, nsteps, interpret, dtype):
+                         dmax, nreg, nct, nsteps, interpret, dtype,
+                         gdtype=None):
     kernel = _make_planar_kernel(op, cb, rstep, nreg)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
@@ -488,12 +493,14 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
             pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, rstep * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
         ],
         out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L), jnp.dtype(dtype)),
+        out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L),
+                                       jnp.dtype(gdtype or dtype)),
         scratch_shapes=[
             pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
             pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
@@ -505,10 +512,11 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("op", "cb", "rstep", "f", "nreg", "rh", "nregions",
-                     "nct", "nsteps", "mxu_precision", "interpret", "dtype"))
+    static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "rh",
+                     "nregions", "nct", "nsteps", "mxu_precision",
+                     "interpret", "dtype"))
 def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
-                       cb, rstep, f, nreg, rh, nregions, nct, nsteps,
+                       cb, rstep, f, dmax, nreg, rh, nregions, nct, nsteps,
                        mxu_precision, interpret, dtype):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
@@ -523,7 +531,8 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
             pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, rstep * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
@@ -587,16 +596,23 @@ class PlanarSpMV:
             jnp.asarray(lay.a_vals.reshape(lay.nsteps, lay.cb * S, L)
                         .astype(vdt)),
             jnp.asarray(lay.rg),
-            jnp.asarray(lay.planes.reshape(lay.nsteps, lay.rstep * S, L)),
+            jnp.asarray(lay.planes),
             jnp.asarray(lay.c_code.reshape(lay.nsteps, 1, lay.f)),
             jnp.asarray(lay.c_hi.reshape(lay.nsteps, lay.f * S, L)),
             jnp.asarray(lay.c_lo.reshape(lay.nsteps, lay.f * S, L)),
         )
         rh = lay.region_rows // 128
+        # split-mode flush stream dtype: bf16 when the reduce dot rounds its
+        # inputs to bf16 anyway (DEFAULT MXU precision) — halves the
+        # dominant HBM round-trip
+        gdt = ("bfloat16" if config.mxu_precision == "default"
+               else config.dtype)
         self._static_scatter = dict(
             op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
+            dmax=lay.dmax,
             nreg=lay.num_regions, nct=lay.num_col_tiles, nsteps=lay.nsteps,
             interpret=config.resolve_interpret(), dtype=config.dtype,
+            gdtype=gdt,
         )
         self._static_reduce = dict(
             cbc=lay.f, nregions=lay.num_regions, rh=rh, nsteps=lay.nsteps,
@@ -605,6 +621,7 @@ class PlanarSpMV:
         )
         self._static_fused = dict(
             op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
+            dmax=lay.dmax,
             nreg=lay.num_regions, rh=rh, nregions=lay.num_regions,
             nct=lay.num_col_tiles, nsteps=lay.nsteps,
             mxu_precision=config.mxu_precision,
@@ -615,16 +632,20 @@ class PlanarSpMV:
                + lay.num_regions * rh * L * 4
                + (lay.num_regions + lay.cb + lay.f) * 4096
                + 2 * (lay.cb * S * L * (1 + vbytes)
-                      + lay.rstep * S * L + 2 * lay.f * S * L
+                      + lay.dmax * S * L + 2 * lay.f * S * L
                       + lay.rstep * 8 + lay.cb * 4))
         self.fused = est <= 12e6
 
     def _x2(self, x, a):
-        """Static per-tile column re-layout of x (bucket balancing)."""
+        """Static per-tile column re-layout of x (bucket balancing).
+        Accepts x as (ncols,) or pre-tiled (nct, 8, 128) — the 1D form pays
+        a ~2.3 GB/s 1D->tiled relayout (measured 5.6 ms on full pokec), so
+        iterating callers should stay in 3D (see __call__ out_3d)."""
         nct = self.layout.num_col_tiles
-        return _xperm_call(a.xperm, x.reshape(nct, S, L), nct=nct,
+        x3 = x.reshape(nct, S, L) if x.ndim == 1 else x
+        return _xperm_call(a.xperm, x3, nct=nct,
                            interpret=self.config.resolve_interpret(),
-                           dtype=x.dtype)
+                           dtype=x3.dtype)
 
     def scatter(self, x, arrays=None):
         a = self.arrays if arrays is None else arrays
@@ -633,7 +654,12 @@ class PlanarSpMV:
                                     a.planes, x2, **self._static_scatter)
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
-                 arrays=None):
+                 arrays=None, out_3d: bool = False):
+        """One SpMV. `out_3d=True` returns y as (num_rows/1024, 8, 128) —
+        a FREE view of the region blocks (the (nregions, rh, 128) output's
+        row tiling matches the vector tiling exactly), so 3D-iterating
+        loops never pay the 1D<->tiled relayout. A 3D `mask` is required
+        with out_3d."""
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
@@ -646,7 +672,10 @@ class PlanarSpMV:
             g = self.scatter(x, arrays=a)
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
                                          **self._static_reduce)
-        y = blocks.reshape(-1)[:self.num_rows]
+        if out_3d:
+            y = blocks.reshape(-1, S, L)[:self.num_rows // (S * L)]
+        else:
+            y = blocks.reshape(-1)[:self.num_rows]
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))
         if mask is not None and mt != MaskType.NO_MASK:
@@ -717,10 +746,13 @@ class RouterSpMV:
             jnp.asarray(lo.reshape(nsteps_c, cbc * S, L)),
         )
         rh = lay.region_rows // 128
+        gdt = ("bfloat16" if config.mxu_precision == "default"
+               else config.dtype)   # see PlanarSpMV: bf16 flush stream
         self._static_scatter = dict(
             op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
             nreg=lay.num_regions, nct=lay.num_col_tiles, nsteps=lay.nsteps,
             interpret=config.resolve_interpret(), dtype=config.dtype,
+            gdtype=gdt,
         )
         self._static_reduce = dict(
             cbc=cbc, nregions=lay.num_regions, rh=rh,
@@ -748,17 +780,21 @@ class RouterSpMV:
         """Run phases A+B only: returns the flush-ordered value stream
         (exposed for tests against the formatter simulation)."""
         a = self.arrays if arrays is None else arrays
-        x2 = x.reshape(self.layout.num_col_tiles, S, L)
+        x2 = (x.reshape(self.layout.num_col_tiles, S, L)
+              if x.ndim == 1 else x)
         return _router_scatter_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
                                     a.rg, x2, **self._static_scatter)
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
-                 arrays: RouterArrays | None = None):
+                 arrays: RouterArrays | None = None, out_3d: bool = False):
+        """One SpMV; x as (ncols,) or (nct, 8, 128). `out_3d=True` returns
+        (num_rows/1024, 8, 128) — a free view of the region blocks — so
+        3D-iterating loops skip the ~2.3 GB/s 1D<->tiled relayout."""
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
         if self.fused:
-            x2 = x.reshape(lay.num_col_tiles, S, L)
+            x2 = x.reshape(lay.num_col_tiles, S, L) if x.ndim == 1 else x
             blocks = _router_fused_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
                                         a.rg, a.c_code, a.c_hi, a.c_lo, x2,
                                         **self._static_fused)
@@ -766,7 +802,10 @@ class RouterSpMV:
             g = self.scatter(x, arrays=a)
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
                                          **self._static_reduce)
-        y = blocks.reshape(-1)[:self.num_rows]
+        if out_3d:
+            y = blocks.reshape(-1, S, L)[:self.num_rows // (S * L)]
+        else:
+            y = blocks.reshape(-1)[:self.num_rows]
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))
         if mask is not None and mt != MaskType.NO_MASK:

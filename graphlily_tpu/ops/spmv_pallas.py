@@ -473,14 +473,18 @@ class PallasSpMV:
             self._static["fuse_dots"] = False
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
-                 arrays: ChunkArrays | None = None):
-        """y = mask(A (x) x). `x` is a dense (num_cols,) vector."""
+                 arrays: ChunkArrays | None = None, out_3d: bool = False):
+        """y = mask(A (x) x). `x` is a dense (num_cols,) vector or its
+        pre-tiled (nct, 8, 128) view; `out_3d=True` returns y as
+        (num_rows/1024, 8, 128) — a free view of the window-group blocks —
+        so iterating loops skip the ~2.3 GB/s 1D<->tiled relayout."""
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
-        x2 = x.reshape(self.layout.num_col_tiles, S, L)
+        x2 = (x.reshape(self.layout.num_col_tiles, S, L)
+              if x.ndim == 1 else x)
         call = _spmv_resident_call if self.resident else _spmv_pallas_call
         out = call(a.code, a.r, a.rows, a.vals, a.inv, x2, **self._static)
-        return self._epilogue(out, mask, mt)
+        return self._epilogue(out, mask, mt, out_3d)
 
     def call_predicated(self, x, sm, na, mask=None,
                         mask_type: MaskType | None = None,
@@ -499,8 +503,9 @@ class PallasSpMV:
             sm, na, a.code, a.r, a.rows, a.vals, a.inv, x2, **static)
         return self._epilogue(out, mask, mt)
 
-    def _epilogue(self, out, mask, mt):
-        y = out.reshape(self.num_rows)
+    def _epilogue(self, out, mask, mt, out_3d: bool = False):
+        y = (out.reshape(-1, S, L)[:self.num_rows // (S * L)] if out_3d
+             else out.reshape(self.num_rows))
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))
         if mask is not None and mt != MaskType.NO_MASK:

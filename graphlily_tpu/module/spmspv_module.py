@@ -159,10 +159,14 @@ class SpMSpVModule(BaseModule):
 
     def _run_engine(self, x, state):
         """One dense-frontier product through the engine; work-proportional
-        when the predicated resident kernel is available: only grid steps
-        whose col tiles intersect the active frontier execute (counterpart
-        of the reference's active-column bursts,
-        hw/kernel_spmspv_impl.h:55-124)."""
+        in every pallas flavor (counterpart of the reference's active-column
+        bursts, hw/kernel_spmspv_impl.h:55-124):
+          * chunked resident: only grid steps whose col tiles intersect the
+            active frontier execute (step-compacted predicated kernel);
+          * router/planar: deposit descriptors of chunks whose col tile is
+            frontier-inactive are masked out per call (_predicate_rg), so
+            the dominant per-deposit roll/gather work scales with the
+            frontier's tile footprint."""
         zero = self.semiring_.zero
         if self._predicated():
             st = state if state is not None else self.device_state()
@@ -176,6 +180,13 @@ class SpMSpVModule(BaseModule):
                              fill_value=0)[0].astype(jnp.int32)
             na = jnp.sum(step_active).astype(jnp.int32).reshape(1)
             return self._pallas.call_predicated(x, sm, na, arrays=arrays)
+        from ..ops.router_pallas import PlanarSpMV, RouterSpMV
+        if isinstance(self._pallas, (PlanarSpMV, RouterSpMV)):
+            nct = self._pallas.layout.num_col_tiles
+            act = jnp.any(x.reshape(nct, -1)
+                          != jnp.asarray(zero, x.dtype), axis=1)
+            return self._pallas(x, None, MaskType.NO_MASK, arrays=state,
+                                tiles_active=act)
         return self._pallas(x, None, MaskType.NO_MASK, arrays=state)
 
     def apply_dense(self, x, mask=None, state=None):

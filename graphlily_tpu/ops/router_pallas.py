@@ -146,6 +146,11 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                     o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
                 else:
                     ring_ref[pl.ds(q, 1)] = gch[None]
+                # zero after drain: a deposit SKIPPED by SpMSpV predication
+                # (descriptor masked to w2=0, see _predicate_rg) then leaves
+                # true zeros in its range instead of stale previous-cycle
+                # values; the cursor mask above keeps dense semantics exact
+                acc_ref[slot] = jnp.zeros_like(acc_ref[slot])
 
         if not fuse:
             return
@@ -248,6 +253,30 @@ def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2, *, op, cb,
         interpret=interpret,
     )
     return fn(page, r, sub, vals, rg, code, hi, lo, x2)
+
+
+def _predicate_rg(rg, a_page, tiles_active, flavor: str):
+    """SpMSpV work-proportional predication (counterpart of the reference's
+    active-column bursts, hw/kernel_spmspv_impl.h:55-124): mask the w2 word
+    of every DEPOSIT whose source chunk's col tile holds no active frontier
+    entry — the kernel's w2==0 path then skips its (dominant) gather/roll
+    work. Flushes keep running (accumulators may drain active contributions)
+    and skipped ranges read zero (accumulators are zeroed at flush), which
+    is exactly the skipped products' value: x is semiring-zero on inactive
+    columns. Pure XLA gathers (~nsteps*rstep int32s), jit-fusable.
+
+    `tiles_active`: (num_col_tiles,) bool/int — tile has a frontier entry.
+    """
+    w1, w2 = rg[..., 0], rg[..., 1]
+    if flavor == "planar":
+        k = w1 & 0xFF                       # chunk-in-step
+    else:                                   # roll: w1 = src16 | dst<<16
+        k = (w1 & 0xFFFF) // CHUNK
+    act_chunk = jnp.take(tiles_active.astype(jnp.int32), a_page[:, 0, :],
+                         axis=0, mode="clip")           # (nsteps, cb)
+    act_d = jnp.take_along_axis(act_chunk, k, axis=1)   # (nsteps, rstep)
+    dead = jnp.logical_and(w2 > 0, act_d == 0)
+    return jnp.stack([w1, jnp.where(dead, 0, w2)], axis=-1)
 
 
 def _make_reduce_kernel(cbc: int, rh: int, precision):
@@ -647,29 +676,34 @@ class PlanarSpMV:
                            interpret=self.config.resolve_interpret(),
                            dtype=x3.dtype)
 
-    def scatter(self, x, arrays=None):
+    def scatter(self, x, arrays=None, tiles_active=None):
         a = self.arrays if arrays is None else arrays
         x2 = self._x2(x, a)
-        return _planar_scatter_call(a.a_page, a.a_r, a.a_vals, a.rg,
+        rg = (a.rg if tiles_active is None
+              else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
+        return _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg,
                                     a.planes, x2, **self._static_scatter)
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
-                 arrays=None, out_3d: bool = False):
+                 arrays=None, out_3d: bool = False, tiles_active=None):
         """One SpMV. `out_3d=True` returns y as (num_rows/1024, 8, 128) —
         a FREE view of the region blocks (the (nregions, rh, 128) output's
         row tiling matches the vector tiling exactly), so 3D-iterating
         loops never pay the 1D<->tiled relayout. A 3D `mask` is required
-        with out_3d."""
+        with out_3d. `tiles_active` (num_col_tiles,) predicates deposits for
+        SpMSpV (see _predicate_rg)."""
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
         if self.fused:
             x2 = self._x2(x, a)
-            blocks = _planar_fused_call(a.a_page, a.a_r, a.a_vals, a.rg,
+            rg = (a.rg if tiles_active is None
+                  else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
+            blocks = _planar_fused_call(a.a_page, a.a_r, a.a_vals, rg,
                                         a.planes, a.c_code, a.c_hi, a.c_lo,
                                         x2, **self._static_fused)
         else:
-            g = self.scatter(x, arrays=a)
+            g = self.scatter(x, arrays=a, tiles_active=tiles_active)
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
                                          **self._static_reduce)
         if out_3d:
@@ -776,30 +810,37 @@ class RouterSpMV:
                       + 2 * lay.f * S * L + lay.rstep * 8 + lay.cb * 4))
         self.fused = est <= 12e6
 
-    def scatter(self, x, arrays: RouterArrays | None = None):
+    def scatter(self, x, arrays: RouterArrays | None = None,
+                tiles_active=None):
         """Run phases A+B only: returns the flush-ordered value stream
         (exposed for tests against the formatter simulation)."""
         a = self.arrays if arrays is None else arrays
         x2 = (x.reshape(self.layout.num_col_tiles, S, L)
               if x.ndim == 1 else x)
+        rg = (a.rg if tiles_active is None
+              else _predicate_rg(a.rg, a.a_page, tiles_active, "roll"))
         return _router_scatter_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
-                                    a.rg, x2, **self._static_scatter)
+                                    rg, x2, **self._static_scatter)
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
-                 arrays: RouterArrays | None = None, out_3d: bool = False):
+                 arrays: RouterArrays | None = None, out_3d: bool = False,
+                 tiles_active=None):
         """One SpMV; x as (ncols,) or (nct, 8, 128). `out_3d=True` returns
         (num_rows/1024, 8, 128) — a free view of the region blocks — so
-        3D-iterating loops skip the ~2.3 GB/s 1D<->tiled relayout."""
+        3D-iterating loops skip the ~2.3 GB/s 1D<->tiled relayout.
+        `tiles_active` (num_col_tiles,) predicates deposits for SpMSpV."""
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
         if self.fused:
             x2 = x.reshape(lay.num_col_tiles, S, L) if x.ndim == 1 else x
+            rg = (a.rg if tiles_active is None
+                  else _predicate_rg(a.rg, a.a_page, tiles_active, "roll"))
             blocks = _router_fused_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
-                                        a.rg, a.c_code, a.c_hi, a.c_lo, x2,
+                                        rg, a.c_code, a.c_hi, a.c_lo, x2,
                                         **self._static_fused)
         else:
-            g = self.scatter(x, arrays=a)
+            g = self.scatter(x, arrays=a, tiles_active=tiles_active)
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
                                          **self._static_reduce)
         if out_3d:

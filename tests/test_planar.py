@@ -79,6 +79,39 @@ def test_planar_region_sizes(rng):
         np.testing.assert_allclose(y, oracle(csr, x), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "split"])
+def test_planar_predicated_sparse_frontier(fused, rng):
+    """SpMSpV predication: with tiles_active masking inactive-tile deposits
+    (ops/router_pallas._predicate_rg), the result must still match the
+    oracle exactly — skipped deposits contribute zero because x is zero on
+    inactive tiles and accumulators are zeroed at flush."""
+    csr = rmat_csr(num_rows=4000, nnz=24000, seed=5)
+    lay = pack_planar(csr, CFG)
+    eng = PlanarSpMV(lay, ArithmeticSemiring, CFG)
+    eng.fused = fused
+    nct = lay.num_cols // 1024
+    for sparsity in (0.5, 0.999):
+        x = np.zeros(lay.num_cols, np.float32)
+        nnz_vec = max(1, int(round(lay.num_cols * (1 - sparsity))))
+        idx = rng.choice(lay.num_cols, size=nnz_vec, replace=False)
+        x[idx] = rng.random(nnz_vec).astype(np.float32) + 0.5
+        act = jnp.asarray(np.any(x.reshape(nct, -1) != 0, axis=1))
+        y = np.asarray(eng(jnp.asarray(x), tiles_active=act))
+        np.testing.assert_allclose(y, oracle(csr, x), rtol=2e-3, atol=2e-3)
+
+
+def test_planar_predicated_all_inactive(rng):
+    """An all-zero frontier must produce an all-zero result (every deposit
+    masked; flushes drain zeros)."""
+    csr = rmat_csr(num_rows=5000, nnz=30000, seed=6)
+    lay = pack_planar(csr, CFG)
+    eng = PlanarSpMV(lay, ArithmeticSemiring, CFG)
+    nct = lay.num_cols // 1024
+    x = jnp.zeros(lay.num_cols, jnp.float32)
+    y = np.asarray(eng(x, tiles_active=jnp.zeros(nct, bool)))
+    np.testing.assert_array_equal(y, 0.0)
+
+
 def test_planar_fill_balanced():
     """The per-tile column re-layout keeps chunk fill high even though RMAT
     hub columns concentrate whole physical buckets (snake re-layout measured

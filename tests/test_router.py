@@ -121,3 +121,29 @@ def test_router_fill_quality():
     lay2 = pack_router(csr2, EngineConfig(interpret=True))
     assert lay2.fill_a > 0.85, lay2.fill_a
     assert lay2.fill_stream > 0.55, lay2.fill_stream
+
+
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "split"])
+def test_router_predicated_sparse_frontier(fused, rng):
+    """SpMSpV predication on the roll router: masking inactive-tile deposit
+    descriptors (_predicate_rg) must not change results — accumulators are
+    zeroed at flush, so skipped ranges drain true zeros."""
+    config = EngineConfig(interpret=True)
+    csr = rmat_csr(num_rows=2000, nnz=20000, seed=15)
+    lay = pack_router(csr, config)
+    eng = RouterSpMV(lay, ArithmeticSemiring, config)
+    eng.fused = fused
+    nct = lay.num_cols // 1024
+    for sparsity in (0.5, 0.99):
+        x = np.zeros(lay.num_cols, np.float32)
+        nnz_vec = max(1, int(round(lay.num_cols * (1 - sparsity))))
+        idx = rng.choice(lay.num_cols, size=nnz_vec, replace=False)
+        x[idx] = rng.random(nnz_vec).astype(np.float32) + 0.5
+        act = jnp.asarray(np.any(x.reshape(nct, -1) != 0, axis=1))
+        y = np.asarray(eng(jnp.asarray(x), tiles_active=act))
+        padded = csr.copy()
+        util_round_csr_matrix_dim(padded, 1024, 1024)
+        want = np.asarray(spmv_coo(coo_from_csr(padded), jnp.asarray(x),
+                                   ArithmeticSemiring, None,
+                                   MaskType.NO_MASK))
+        np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)

@@ -505,13 +505,163 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
     return kernel
 
 
+def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
+                               fuse: bool = False, rh: int = 0,
+                               precision=None, fnum: int = 0,
+                               unroll: int = 16):
+    """Partially-unrolled phase B: a lax.fori_loop over descriptor slots,
+    `unroll` bodies per iteration. The fully-unrolled kernel compiles in
+    ~35 min at pokec scale (rstep=195, f=47 fused) — far beyond the bench
+    budget — while a fully-rolled loop costs ~148 ns/deposit vs 19 ns
+    unrolled (no cross-descriptor ILP; measured on full pokec). Partial
+    unroll keeps Mosaic's within-group scheduling (ILP across `unroll`
+    descriptors) with a ~rstep/unroll-times smaller program. Every index
+    the body uses is already dynamic (plane ordinal, source chunk,
+    accumulator slot), so nothing else is lost."""
+    def kernel(*refs):
+        if fuse:
+            (page_ref, r_ref, v_ref, rg_ref, pl_ref,
+             code_ref, hi_ref, lo_ref, x_ref, o_ref,
+             g_buf, acc_ref, ring_ref) = refs
+        else:
+            (page_ref, r_ref, v_ref, rg_ref, pl_ref, x_ref,
+             o_ref, g_buf, acc_ref) = refs
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            if fuse:
+                o_ref[...] = jnp.zeros_like(o_ref)
+
+        # ---- phase A: identical to the unrolled kernel --------------------
+        r_all = r_ref[0].astype(jnp.int32)
+        for k in range(cb):
+            t = x_ref[page_ref[0, 0, k]]
+            g = jnp.take_along_axis(t, r_all[k * S:(k + 1) * S, :], axis=1)
+            vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
+            if op == OpType.MULADD:
+                g = g * vals
+            elif op == OpType.ANDOR:
+                g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
+            else:
+                raise ValueError(op)
+            g_buf[k] = g
+
+        # ---- phase B: block-unrolled descriptor loop ----------------------
+        # Mosaic's pallas fori_loop lowering supports only unroll=1 or full
+        # unroll, so the partial unroll is MANUAL: a dynamic outer loop over
+        # ceil(rstep/unroll) blocks with `unroll` statically-inlined bodies
+        # — Mosaic schedules across the static bodies (ILP) while the
+        # program stays ~rstep/unroll times smaller than a full unroll.
+        def emit(j):
+            w1 = rg_ref[0, j, 0]
+            w2 = rg_ref[0, j, 1]
+            slot = w2 & 0xFFF
+
+            @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step | plane<<8
+            def _():
+                pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
+                idx = pv & 127
+                g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
+                acc_ref[slot] = jnp.where(pv < 0, g, acc_ref[slot])
+
+            @pl.when(w2 < 0)   # flush: copy + zero
+            def _():
+                q = (w2 >> 16) & 0xFF
+                gch = acc_ref[slot]
+                if fuse:
+                    ring_ref[pl.ds(q, 1)] = gch[None]
+                else:
+                    o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
+                acc_ref[slot] = jnp.zeros_like(gch)
+
+        nb = rstep // unroll
+
+        def body(b, carry):
+            base = b * unroll
+            for u in range(unroll):
+                emit(base + u)
+            return carry
+
+        if nb:
+            jax.lax.fori_loop(0, nb, body, 0, unroll=1)
+        for j in range(nb * unroll, rstep):   # static tail
+            emit(j)
+
+        if not fuse:
+            return
+
+        # ---- phase C: rolled reduce loop over flush ordinals --------------
+        hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
+        lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+
+        def cbody(qq, carry):
+            # hi/lo ride 4D (1, f, 8, 128) so the dynamic flush-ordinal
+            # index stays at vreg-tile granularity
+            c = code_ref[0, 0, qq]
+
+            @pl.when(c >= 0)
+            def _():
+                gch = ring_ref[qq]
+                hi8 = hi_ref[0, qq].astype(jnp.int32)        # (8, 128)
+                lo8 = lo_ref[0, qq].astype(jnp.int32)
+                accd = jnp.zeros((rh, L), jnp.float32)
+                for s in range(S):
+                    oh = (hi_t == hi8[s:s + 1, :]).astype(jnp.float32)
+                    ml = jnp.where(
+                        lo_t == lo8[s:s + 1, :],
+                        jnp.broadcast_to(gch[s:s + 1, :], (L, L)), 0.0)
+                    accd = accd + jax.lax.dot_general(
+                        oh, ml, (((1,), (1,)), ((), ())),
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+                o_ref[c] += accd.astype(o_ref.dtype)
+
+            return carry
+
+        jax.lax.fori_loop(0, fnum, cbody, 0, unroll=1)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "nct",
-                     "nsteps", "interpret", "dtype", "gdtype"))
+                     "nsteps", "interpret", "dtype", "gdtype", "looped"))
 def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
                          dmax, nreg, nct, nsteps, interpret, dtype,
-                         gdtype=None):
+                         gdtype=None, looped=False):
+    if looped:
+        kernel = _make_planar_kernel_looped(op, cb, rstep, nreg)
+        stream = lambda i: (i, 0, 0)
+        fn = pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, cb * S, L), stream,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cb * S, L), stream,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rstep, 2), stream,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+            ],
+            out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L),
+                                           jnp.dtype(gdtype or dtype)),
+            scratch_shapes=[
+                pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+            ],
+            interpret=interpret,
+        )
+        return fn(page, r, vals, rg, planes, x2)
     kernel = _make_planar_kernel(op, cb, rstep, nreg)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
@@ -543,12 +693,50 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "rh",
                      "nregions", "nct", "nsteps", "mxu_precision",
-                     "interpret", "dtype"))
+                     "interpret", "dtype", "looped"))
 def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
                        cb, rstep, f, dmax, nreg, rh, nregions, nct, nsteps,
-                       mxu_precision, interpret, dtype):
+                       mxu_precision, interpret, dtype, looped=False):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
+    if looped:
+        kernel = _make_planar_kernel_looped(op, cb, rstep, nreg, fuse=True,
+                                            rh=rh, precision=precision,
+                                            fnum=f)
+        stream = lambda i: (i, 0, 0)
+        fn = pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, cb * S, L), stream,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cb * S, L), stream,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rstep, 2), stream,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nregions, rh, L),
+                                           jnp.dtype(dtype)),
+            scratch_shapes=[
+                pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
+            ],
+            interpret=interpret,
+        )
+        return fn(page, r, vals, rg, planes, code,
+                  hi.reshape(nsteps, f, S, L), lo.reshape(nsteps, f, S, L),
+                  x2)
     kernel = _make_planar_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
                                  precision=precision, fnum=f)
     stream = lambda i: (i, 0, 0)
@@ -631,6 +819,14 @@ class PlanarSpMV:
             jnp.asarray(lay.c_lo.reshape(lay.nsteps, lay.f * S, L)),
         )
         rh = lay.region_rows // 128
+        # FUSED mode: partially-unrolled descriptor loop for big steps —
+        # the fully-unrolled fused kernel (rstep descriptor bodies + f
+        # inline reduces) hits a superlinear Mosaic compile blowup (~35 min
+        # at pokec scale rstep=195/f=47, vs 10-20 s for the same-size SPLIT
+        # kernels); unroll-by-8 keeps within-group ILP at ~24x smaller
+        # program. SPLIT kernels always fully unroll (19 ns/deposit vs
+        # 148 ns fully rolled, measured on full pokec).
+        self._looped = lay.rstep > 48
         # split-mode flush stream dtype: bf16 when the reduce dot rounds its
         # inputs to bf16 anyway (DEFAULT MXU precision) — halves the
         # dominant HBM round-trip
@@ -663,7 +859,10 @@ class PlanarSpMV:
                + 2 * (lay.cb * S * L * (1 + vbytes)
                       + lay.dmax * S * L + 2 * lay.f * S * L
                       + lay.rstep * 8 + lay.cb * 4))
-        self.fused = est <= 12e6
+        # 14.5 MB: VMEM is ~16 MB/core and the estimate is conservative —
+        # full-scale pokec (x 6.5 MB f32 + out 5.8 MB, est 13.7 MB) compiles
+        # and runs fused (28.8 ms vs 30.3 split, tools/planar_profile.py)
+        self.fused = est <= 14.5e6
 
     def _x2(self, x, a):
         """Static per-tile column re-layout of x (bucket balancing).
@@ -701,7 +900,8 @@ class PlanarSpMV:
                   else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
             blocks = _planar_fused_call(a.a_page, a.a_r, a.a_vals, rg,
                                         a.planes, a.c_code, a.c_hi, a.c_lo,
-                                        x2, **self._static_fused)
+                                        x2, looped=self._looped,
+                                        **self._static_fused)
         else:
             g = self.scatter(x, arrays=a, tiles_active=tiles_active)
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,

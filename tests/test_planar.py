@@ -100,6 +100,22 @@ def test_planar_predicated_sparse_frontier(fused, rng):
         np.testing.assert_allclose(y, oracle(csr, x), rtol=2e-3, atol=2e-3)
 
 
+def test_planar_looped_kernel(rng):
+    """Block-unrolled descriptor-loop kernel (ops/router_pallas,
+    _make_planar_kernel_looped) matches the fully-unrolled kernel's
+    results — it is the fused-mode default for rstep > 48 where full
+    unroll hits the Mosaic compile blowup (split mode always fully
+    unrolls: measured 19 ns vs 148 ns per deposit)."""
+    csr = rmat_csr(num_rows=1500, nnz=6000, seed=11)
+    lay = pack_planar(csr, CFG)
+    eng = PlanarSpMV(lay, ArithmeticSemiring, CFG)
+    eng._looped = True
+    eng.fused = True
+    x = rng.random(lay.num_cols).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x)))
+    np.testing.assert_allclose(y, oracle(csr, x), rtol=2e-3, atol=2e-3)
+
+
 def test_planar_predicated_all_inactive(rng):
     """An all-zero frontier must produce an all-zero result (every deposit
     masked; flushes drain zeros)."""

@@ -108,7 +108,8 @@ def choose_planar_region_rows(nrows: int, ncols: int, nnz: int) -> int:
 
 def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                 pad_val: float = 0.0, cb: int | None = None,
-                region_rows: int | None = None) -> PlanarSpMVLayout:
+                region_rows: int | None = None,
+                native: bool = True) -> PlanarSpMVLayout:
     assert pad_val == 0.0, "planar router supports MULADD/ANDOR (pad 0) only"
     work = csr.copy()
     util_round_csr_matrix_dim(work, 1024, 1024)
@@ -125,6 +126,21 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     rr = work.row_ids().astype(np.int64)
     cc = work.adj_indices[:nnz].astype(np.int64)
     vv = work.adj_data[:nnz].astype(np.float32)
+    if native and nnz:
+        # the C++ schedule builder produces bit-identical arrays ~20x faster
+        # on this 1-vCPU host (tests/test_native_pack.py verifies equality);
+        # it returns None when unavailable -> fall through to numpy
+        from ..native import planar_pack_native
+        nat = planar_pack_native(rr, cc, vv, nrows, ncols, region_rows,
+                                 cb or 0)
+        if nat is not None:
+            nca = nat.pop("nca")
+            return PlanarSpMVLayout(
+                num_rows=nrows, num_cols=ncols, nnz=nnz,
+                num_col_tiles=ncols // 1024, region_rows=region_rows,
+                fill_a=nnz / max(nca * CHUNK, 1),
+                fill_stream=nnz / max(nat["nsteps"] * nat["f"] * CHUNK, 1),
+                **nat)
     tile = cc >> 10
 
     # ---- per-tile column re-layout: balance bucket loads ------------------

@@ -141,7 +141,8 @@ def _balance_chunks(weight: np.ndarray, nsteps: int, cb: int) -> np.ndarray:
 
 def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                 pad_val: float = 0.0, cb: int | None = None,
-                region_rows: int | None = None) -> RouterSpMVLayout:
+                region_rows: int | None = None,
+                native: bool = True) -> RouterSpMVLayout:
     """Build the router layout + schedules. `pad_val` must be the semiring
     <x> annihilator (0 for arithmetic/logical — the only router semirings).
 
@@ -171,6 +172,19 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     rr = work.row_ids().astype(np.int64)
     cc = work.adj_indices[:nnz].astype(np.int64)
     vv = work.adj_data[:nnz].astype(np.float32)
+    if native and nnz:
+        # C++ schedule builder, bit-identical to the numpy path below
+        # (tests/test_native_pack.py); None -> numpy fallback
+        from ..native import router_pack_native
+        nat = router_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb)
+        if nat is not None:
+            nca = nat.pop("nca")
+            return RouterSpMVLayout(
+                num_rows=nrows, num_cols=ncols, nnz=nnz,
+                num_col_tiles=ncols // 1024, region_rows=region_rows,
+                fill_a=nnz / max(nca * CHUNK, 1),
+                fill_stream=nnz / max(nat["nsteps"] * nat["f"] * CHUNK, 1),
+                **nat)
 
     # ---- A-order: sort by (page, row, col); pack per 128-col page ---------
     # an A-chunk draws from ONE 128-col page: the kernel's chained ax0+ax1

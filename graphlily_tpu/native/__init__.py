@@ -23,9 +23,10 @@ def lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO) or (
-            os.path.getmtime(_SO) <
-            os.path.getmtime(os.path.join(_HERE, "formatter.cpp"))):
+    srcs = [os.path.join(_HERE, f)
+            for f in ("formatter.cpp", "planar_packer.cpp")]
+    if not os.path.exists(_SO) or any(
+            os.path.getmtime(_SO) < os.path.getmtime(s) for s in srcs):
         try:
             subprocess.run(["make", "-C", _HERE, "-s"], check=True,
                            capture_output=True, timeout=120)
@@ -47,6 +48,30 @@ def lib():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_float)]
+    _i64p = ctypes.POINTER(ctypes.c_int64)
+    _i8p = ctypes.POINTER(ctypes.c_int8)
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    _f32p = ctypes.POINTER(ctypes.c_float)
+    L.glt_planar_plan.restype = ctypes.c_int64
+    L.glt_planar_plan.argtypes = [
+        _i64p, _i64p, _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, _i64p]
+    L.glt_planar_emit.restype = None
+    L.glt_planar_emit.argtypes = [
+        ctypes.c_int64, _i8p, _i8p, _f32p, _i32p, _i32p, _i8p, _i32p,
+        _i8p, _i8p, _i64p]
+    L.glt_planar_abort.restype = None
+    L.glt_planar_abort.argtypes = [ctypes.c_int64]
+    L.glt_router_plan.restype = ctypes.c_int64
+    L.glt_router_plan.argtypes = [
+        _i64p, _i64p, _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, _i64p]
+    L.glt_router_emit.restype = None
+    L.glt_router_emit.argtypes = [
+        ctypes.c_int64, _i8p, _i8p, _f32p, _i32p, _i32p, _i32p,
+        _i8p, _i8p, _i64p]
+    L.glt_router_abort.restype = None
+    L.glt_router_abort.argtypes = [ctypes.c_int64]
     if not _self_test(L):
         return None
     _LIB = L
@@ -99,6 +124,105 @@ def pack_assign(rows: np.ndarray, cols: np.ndarray, nct: int):
     if nchunk < 0:
         return None
     return chunk_id, sub, lane, int(nchunk)
+
+
+def planar_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb):
+    """Native planar schedule build. Returns a dict of layout arrays + dims,
+    or None (unavailable / unsupported shape -> numpy fallback). Arrays are
+    bit-identical to io/planar_format.pack_planar's
+    (tests/test_native_pack.py)."""
+    L = lib()
+    if L is None:
+        return None
+    rr = np.ascontiguousarray(rr, np.int64)
+    cc = np.ascontiguousarray(cc, np.int64)
+    vv = np.ascontiguousarray(vv, np.float32)
+    nnz = len(rr)
+    dims = np.zeros(12, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    h = L.glt_planar_plan(
+        rr.ctypes.data_as(i64p), cc.ctypes.data_as(i64p),
+        vv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nnz, nrows, ncols, region_rows, cb if cb else -1,
+        dims.ctypes.data_as(i64p))
+    if h == 0:
+        return None
+    (nsteps, cbv, rstep, f, dmax, nregions, nca, ntiles, ncap,
+     nca2) = (int(v) for v in dims[:10])
+    try:
+        a_r = np.zeros((ncap, 8, 128), np.int8)
+        xperm = np.zeros((ntiles, 8, 8, 128), np.int8)
+        a_vals = np.zeros((ncap, 8, 128), np.float32)
+        a_page = np.zeros(ncap, np.int32)
+        rg = np.zeros((nsteps, rstep, 2), np.int32)
+        planes = np.zeros((nsteps, dmax, 8, 128), np.int8)
+        c_code = np.full(nsteps * f, -1, np.int32)
+        c_hi = np.zeros((nsteps * f, 8, 128), np.int8)
+        c_lo = np.zeros((nsteps * f, 8, 128), np.int8)
+        el_slot = np.empty(nnz, np.int64)
+    except MemoryError:
+        L.glt_planar_abort(h)
+        raise
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    L.glt_planar_emit(
+        h, a_r.ctypes.data_as(i8p), xperm.ctypes.data_as(i8p),
+        a_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        a_page.ctypes.data_as(i32p), rg.ctypes.data_as(i32p),
+        planes.ctypes.data_as(i8p), c_code.ctypes.data_as(i32p),
+        c_hi.ctypes.data_as(i8p), c_lo.ctypes.data_as(i8p),
+        el_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return dict(a_r=a_r, xperm=xperm, a_vals=a_vals, a_page=a_page, rg=rg,
+                planes=planes, c_code=c_code, c_hi=c_hi, c_lo=c_lo,
+                el_slot=el_slot, nsteps=nsteps, cb=cbv, rstep=rstep, f=f,
+                dmax=dmax, num_regions=nregions, nca=nca)
+
+
+def router_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb):
+    """Native router schedule build (bit-identical to pack_router's arrays);
+    returns a dict or None (-> numpy fallback)."""
+    L = lib()
+    if L is None:
+        return None
+    rr = np.ascontiguousarray(rr, np.int64)
+    cc = np.ascontiguousarray(cc, np.int64)
+    vv = np.ascontiguousarray(vv, np.float32)
+    nnz = len(rr)
+    dims = np.zeros(8, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    h = L.glt_router_plan(
+        rr.ctypes.data_as(i64p), cc.ctypes.data_as(i64p),
+        vv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nnz, nrows, ncols, region_rows, cb, dims.ctypes.data_as(i64p))
+    if h == 0:
+        return None
+    nsteps, cbv, rstep, f, nregions, nca, ncap, _ = (int(v) for v in dims)
+    try:
+        a_r = np.zeros((ncap, 8, 128), np.int8)
+        a_sub = np.zeros((ncap, 8, 128), np.int8)
+        a_vals = np.zeros((ncap, 8, 128), np.float32)
+        a_page = np.zeros(ncap, np.int32)
+        rg = np.zeros((nsteps, rstep, 2), np.int32)
+        c_code = np.full(nsteps * f, -1, np.int32)
+        c_hi = np.zeros((nsteps * f, 8, 128), np.int8)
+        c_lo = np.zeros((nsteps * f, 8, 128), np.int8)
+        el_slot = np.empty(nnz, np.int64)
+    except MemoryError:
+        L.glt_router_abort(h)
+        raise
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    L.glt_router_emit(
+        h, a_r.ctypes.data_as(i8p), a_sub.ctypes.data_as(i8p),
+        a_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        a_page.ctypes.data_as(i32p), rg.ctypes.data_as(i32p),
+        c_code.ctypes.data_as(i32p), c_hi.ctypes.data_as(i8p),
+        c_lo.ctypes.data_as(i8p),
+        el_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return dict(a_r=a_r, a_sub=a_sub, a_vals=a_vals, a_page=a_page, rg=rg,
+                c_code=c_code, c_hi=c_hi, c_lo=c_lo, el_slot=el_slot,
+                nsteps=nsteps, cb=cbv, rstep=rstep, f=f,
+                num_regions=nregions, nca=nca)
 
 
 def csr2csc_native(indptr, indices, data, num_rows, num_cols):

@@ -119,6 +119,12 @@ def tpu_correctness_gate(config):
     for sem in (ArithmeticSemiring, LogicalSemiring):
         cases.append((f"router/{sem.name}", RouterSpMV(lay_r, sem, config),
                       sem))
+    from graphlily_tpu.io.tropical_format import pack_tropical
+    from graphlily_tpu.ops.tropical_pallas import TropicalSpMV
+    lay_tr = pack_tropical(work, config)
+    cases.append(("tropical-engine",
+                  TropicalSpMV(lay_tr, TropicalSemiring, config),
+                  TropicalSemiring))
 
     tol = 3e-2 if config.mxu_precision == "default" else 2e-3
     for name, eng, sem in cases:
@@ -135,7 +141,8 @@ def tpu_correctness_gate(config):
                 f"TPU correctness gate FAILED: {name} mask={mt.name} "
                 f"rel err {err:.3e} (tol {tol}) — Mosaic miscompile?")
         log(f"gate ok: {name}")
-    log("TPU correctness gate passed (15 engine/semiring/mask combos)")
+    log(f"TPU correctness gate passed ({3 * len(cases)} "
+        "engine/semiring/mask combos)")
 
 
 def bench_spmv(csr, config, iters=100, engine="router"):
@@ -309,13 +316,16 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
 
 
 def feasible_sssp_scale(name, config):
-    """Largest stand-in scale whose chunked (tropical-capable) layout fits
-    the memory budget — the router has no tropical reduce (PARITY.md gap)."""
+    """SSSP now runs FULL scale on the scalable tropical engine (planar
+    scatter of the exact int32 encoding + window split + scan reduce,
+    ops/tropical_pallas.py); the only remaining guard is pack time — the
+    split-schedule builder walks deposits in Python on this 1-core host, so
+    cap the edge count rather than the (no longer binding) chunked-layout
+    memory."""
     from graphlily_tpu.io import iccad_standin
-    from graphlily_tpu.io.formatter import estimate_chunk_layout_gb
-    for sc in (1.0, 0.5, 0.25, 0.1, 0.05):
+    for sc in (1.0, 0.5, 0.25, 0.1):
         g = iccad_standin(name, scale=sc, seed=1)
-        if estimate_chunk_layout_gb(g) <= SSSP_EST_CAP_GB:
+        if g.nnz <= 130_000_000:
             return sc, g
     return None, None
 

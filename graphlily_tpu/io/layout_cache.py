@@ -54,10 +54,12 @@ def _packers():
     from .formatter import pack_csr_chunks, ChunkedSpMVLayout
     from .router_format import pack_router, RouterSpMVLayout
     from .planar_format import pack_planar, PlanarSpMVLayout
+    from .tropical_format import pack_tropical, TropicalSpMVLayout
     return {
         "chunked": (pack_csr_chunks, ChunkedSpMVLayout),
         "router": (pack_router, RouterSpMVLayout),
         "planar": (pack_planar, PlanarSpMVLayout),
+        "tropical": (pack_tropical, TropicalSpMVLayout),
     }
 
 
@@ -89,17 +91,28 @@ def value_key(csr) -> str:
     return h.hexdigest()
 
 
+def _collect_fields(layout, prefix: str, arrays: dict, meta: dict) -> None:
+    """Flatten a (possibly nested) layout dataclass: arrays keyed by dotted
+    path, scalars into meta, nested layouts recursed (TropicalSpMVLayout
+    wraps a PlanarSpMVLayout)."""
+    for f in dataclasses.fields(layout):
+        v = getattr(layout, f.name)
+        key = prefix + f.name
+        if isinstance(v, np.ndarray):
+            arrays[key] = v
+        elif dataclasses.is_dataclass(v) and not isinstance(v, type):
+            meta.setdefault("nested", {})[key] = type(v).__name__
+            _collect_fields(v, key + ".", arrays, meta)
+        elif v is None:
+            meta.setdefault("none_fields", []).append(key)
+        else:
+            meta[key] = v
+
+
 def save_layout(path: str, layout, vkey: str, pad_val: float) -> None:
     arrays, meta = {}, {"value_key": vkey, "pad_val": pad_val,
                         "cls": type(layout).__name__}
-    for f in dataclasses.fields(layout):
-        v = getattr(layout, f.name)
-        if isinstance(v, np.ndarray):
-            arrays[f.name] = v
-        elif v is None:
-            meta.setdefault("none_fields", []).append(f.name)
-        else:
-            meta[f.name] = v
+    _collect_fields(layout, "", arrays, meta)
     # atomic publish: a parallel/interrupted writer must never leave a
     # truncated npz that future runs deserialize
     d = os.path.dirname(path) or "."
@@ -116,25 +129,45 @@ def save_layout(path: str, layout, vkey: str, pad_val: float) -> None:
         raise
 
 
+def _layout_classes():
+    return {cls.__name__: cls for _, cls in _packers().values()}
+
+
+def _build_fields(cls, prefix: str, z, meta):
+    kw = {}
+    nested = meta.get("nested", {})
+    for f in dataclasses.fields(cls):
+        key = prefix + f.name
+        if key in nested:
+            kw[f.name] = _build_fields(_layout_classes()[nested[key]],
+                                       key + ".", z, meta)
+        elif key in z.files:
+            kw[f.name] = z[key]
+        elif key in meta:
+            kw[f.name] = meta[key]
+        # else: None default
+    return cls(**kw)
+
+
 def load_layout(path: str, cls):
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
-        kw = {}
-        for f in dataclasses.fields(cls):
-            if f.name in z.files:
-                kw[f.name] = z[f.name]
-            elif f.name in meta:
-                kw[f.name] = meta[f.name]
-            # else: None default
-    return cls(**kw), meta
+        layout = _build_fields(cls, "", z, meta)
+    return layout, meta
 
 
 def _refill_values(layout, csr, pad_val: float) -> None:
     """Structure hit, value miss: rewrite the value stream in place."""
+    data = csr.adj_data[:csr.nnz]
+    if hasattr(layout, "planar"):       # tropical: planar pass-1 carries the
+        from ..semiring import FLOAT_INF  # raw values, pad INF, domain [0,INF]
+        layout = layout.planar
+        pad_val = float(FLOAT_INF)
+        data = np.clip(data, 0.0, float(FLOAT_INF))
     vals = layout.vals if hasattr(layout, "vals") else layout.a_vals
     flat = vals.reshape(-1)
     flat[:] = pad_val
-    flat[layout.el_slot] = csr.adj_data[:csr.nnz].astype(vals.dtype)
+    flat[layout.el_slot] = data.astype(vals.dtype)
 
 
 def pack_cached(kind: str, csr, config=None, cache_dir: Optional[str] = None,

@@ -84,6 +84,10 @@ class PlanarSpMVLayout:
                                         # a_vals slot (structure/value split:
                                         # re-valuing a cached layout is one
                                         # O(nnz) scatter, no re-simulation)
+    el_stream: np.ndarray | None = None  # (nnz,) original-order nnz -> flat
+                                         # flush-stream slot (numpy path with
+                                         # keep_el_stream=True only; feeds
+                                         # the tropical split-pass builder)
 
     @property
     def mem_bytes(self) -> int:
@@ -91,6 +95,46 @@ class PlanarSpMVLayout:
                 + self.a_vals.nbytes + self.a_page.nbytes
                 + self.rg.nbytes + self.planes.nbytes + self.c_code.nbytes
                 + self.c_hi.nbytes + self.c_lo.nbytes)
+
+
+def simulate_cursors(dc, dr, dl, nkeys: int):
+    """Per-(key, sublane) cursor simulation shared by the planar packer and
+    the tropical split-pass builder: deposits run in (dc, dr) order; one that
+    would overflow any sublane past 128 lanes is SPLIT at the boundary
+    (piece 1 tops the accumulator, a flush drains it, piece 2 restarts at
+    lane 0). `dr` doubles as the cursor key (< nkeys)."""
+    ed = np.lexsort((dr, dc))
+    dc, dr, dl = dc[ed], dr[ed], dl[ed]
+    nd_ = len(dc)
+    C = np.zeros((nkeys, S), np.int64)
+    cycle = np.zeros(nkeys, np.int64)
+    d_dest1 = np.zeros((nd_, S), np.int64)
+    d_part1 = np.zeros((nd_, S), np.int64)
+    d_cyc1 = np.zeros(nd_, np.int64)
+    d_cyc2 = np.zeros(nd_, np.int64)
+    d_split = np.zeros(nd_, bool)
+    for i in range(nd_):
+        r = dr[i]
+        lens = dl[i]
+        Cr = C[r]
+        if np.any(Cr + lens > L):
+            p1 = np.minimum(lens, L - Cr)
+            d_dest1[i] = Cr
+            d_part1[i] = p1
+            d_cyc1[i] = cycle[r]
+            d_split[i] = True
+            cycle[r] += 1
+            C[r] = lens - p1
+            d_cyc2[i] = cycle[r]
+        else:
+            d_dest1[i] = Cr
+            d_part1[i] = lens
+            d_cyc1[i] = d_cyc2[i] = cycle[r]
+            C[r] = Cr + lens
+    import types
+    return types.SimpleNamespace(
+        ed=ed, dc=dc, dr=dr, dl=dl, dest1=d_dest1, part1=d_part1,
+        cyc1=d_cyc1, cyc2=d_cyc2, split=d_split, C=C, cycle=cycle)
 
 
 def choose_planar_region_rows(nrows: int, ncols: int, nnz: int) -> int:
@@ -109,8 +153,18 @@ def choose_planar_region_rows(nrows: int, ncols: int, nnz: int) -> int:
 def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                 pad_val: float = 0.0, cb: int | None = None,
                 region_rows: int | None = None,
-                native: bool = True) -> PlanarSpMVLayout:
-    assert pad_val == 0.0, "planar router supports MULADD/ANDOR (pad 0) only"
+                native: bool = True,
+                keep_el_stream: bool = False,
+                hi_pad: int = 0) -> PlanarSpMVLayout:
+    """`hi_pad`: fill value for unoccupied c_hi slots. The ADD reduce wants 0
+    (inert: one-hot adds the zero value at row 0); the tropical split-pass
+    builder wants -1 so padding slots are identifiable.
+
+    `pad_val` fills empty A-VALUE slots only (the <x> annihilator: 0 for
+    MULADD/ANDOR, FLOAT_INF for the tropical engine's raw-value stream).
+    The flush stream's zero-at-flush discipline is independent of it — the
+    tropical encoding maps its INF products to the max-identity 0
+    (io/tropical_format.py)."""
     work = csr.copy()
     util_round_csr_matrix_dim(work, 1024, 1024)
     nrows, ncols = work.num_rows, work.num_cols
@@ -126,13 +180,13 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     rr = work.row_ids().astype(np.int64)
     cc = work.adj_indices[:nnz].astype(np.int64)
     vv = work.adj_data[:nnz].astype(np.float32)
-    if native and nnz:
+    if native and nnz and not keep_el_stream:
         # the C++ schedule builder produces bit-identical arrays ~20x faster
         # on this 1-vCPU host (tests/test_native_pack.py verifies equality);
         # it returns None when unavailable -> fall through to numpy
         from ..native import planar_pack_native
         nat = planar_pack_native(rr, cc, vv, nrows, ncols, region_rows,
-                                 cb or 0)
+                                 cb or 0, hi_pad=hi_pad, pad_val=pad_val)
         if nat is not None:
             nca = nat.pop("nca")
             return PlanarSpMVLayout(
@@ -240,48 +294,12 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     if nsub:
         d_lens[sub_of_dep, s_sub[d_order]] = s_len[d_order]
 
-    # ---- cursor simulation helper -----------------------------------------
-    # per (region, sublane) cursors; a deposit that would overflow any
-    # sublane past 128 lanes is SPLIT at the boundary: piece 1 tops the
-    # accumulator, a flush (copy + zero) drains it, piece 2 restarts at
-    # lane 0. Splitting keeps flushed chunks ~full (no-split flushing
-    # measured 50% stream fill on the googleplus stand-in: deposits there
-    # are near-chunk-sized, so the accumulator never merged two of them).
+    # ---- cursor simulation (see simulate_cursors above) -------------------
+    # Splitting keeps flushed chunks ~full (no-split flushing measured 50%
+    # stream fill on the googleplus stand-in: deposits there are
+    # near-chunk-sized, so the accumulator never merged two of them).
     def _simulate(dc, dr, dl):
-        """Run deposits in (chunk, region) order through the cursors.
-        Returns exec order + the permuted arrays + per-deposit placement."""
-        ed = np.lexsort((dr, dc))
-        dc, dr, dl = dc[ed], dr[ed], dl[ed]
-        nd_ = len(dc)
-        C = np.zeros((nregions, S), np.int64)
-        cycle = np.zeros(nregions, np.int64)
-        d_dest1 = np.zeros((nd_, S), np.int64)
-        d_part1 = np.zeros((nd_, S), np.int64)
-        d_cyc1 = np.zeros(nd_, np.int64)
-        d_cyc2 = np.zeros(nd_, np.int64)
-        d_split = np.zeros(nd_, bool)
-        for i in range(nd_):
-            r = dr[i]
-            lens = dl[i]
-            Cr = C[r]
-            if np.any(Cr + lens > L):
-                p1 = np.minimum(lens, L - Cr)
-                d_dest1[i] = Cr
-                d_part1[i] = p1
-                d_cyc1[i] = cycle[r]
-                d_split[i] = True
-                cycle[r] += 1
-                C[r] = lens - p1
-                d_cyc2[i] = cycle[r]
-            else:
-                d_dest1[i] = Cr
-                d_part1[i] = lens
-                d_cyc1[i] = d_cyc2[i] = cycle[r]
-                C[r] = Cr + lens
-        import types
-        return types.SimpleNamespace(
-            ed=ed, dc=dc, dr=dr, dl=dl, dest1=d_dest1, part1=d_part1,
-            cyc1=d_cyc1, cyc2=d_cyc2, split=d_split, C=C, cycle=cycle)
+        return simulate_cursors(dc, dr, dl, nregions)
 
     # ---- balance chunks across grid steps by EXACT item weight ------------
     # Flushes land in their triggering deposit's step, so rstep (max items
@@ -412,7 +430,7 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
 
     # ---- deposit planes + phase-C streams ---------------------------------
     planes = np.zeros((nsteps, dmax, S, L), np.int8)
-    c_hi = np.zeros((nsteps * f, S, L), np.int8)
+    c_hi = np.full((nsteps * f, S, L), hi_pad, np.int8)
     c_lo = np.zeros((nsteps * f, S, L), np.int8)
     if nsub:
         piece_step = np.empty(2 * nd, np.int64)
@@ -464,11 +482,14 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         oc, of_ = el_stream // CHUNK, el_stream % CHUNK
         c_hi[oc, of_ // L, of_ % L] = (row_in_reg >> 7).astype(np.int8)
         c_lo[oc, of_ // L, of_ % L] = (row_in_reg & 127).astype(np.int8)
+        if keep_el_stream:
+            el_stream_orig = np.empty(nnz, np.int64)
+            el_stream_orig[order[el_src]] = el_stream
 
     # ---- A streams --------------------------------------------------------
     ncap = nsteps * cb
     a_r = np.zeros((ncap, S, L), np.int8)
-    a_vals = np.zeros((ncap, S, L), np.float32)
+    a_vals = np.full((ncap, S, L), pad_val, np.float32)
     a_page = np.zeros(ncap, np.int32)
     a_r[a_chunk, bucket, lane] = col_lane[cc].astype(np.int8)
     a_vals[a_chunk, bucket, lane] = vv
@@ -487,4 +508,5 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         fill_a=nnz / max(nca * CHUNK, 1),
         fill_stream=nnz / max(nsteps * f * CHUNK, 1),
         el_slot=el_slot,
+        el_stream=(el_stream_orig if keep_el_stream and nnz else None),
     )

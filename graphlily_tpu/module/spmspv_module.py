@@ -62,9 +62,19 @@ class SpMSpVModule(BaseModule):
             from ..ops.spmv_pallas import PallasSpMV
             csr_twin = csc2csr(csc_matrix)
             tropical = self.semiring_.op == OpType.ADDMIN
-            use_chunked = (engine == "pallas" or tropical
-                           or estimate_chunk_layout_gb(csr_twin) <= 2.0)
-            if use_chunked:
+            feasible = (estimate_chunk_layout_gb(csr_twin) <= 2.0
+                        and csr_twin.num_rows <= 700_000)
+            use_chunked = engine == "pallas" or feasible
+            if tropical and not use_chunked:
+                # scalable tropical push: pass-1 deposits predicated by the
+                # frontier's tile footprint (ops/tropical_pallas.py)
+                from ..io.layout_cache import pack_cached
+                from ..ops.tropical_pallas import TropicalSpMV
+                lay = pack_cached("tropical", csr_twin, self.config,
+                                  cache_dir=self.config.layout_cache)
+                self._pallas = TropicalSpMV(lay, self.semiring_, self.config,
+                                            MaskType.NO_MASK)
+            elif use_chunked:
                 # chunk_order="col": groups each grid step's chunks by col
                 # tile so the predicated kernel can skip steps whose tiles
                 # hold no frontier entries (work-proportional push)
@@ -181,7 +191,8 @@ class SpMSpVModule(BaseModule):
             na = jnp.sum(step_active).astype(jnp.int32).reshape(1)
             return self._pallas.call_predicated(x, sm, na, arrays=arrays)
         from ..ops.router_pallas import PlanarSpMV, RouterSpMV
-        if isinstance(self._pallas, (PlanarSpMV, RouterSpMV)):
+        from ..ops.tropical_pallas import TropicalSpMV
+        if isinstance(self._pallas, (PlanarSpMV, RouterSpMV, TropicalSpMV)):
             nct = self._pallas.layout.num_col_tiles
             act = jnp.any(x.reshape(nct, -1)
                           != jnp.asarray(zero, x.dtype), axis=1)

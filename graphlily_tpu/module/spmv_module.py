@@ -81,9 +81,10 @@ class SpMVModule(BaseModule):
         self._coo = None
         tropical = self.semiring_.op == OpType.ADDMIN
         if engine == "router" and tropical:
-            # tropical has no MXU reduce (min is not a dot); the chunked
-            # kernel owns ADDMIN — honor the capability, not the knob
-            engine = "pallas"
+            # min has no MXU form, so tropical rides its own scalable
+            # engine: planar scatter of the exact int32 bit encoding +
+            # window split + segmented max-scan reduce (ops/tropical_pallas)
+            engine = "tropical"
         if engine == "auto" or engine == "pallas":
             use_chunked = engine == "pallas"
             if engine == "auto":
@@ -92,11 +93,15 @@ class SpMVModule(BaseModule):
                 # (higher fill + fused reduce: 6.7 vs 8.3 ms on the
                 # googleplus stand-in) and is the only full-scale option
                 # for the 1M+-vertex graphs; the chunked kernel keeps
-                # tropical and small inputs (format cost, interpret speed)
-                use_chunked = (tropical
-                               or (csr_matrix.nnz < 2_000_000
-                                   and estimate_chunk_layout_gb(csr_matrix)
-                                   <= 2.0))
+                # tropical-at-feasible-scale and small inputs (format cost,
+                # interpret speed) — bigger tropical goes to the scalable
+                # tropical engine
+                feasible = (estimate_chunk_layout_gb(csr_matrix) <= 2.0
+                            and csr_matrix.num_rows <= 700_000)
+                use_chunked = ((tropical and feasible)
+                               or (csr_matrix.nnz < 2_000_000 and feasible))
+                if tropical and not use_chunked:
+                    engine = "tropical"
             if use_chunked:
                 from ..io.layout_cache import pack_cached
                 lay = pack_cached("chunked", csr_matrix, self.config,
@@ -106,7 +111,17 @@ class SpMVModule(BaseModule):
                                           self.mask_type_)
                 self.num_rows_, self.num_cols_ = lay.num_rows, lay.num_cols
                 return
-            engine = "router"
+            if engine != "tropical":
+                engine = "router"
+        if engine == "tropical":
+            from ..io.layout_cache import pack_cached
+            from ..ops.tropical_pallas import TropicalSpMV
+            lay = pack_cached("tropical", csr_matrix, self.config,
+                              cache_dir=self.config.layout_cache)
+            self._pallas = TropicalSpMV(lay, self.semiring_, self.config,
+                                        self.mask_type_)
+            self.num_rows_, self.num_cols_ = lay.num_rows, lay.num_cols
+            return
         if engine == "router":
             engine = resolve_router_flavor(csr_matrix)
         if engine == "roll":

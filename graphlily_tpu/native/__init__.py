@@ -126,7 +126,8 @@ def pack_assign(rows: np.ndarray, cols: np.ndarray, nct: int):
     return chunk_id, sub, lane, int(nchunk)
 
 
-def planar_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb):
+def planar_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb, hi_pad=0,
+                       pad_val=0.0):
     """Native planar schedule build. Returns a dict of layout arrays + dims,
     or None (unavailable / unsupported shape -> numpy fallback). Arrays are
     bit-identical to io/planar_format.pack_planar's
@@ -152,12 +153,12 @@ def planar_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb):
     try:
         a_r = np.zeros((ncap, 8, 128), np.int8)
         xperm = np.zeros((ntiles, 8, 8, 128), np.int8)
-        a_vals = np.zeros((ncap, 8, 128), np.float32)
+        a_vals = np.full((ncap, 8, 128), pad_val, np.float32)
         a_page = np.zeros(ncap, np.int32)
         rg = np.zeros((nsteps, rstep, 2), np.int32)
         planes = np.zeros((nsteps, dmax, 8, 128), np.int8)
         c_code = np.full(nsteps * f, -1, np.int32)
-        c_hi = np.zeros((nsteps * f, 8, 128), np.int8)
+        c_hi = np.full((nsteps * f, 8, 128), hi_pad, np.int8)
         c_lo = np.zeros((nsteps * f, 8, 128), np.int8)
         el_slot = np.empty(nnz, np.int64)
     except MemoryError:

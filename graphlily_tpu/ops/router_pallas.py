@@ -44,11 +44,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EngineConfig, DEFAULT_CONFIG
-from ..semiring import Semiring, OpType, MaskType, apply_mask
+from ..semiring import Semiring, OpType, MaskType, apply_mask, FLOAT_INF
 from ..io.router_format import RouterSpMVLayout, CHUNK
 
 S = 8
 L = 128
+
+# Exact tropical encoding (see io/tropical_format.py): for v >= 0 the f32
+# bit pattern is order-preserving, so INF_BITS - bits(sat(v+x)) is an exact
+# order-REVERSING integer map with E(FLOAT_INF) = 0 — the scatter's
+# flush/padding zeros become the max-identity and the reduce is an int32 max.
+INF_BITS = int(np.float32(FLOAT_INF).view(np.int32))
+
+
+def _tropical_encode(vals, g):
+    """E(min(val + x, INF)) as int32; val pad = FLOAT_INF annihilates."""
+    p = jnp.minimum(vals + g, jnp.float32(FLOAT_INF))
+    return INF_BITS - jax.lax.bitcast_convert_type(p, jnp.int32)
 
 
 def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
@@ -448,6 +460,8 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                 g = g * vals
             elif op == OpType.ANDOR:
                 g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
+            elif op == OpType.ADDMIN:
+                g = _tropical_encode(vals, g)
             else:
                 raise ValueError(op)
             g_buf[k] = g
@@ -545,6 +559,8 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                 g = g * vals
             elif op == OpType.ANDOR:
                 g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
+            elif op == OpType.ADDMIN:
+                g = _tropical_encode(vals, g)
             else:
                 raise ValueError(op)
             g_buf[k] = g
@@ -633,6 +649,9 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
 def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
                          dmax, nreg, nct, nsteps, interpret, dtype,
                          gdtype=None, looped=False):
+    # tropical rides the exact int32 bit encoding end-to-end (see
+    # _tropical_encode); deposits/flushes are dtype-agnostic bit movers
+    sdt = jnp.int32 if op == OpType.ADDMIN else jnp.dtype(dtype)
     if looped:
         kernel = _make_planar_kernel_looped(op, cb, rstep, nreg)
         stream = lambda i: (i, 0, 0)
@@ -656,8 +675,8 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
             out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L),
                                            jnp.dtype(gdtype or dtype)),
             scratch_shapes=[
-                pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
-                pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((cb, S, L), sdt),
+                pltpu.VMEM((nreg, S, L), sdt),
             ],
             interpret=interpret,
         )
@@ -681,8 +700,8 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
         out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L),
                                        jnp.dtype(gdtype or dtype)),
         scratch_shapes=[
-            pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+            pltpu.VMEM((cb, S, L), sdt),
+            pltpu.VMEM((nreg, S, L), sdt),
         ],
         interpret=interpret,
     )

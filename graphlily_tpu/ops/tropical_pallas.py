@@ -1,0 +1,272 @@
+"""Scalable tropical (min-plus) SpMV engine: gather -> scatter -> window
+split -> scan/max reduce.
+
+Executes the TropicalSpMVLayout built by io/tropical_format.py (see its
+docstring for the full design). Pipeline per SpMV:
+
+  1. xperm + planar scatter (ops/router_pallas.py, op=ADDMIN): phase A
+     computes the EXACT int32 tropical encoding E(min(val+x, INF)) =
+     INF_BITS - bits(.) (order-reversing on non-negative f32, identity 0),
+     phase B radix-scatters it by `region_rows`-row region. Unchanged
+     planar machinery — deposits are dtype-agnostic bit movers.
+  2. an XLA chunk gather reorders the flush stream region-major.
+  3. SPLIT kernel (here): planar-style plane deposits redistribute each
+     region's stream into 128-row window-pure chunks; only
+     region_rows/128 digit accumulators are live (drained between regions
+     by pack-time flush descriptors).
+  4. WINDOW REDUCE kernel (here): per chunk, one per-sublane sort gather +
+     7-step segmented max-scan + run-end inv gather + sublane max gives the
+     (1,128) window max, accumulated into the resident (nwin, 1, 128)
+     output. The epilogue decodes y = bits^-1(INF_BITS - out).
+
+Counterpart of the reference's MIN_ADD SpMV at full scale (min-ALU PEs,
+graphlily/hw/ufixed_pe_fwd.h:23-65 + kernel_spmv_impl.h partitions); the
+chunked kernel (ops/spmv_pallas.py) remains the small-graph tropical path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..semiring import Semiring, OpType, MaskType, apply_mask, FLOAT_INF
+from .router_pallas import (_planar_scatter_call, _xperm_call, INF_BITS,
+                            PlanarArrays)
+
+S = 8
+L = 128
+
+
+def _make_split_kernel(kb: int, rstep: int, nreg: int):
+    """Window split: planar deposit/flush body minus phase A (the input is
+    the already-encoded region stream)."""
+    def kernel(rg_ref,            # (1, rstep, 2) int32 SMEM
+               g_ref,             # (1, kb, 8, 128) int32 region-major stream
+               pl_ref,            # (1, dmax, 8, 128) int8 deposit planes
+               o_ref,             # (1, f, 8, 128) int32 window stream block
+               acc_ref):          # scratch (nreg, 8, 128) int32
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        for j in range(rstep):
+            w1 = rg_ref[0, j, 0]
+            w2 = rg_ref[0, j, 1]
+            slot = w2 & 0xFFF
+
+            @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step | plane<<8
+            def _():
+                pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
+                g = jnp.take_along_axis(g_ref[0, w1 & 0xFF], pv & 127,
+                                        axis=1)
+                acc_ref[slot] = jnp.where(pv < 0, g, acc_ref[slot])
+
+            @pl.when(w2 < 0)   # flush: copy + zero
+            def _():
+                q = (w2 >> 16) & 0xFF
+                gch = acc_ref[slot]
+                o_ref[0, pl.ds(q, 1)] = gch[None]
+                acc_ref[slot] = jnp.zeros_like(gch)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kb", "rstep", "f", "dmax", "nreg", "nsteps",
+                     "interpret"))
+def _split_call(rg, g, planes, *, kb, rstep, f, dmax, nreg, nsteps,
+                interpret):
+    kernel = _make_split_kernel(kb, rstep, nreg)
+    stream = lambda i: (i, 0, 0)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, kb, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nreg, S, L), jnp.int32)],
+        interpret=interpret,
+    )
+    return fn(rg, g, planes)
+
+
+def _make_window_reduce_kernel(cbc: int):
+    """Per window-pure chunk: sort gather -> segmented max-scan -> run-end
+    inv gather -> sublane max -> resident window max-accumulate."""
+    def kernel(cwin_ref,          # (1, 1, cbc) int32 SMEM: window ids
+               g_ref,             # (1, cbc, 8, 128) int32
+               sort_ref,          # (1, cbc*8, 128) int8 sort permutation
+               row_ref,           # (1, cbc*8, 128) int8 POST-SORT row ids
+               inv_ref,           # (1, cbc*8, 128) int8 run-end lanes
+               o_ref):            # (nwin, 1, 128) int32 resident
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        for k in range(cbc):
+            c = cwin_ref[0, 0, k]
+
+            @pl.when(c >= 0)
+            def _():
+                sidx = sort_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32)
+                g = jnp.take_along_axis(g_ref[0, k], sidx & 127, axis=1)
+                rows = row_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32)
+                for shift in (1, 2, 4, 8, 16, 32, 64):
+                    g_s = pltpu.roll(g, shift, 1)
+                    r_s = pltpu.roll(rows, shift, 1)
+                    g = jnp.where(r_s == rows, jnp.maximum(g, g_s), g)
+                iv = inv_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32)
+                h = jnp.take_along_axis(g, iv & 127, axis=1)
+                h = jnp.where(iv < 0, h, 0)
+                m = jnp.max(h, axis=0, keepdims=True)       # (1, 128)
+                o_ref[c] = jnp.maximum(o_ref[c], m)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cbc", "nwin", "nsteps", "interpret"))
+def _window_reduce_call(cwin, g, sort2, rowids, inv2, *, cbc, nwin, nsteps,
+                        interpret):
+    kernel = _make_window_reduce_kernel(cbc)
+    stream = lambda i: (i, 0, 0)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cbc), stream, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cbc, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nwin, 1, L), jnp.int32),
+        interpret=interpret,
+    )
+    return fn(cwin, g, sort2, rowids, inv2)
+
+
+@jax.tree_util.register_pytree_node_class
+class TropicalArrays:
+    """Device-resident tropical streams as a jit-argument pytree."""
+
+    FIELDS = ("a_page", "a_r", "xperm", "a_vals", "rg", "planes",
+              "in_order", "rg2", "planes2", "c_win", "sort2", "rowids",
+              "inv2")
+
+    def __init__(self, *children):
+        for name, c in zip(self.FIELDS, children):
+            setattr(self, name, c)
+
+    def tree_flatten(self):
+        return tuple(getattr(self, n) for n in self.FIELDS), None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
+
+
+class TropicalSpMV:
+    """Compiled scalable tropical SpMV over a TropicalSpMVLayout. Same call
+    surface as PlanarSpMV. Requires x >= 0 (distances; matches the
+    reference's unsigned ufixed datatype, graphlily/global.h:63)."""
+
+    def __init__(self, layout, semiring: Semiring,
+                 config: EngineConfig = DEFAULT_CONFIG,
+                 mask_type: MaskType = MaskType.NO_MASK):
+        if semiring.op != OpType.ADDMIN:
+            raise ValueError("TropicalSpMV is the ADDMIN engine; use "
+                             "PlanarSpMV/RouterSpMV for MULADD/ANDOR")
+        self.layout = layout
+        self.semiring = semiring
+        self.config = config
+        self.mask_type = mask_type
+        self.num_rows = layout.num_rows
+        self.num_cols = layout.num_cols
+        p = layout.planar
+        self.arrays = TropicalArrays(
+            jnp.asarray(p.a_page.reshape(p.nsteps, 1, p.cb)),
+            jnp.asarray(p.a_r.reshape(p.nsteps, p.cb * S, L)),
+            jnp.asarray(p.xperm),
+            jnp.asarray(p.a_vals.reshape(p.nsteps, p.cb * S, L)),
+            jnp.asarray(p.rg),
+            jnp.asarray(p.planes),
+            jnp.asarray(layout.in_order.reshape(layout.nsteps2, layout.kb)),
+            jnp.asarray(layout.rg2),
+            jnp.asarray(layout.planes2),
+            jnp.asarray(layout.c_win.reshape(layout.nsteps2, 1, layout.f2)),
+            jnp.asarray(layout.sort2.reshape(layout.nsteps2,
+                                             layout.f2 * S, L)),
+            jnp.asarray(layout.rowids.reshape(layout.nsteps2,
+                                              layout.f2 * S, L)),
+            jnp.asarray(layout.inv2.reshape(layout.nsteps2,
+                                            layout.f2 * S, L)),
+        )
+        self._static_scatter = dict(
+            op=OpType.ADDMIN, cb=p.cb, rstep=p.rstep, f=p.f, dmax=p.dmax,
+            nreg=p.num_regions, nct=p.num_col_tiles, nsteps=p.nsteps,
+            interpret=config.resolve_interpret(), dtype="float32",
+            gdtype="int32", looped=p.rstep > 48)
+        self._static_split = dict(
+            kb=layout.kb, rstep=layout.rstep2, f=layout.f2,
+            dmax=layout.dmax2, nreg=layout.region_digits,
+            nsteps=layout.nsteps2, interpret=config.resolve_interpret())
+        self._static_reduce = dict(
+            cbc=layout.f2, nwin=layout.num_windows, nsteps=layout.nsteps2,
+            interpret=config.resolve_interpret())
+
+    def __call__(self, x, mask=None, mask_type: MaskType | None = None,
+                 arrays=None, out_3d: bool = False, tiles_active=None):
+        """One tropical SpMV: y[r] = min over nnz(r,c) of (A[r,c] + x[c]).
+        `out_3d` returns (num_rows/1024, 8, 128) — the window-major output
+        tiling equals the vector tiling, so the view is free. `tiles_active`
+        predicates pass-1 deposits for SpMSpV: skipped ranges read 0, the
+        MAX-identity of the bit-encoded domain (= E(INF), the tropical
+        annihilator), so inactive columns drop out exactly."""
+        from .router_pallas import _predicate_rg
+        mt = self.mask_type if mask_type is None else mask_type
+        a = self.arrays if arrays is None else arrays
+        lay = self.layout
+        p = lay.planar
+        nct = p.num_col_tiles
+        x3 = x.reshape(nct, S, L) if x.ndim == 1 else x
+        x2 = _xperm_call(a.xperm, x3, nct=nct,
+                         interpret=self.config.resolve_interpret(),
+                         dtype=x3.dtype)
+        rg = (a.rg if tiles_active is None
+              else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
+        g1 = _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg, a.planes,
+                                  x2, **self._static_scatter)
+        g1 = g1.reshape(p.nsteps * p.f, S, L)
+        gm = jnp.take(g1, a.in_order.reshape(-1), axis=0).reshape(
+            lay.nsteps2, lay.kb, S, L)
+        g2 = _split_call(a.rg2, gm, a.planes2, **self._static_split)
+        blocks = _window_reduce_call(a.c_win, g2, a.sort2, a.rowids, a.inv2,
+                                     **self._static_reduce)
+        ybits = INF_BITS - blocks.reshape(-1)[:self.num_rows]
+        y = jax.lax.bitcast_convert_type(ybits, jnp.float32)
+        if out_3d:
+            y = y.reshape(-1, S, L)
+        if mask is not None and mt != MaskType.NO_MASK:
+            y = apply_mask(y, mask, mt, self.semiring.zero)
+        return y

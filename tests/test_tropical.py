@@ -1,0 +1,169 @@
+"""Scalable tropical SpMV engine vs a float64 min-plus oracle (interpret).
+
+Covers the full pipeline of ops/tropical_pallas.py (exact int32 bit
+encoding -> planar scatter -> window split -> scan/max reduce): multi-region
+graphs with drains, accumulator splits, hub rows (rmat skew), empty rows
+(tropical zero), INF entries in x, and masks. Counterpart of the
+reference's MIN_ADD SpMV tests (tests/test_module_spmv_spmspv.cpp)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from graphlily_tpu import EngineConfig, TropicalSemiring, MaskType
+from graphlily_tpu.io import rmat_csr, uniform_csr, util_round_csr_matrix_dim
+from graphlily_tpu.io.tropical_format import pack_tropical
+from graphlily_tpu.ops.tropical_pallas import TropicalSpMV
+from graphlily_tpu.semiring import FLOAT_INF
+
+CFG = EngineConfig(interpret=True)
+
+
+def oracle(csr, x):
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    y = np.full(work.num_rows, float(FLOAT_INF))
+    rr = work.row_ids().astype(np.int64)
+    cc = work.adj_indices[:work.nnz].astype(np.int64)
+    vv = work.adj_data[:work.nnz].astype(np.float64)
+    p = np.minimum(vv + x[cc].astype(np.float64), float(FLOAT_INF))
+    np.minimum.at(y, rr, p)
+    return y.astype(np.float32)
+
+
+def run(csr, x, region_rows=None, **kw):
+    lay = pack_tropical(csr, CFG, region_rows=region_rows)
+    eng = TropicalSpMV(lay, TropicalSemiring, CFG)
+    return np.asarray(eng(jnp.asarray(x), **kw)), lay
+
+
+def rand_x(rng, n, inf_frac=0.3):
+    x = (rng.random(n) * 100).astype(np.float32)
+    x[rng.random(n) < inf_frac] = float(FLOAT_INF)
+    return x
+
+
+def test_tropical_small_exact(rng):
+    csr = rmat_csr(num_rows=3000, nnz=20000, seed=3)
+    x = rand_x(rng, 3072)
+    y, lay = run(csr, x)
+    # the bit encoding is EXACT: results match the f64 oracle bit-for-bit
+    np.testing.assert_array_equal(y, oracle(csr, x))
+
+
+def test_tropical_multi_region_drains(rng):
+    # rows >> region_rows: many regions, region-boundary drains, splits
+    csr = rmat_csr(num_rows=12000, nnz=60000, seed=7)
+    x = rand_x(rng, 12288)
+    y, lay = run(csr, x, region_rows=2048)
+    assert lay.planar.num_regions > 1 and lay.region_digits == 16
+    np.testing.assert_array_equal(y, oracle(csr, x))
+
+
+def test_tropical_hub_rows(rng):
+    # one hub row with thousands of entries: long same-row runs must merge
+    # through the scan across deposit boundaries
+    rng2 = np.random.default_rng(11)
+    rows = np.concatenate([np.zeros(5000, np.int64),
+                           rng2.integers(0, 6000, 20000)])
+    cols = rng2.integers(0, 6000, 25000)
+    vals = (rng2.random(25000) * 10).astype(np.float32)
+    from graphlily_tpu.io.matrix import csr_from_coo
+    csr = csr_from_coo(rows, cols, vals, 6000, 6000)
+    x = rand_x(rng, 6144, inf_frac=0.1)
+    y, _ = run(csr, x, region_rows=2048)
+    np.testing.assert_array_equal(y, oracle(csr, x))
+
+
+def test_tropical_empty_rows_give_inf(rng):
+    csr = uniform_csr(4000, 4000, 3, seed=5)
+    csr.adj_data[:] = np.abs(csr.adj_data)
+    # knock out some rows entirely
+    work = csr.copy()
+    x = rand_x(rng, 4096, inf_frac=0.0)
+    y, _ = run(work, x)
+    want = oracle(work, x)
+    np.testing.assert_array_equal(y, want)
+    deg = np.diff(work.adj_indptr[:work.num_rows + 1])
+    if (deg == 0).any():
+        assert (y[:work.num_rows][deg == 0] == float(FLOAT_INF)).all()
+
+
+def test_tropical_mask(rng):
+    from graphlily_tpu.semiring import apply_mask
+    csr = rmat_csr(num_rows=5000, nnz=30000, seed=13)
+    x = rand_x(rng, 5120)
+    lay = pack_tropical(csr, CFG)
+    eng = TropicalSpMV(lay, TropicalSemiring, CFG)
+    mask = (rng.random(lay.num_rows) < 0.5).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x), mask=jnp.asarray(mask),
+                       mask_type=MaskType.WRITE_TO_ZERO))
+    want = np.asarray(apply_mask(jnp.asarray(oracle(csr, x)),
+                                 jnp.asarray(mask),
+                                 MaskType.WRITE_TO_ZERO,
+                                 TropicalSemiring.zero))
+    np.testing.assert_array_equal(y, want)
+
+
+def test_tropical_out_3d(rng):
+    csr = rmat_csr(num_rows=3000, nnz=15000, seed=17)
+    x = rand_x(rng, 3072)
+    y3, _ = run(csr, x, out_3d=True)
+    assert y3.shape == (3, 8, 128)
+    np.testing.assert_array_equal(y3.reshape(-1)[:3072], oracle(csr, x))
+
+
+def test_tropical_tiles_active_predication(rng):
+    """SpMSpV predication: inactive-tile deposits are masked; with x = INF
+    outside the active tiles (tropical zero), results stay exact."""
+    csr = rmat_csr(num_rows=4000, nnz=24000, seed=19)
+    lay = pack_tropical(csr, CFG)
+    eng = TropicalSpMV(lay, TropicalSemiring, CFG)
+    nct = lay.num_col_tiles
+    x = np.full(nct * 1024, float(FLOAT_INF), np.float32)
+    # activate a couple of columns inside tile 1 only
+    x[1024 + 7] = 3.0
+    x[1024 + 500] = 0.0
+    act = np.zeros(nct, bool)
+    act[1] = True
+    y = np.asarray(eng(jnp.asarray(x), tiles_active=jnp.asarray(act)))
+    np.testing.assert_array_equal(y, oracle(csr, x))
+
+
+def test_tropical_layout_cache_roundtrip(rng, tmp_path):
+    """Nested-dataclass cache entry: store, exact hit, value refill."""
+    from graphlily_tpu.io.layout_cache import pack_cached
+    csr = rmat_csr(num_rows=3000, nnz=18000, seed=23)
+    x = rand_x(rng, 3072)
+    lay1 = pack_cached("tropical", csr, CFG, cache_dir=str(tmp_path))
+    lay2 = pack_cached("tropical", csr, CFG, cache_dir=str(tmp_path))
+    y1 = np.asarray(TropicalSpMV(lay1, TropicalSemiring, CFG)(jnp.asarray(x)))
+    y2 = np.asarray(TropicalSpMV(lay2, TropicalSemiring, CFG)(jnp.asarray(x)))
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_array_equal(y1, oracle(csr, x))
+    # same structure, new values -> refill path
+    csr2 = csr.copy()
+    csr2.adj_data[:csr2.nnz] = (np.arange(csr2.nnz) % 17).astype(np.float32)
+    lay3 = pack_cached("tropical", csr2, CFG, cache_dir=str(tmp_path))
+    y3 = np.asarray(TropicalSpMV(lay3, TropicalSemiring, CFG)(jnp.asarray(x)))
+    np.testing.assert_array_equal(y3, oracle(csr2, x))
+
+
+def test_tropical_module_selection():
+    """SpMVModule picks the tropical engine when the chunked layout is
+    infeasible or the router knob is set; results match the module oracle."""
+    from graphlily_tpu.module import SpMVModule
+    from graphlily_tpu.ops.tropical_pallas import TropicalSpMV as TEng
+    rng2 = np.random.default_rng(29)
+    csr = rmat_csr(num_rows=3000, nnz=18000, seed=31)
+    cfg = EngineConfig(interpret=True, engine="router")
+    m = SpMVModule(cfg)
+    m.set_semiring(TropicalSemiring)
+    m.set_mask_type(MaskType.NO_MASK)
+    m.load_and_format_matrix(csr)
+    assert isinstance(m._pallas, TEng)
+    x = (rng2.random(m.get_num_cols()) * 50).astype(np.float32)
+    m.send_vector_host_to_device(x)
+    m.run()
+    got = m.send_results_device_to_host()
+    want = m.compute_reference_results(x)
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -30,8 +30,10 @@ def oracle(csr, x):
     return y.astype(np.float32)
 
 
-def run(csr, x, region_rows=None, **kw):
-    lay = pack_tropical(csr, CFG, region_rows=region_rows)
+def run(csr, x, region_rows=None, kb=4, **kw):
+    # kb=4 keeps the unrolled split/reduce kernel bodies small: interpret-
+    # mode cost is TRACE time (~proportional to rstep2 + f2), not run time
+    lay = pack_tropical(csr, CFG, region_rows=region_rows, kb=kb)
     eng = TropicalSpMV(lay, TropicalSemiring, CFG)
     return np.asarray(eng(jnp.asarray(x), **kw)), lay
 
@@ -45,7 +47,7 @@ def rand_x(rng, n, inf_frac=0.3):
 def test_tropical_small_exact(rng):
     csr = rmat_csr(num_rows=3000, nnz=20000, seed=3)
     x = rand_x(rng, 3072)
-    y, lay = run(csr, x)
+    y, lay = run(csr, x, kb=16)   # default kb: the production geometry
     # the bit encoding is EXACT: results match the f64 oracle bit-for-bit
     np.testing.assert_array_equal(y, oracle(csr, x))
 
@@ -92,7 +94,7 @@ def test_tropical_mask(rng):
     from graphlily_tpu.semiring import apply_mask
     csr = rmat_csr(num_rows=5000, nnz=30000, seed=13)
     x = rand_x(rng, 5120)
-    lay = pack_tropical(csr, CFG)
+    lay = pack_tropical(csr, CFG, kb=4)
     eng = TropicalSpMV(lay, TropicalSemiring, CFG)
     mask = (rng.random(lay.num_rows) < 0.5).astype(np.float32)
     y = np.asarray(eng(jnp.asarray(x), mask=jnp.asarray(mask),
@@ -116,7 +118,7 @@ def test_tropical_tiles_active_predication(rng):
     """SpMSpV predication: inactive-tile deposits are masked; with x = INF
     outside the active tiles (tropical zero), results stay exact."""
     csr = rmat_csr(num_rows=4000, nnz=24000, seed=19)
-    lay = pack_tropical(csr, CFG)
+    lay = pack_tropical(csr, CFG, kb=4)
     eng = TropicalSpMV(lay, TropicalSemiring, CFG)
     nct = lay.num_col_tiles
     x = np.full(nct * 1024, float(FLOAT_INF), np.float32)
@@ -134,8 +136,8 @@ def test_tropical_layout_cache_roundtrip(rng, tmp_path):
     from graphlily_tpu.io.layout_cache import pack_cached
     csr = rmat_csr(num_rows=3000, nnz=18000, seed=23)
     x = rand_x(rng, 3072)
-    lay1 = pack_cached("tropical", csr, CFG, cache_dir=str(tmp_path))
-    lay2 = pack_cached("tropical", csr, CFG, cache_dir=str(tmp_path))
+    lay1 = pack_cached("tropical", csr, CFG, cache_dir=str(tmp_path), kb=4)
+    lay2 = pack_cached("tropical", csr, CFG, cache_dir=str(tmp_path), kb=4)
     y1 = np.asarray(TropicalSpMV(lay1, TropicalSemiring, CFG)(jnp.asarray(x)))
     y2 = np.asarray(TropicalSpMV(lay2, TropicalSemiring, CFG)(jnp.asarray(x)))
     np.testing.assert_array_equal(y1, y2)
@@ -143,7 +145,7 @@ def test_tropical_layout_cache_roundtrip(rng, tmp_path):
     # same structure, new values -> refill path
     csr2 = csr.copy()
     csr2.adj_data[:csr2.nnz] = (np.arange(csr2.nnz) % 17).astype(np.float32)
-    lay3 = pack_cached("tropical", csr2, CFG, cache_dir=str(tmp_path))
+    lay3 = pack_cached("tropical", csr2, CFG, cache_dir=str(tmp_path), kb=4)
     y3 = np.asarray(TropicalSpMV(lay3, TropicalSemiring, CFG)(jnp.asarray(x)))
     np.testing.assert_array_equal(y3, oracle(csr2, x))
 

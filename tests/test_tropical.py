@@ -150,6 +150,23 @@ def test_tropical_layout_cache_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(y3, oracle(csr2, x))
 
 
+def test_sssp_app_on_tropical_engine():
+    """SSSP fused loops (pull + pull_push switch) running the scalable
+    tropical engine for the pull SpMV (engine knob forces it; push stays on
+    the chunked SpMSpV at this scale, as in production mixed selection)."""
+    from graphlily_tpu.apps import SSSP
+    from graphlily_tpu.io import uniform_csr
+    from graphlily_tpu.ops.tropical_pallas import TropicalSpMV as TEng
+    cfg = EngineConfig(interpret=True, engine="router")
+    app = SSSP(cfg)
+    app.load_and_format_matrix(uniform_csr(1200, 1200, 10, seed=42))
+    assert isinstance(app.SpMV_._pallas, TEng)
+    want = app.compute_reference_results(0, 5)
+    np.testing.assert_allclose(app.pull(0, 5), want, atol=1e-4)
+    np.testing.assert_allclose(app.pull_push(0, 5, threshold=0.1), want,
+                               atol=1e-4)
+
+
 def test_tropical_module_selection():
     """SpMVModule picks the tropical engine when the chunked layout is
     infeasible or the router knob is set; results match the module oracle."""

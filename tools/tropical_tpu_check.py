@@ -5,9 +5,11 @@ oracle + on-device timing vs the chunked tropical kernel.
 Usage: python tools/tropical_tpu_check.py [nrows nnz [iters]]
 Defaults exercise a mid-size graph; pass pokec-class dims for scale checks.
 """
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
@@ -29,6 +31,10 @@ def main():
           f"{jax.devices()[0].platform}", flush=True)
     csr = rmat_csr(num_rows=nrows, nnz=nnz, seed=3)
     csr.adj_data[:csr.nnz] = np.abs(csr.adj_data[:csr.nnz])
+    if config.sort_rows_by_degree:   # what the apps do (_maybe_relabel)
+        from graphlily_tpu.io.formatter import (symmetric_permute,
+                                                degree_sort_permutation)
+        csr = symmetric_permute(csr, degree_sort_permutation(csr))
 
     t0 = time.perf_counter()
     lay = pack_tropical(csr, config)

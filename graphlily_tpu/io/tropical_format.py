@@ -103,11 +103,27 @@ def choose_tropical_region_rows(nrows: int) -> int:
     return max(2048, -(-need // 128) * 128)
 
 
-def build_split_schedule(lay: PlanarSpMVLayout, kb: int = 16):
+def build_split_schedule(lay: PlanarSpMVLayout, kb: int = 16,
+                         native: bool = True):
     """Split + reduce schedules from a planar layout packed with hi_pad=-1.
     Consumes only structure (c_code / c_hi / c_lo); returns the layout
-    fields (everything except the planar layout itself)."""
+    fields (everything except the planar layout itself).
+
+    `native=True` routes through the C++ builder
+    (native/tropical_split.cpp — the Python path walks every deposit in a
+    Python loop, minutes-slow at full scale on this 1-vCPU host); outputs
+    are bit-identical (tests/test_native_pack.py)."""
     R = lay.region_rows // W
+    if native:
+        from ..native import tropical_split_native
+        parts = tropical_split_native(lay.c_code, lay.c_hi, lay.c_lo, R, kb)
+        if parts is not None:
+            nwin = lay.num_rows // W
+            n_out = parts["nsteps2"] * parts["f2"]
+            parts["num_windows"] = max(nwin, 1)
+            parts["region_digits"] = R
+            parts["fill2"] = lay.nnz / max(n_out * CHUNK, 1)
+            return parts
     assert R <= 512, "digit accumulators exceed the scratch budget"
     nwin = lay.num_rows // W
     c_code = np.asarray(lay.c_code)
@@ -326,7 +342,7 @@ def build_split_schedule(lay: PlanarSpMVLayout, kb: int = 16):
 
 def pack_tropical(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                   region_rows: int | None = None,
-                  kb: int = 16) -> TropicalSpMVLayout:
+                  kb: int = 16, native: bool = True) -> TropicalSpMVLayout:
     """Pack for the scalable tropical engine. Values ride RAW (clipped to
     [0, FLOAT_INF]) with the tropical annihilator FLOAT_INF as the A-slot
     pad — the kernel's exact bit encoding maps pad products to the
@@ -340,8 +356,8 @@ def pack_tropical(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         region_rows = choose_tropical_region_rows(
             -(-csr.num_rows // 1024) * 1024)
     lay = pack_planar(work, config, region_rows=region_rows, hi_pad=-1,
-                      pad_val=float(FLOAT_INF))
-    parts = build_split_schedule(lay, kb=kb)
+                      pad_val=float(FLOAT_INF), native=native)
+    parts = build_split_schedule(lay, kb=kb, native=native)
     return TropicalSpMVLayout(
         planar=lay, num_rows=lay.num_rows, num_cols=lay.num_cols,
         nnz=lay.nnz, **parts)

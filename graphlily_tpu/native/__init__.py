@@ -24,7 +24,8 @@ def lib():
         return _LIB
     _TRIED = True
     srcs = [os.path.join(_HERE, f)
-            for f in ("formatter.cpp", "planar_packer.cpp")]
+            for f in ("formatter.cpp", "planar_packer.cpp",
+                      "tropical_split.cpp")]
     if not os.path.exists(_SO) or any(
             os.path.getmtime(_SO) < os.path.getmtime(s) for s in srcs):
         try:
@@ -72,6 +73,15 @@ def lib():
         _i8p, _i8p, _i64p]
     L.glt_router_abort.restype = None
     L.glt_router_abort.argtypes = [ctypes.c_int64]
+    L.glt_tsplit_plan.restype = ctypes.c_int64
+    L.glt_tsplit_plan.argtypes = [
+        _i32p, _i8p, _i8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _i64p]
+    L.glt_tsplit_emit.restype = None
+    L.glt_tsplit_emit.argtypes = [
+        ctypes.c_int64, _i32p, _i32p, _i8p, _i32p, _i8p, _i8p, _i8p]
+    L.glt_tsplit_abort.restype = None
+    L.glt_tsplit_abort.argtypes = [ctypes.c_int64]
     if not _self_test(L):
         return None
     _LIB = L
@@ -224,6 +234,51 @@ def router_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb):
                 c_code=c_code, c_hi=c_hi, c_lo=c_lo, el_slot=el_slot,
                 nsteps=nsteps, cb=cbv, rstep=rstep, f=f,
                 num_regions=nregions, nca=nca)
+
+
+def tropical_split_native(c_code, c_hi, c_lo, R, kb):
+    """Native tropical split/reduce schedule build over a planar layout's
+    structure streams. Returns the build_split_schedule array dict (minus
+    fill2/num_windows, which the caller derives) or None -> numpy fallback.
+    Bit-identical to io/tropical_format.build_split_schedule
+    (tests/test_native_pack.py)."""
+    L = lib()
+    if L is None:
+        return None
+    c_code = np.ascontiguousarray(c_code, np.int32)
+    c_hi = np.ascontiguousarray(c_hi, np.int8)
+    c_lo = np.ascontiguousarray(c_lo, np.int8)
+    nc = len(c_code)
+    dims = np.zeros(8, np.int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    h = L.glt_tsplit_plan(
+        c_code.ctypes.data_as(i32p), c_hi.ctypes.data_as(i8p),
+        c_lo.ctypes.data_as(i8p), nc, R, kb, dims.ctypes.data_as(i64p))
+    if h == 0:
+        return None
+    n_in, nsteps2, rstep2, f2, dmax2, _nel = (int(v) for v in dims[:6])
+    n_out = nsteps2 * f2
+    try:
+        in_order = np.zeros(nsteps2 * kb, np.int32)
+        rg2 = np.zeros((nsteps2, rstep2, 2), np.int32)
+        planes2 = np.zeros((nsteps2, dmax2, 8, 128), np.int8)
+        c_win = np.full(n_out, -1, np.int32)
+        sort2 = np.zeros((n_out, 8, 128), np.int8)
+        rowids = np.full((n_out, 8, 128), 127, np.int8)
+        inv2 = np.zeros((n_out, 8, 128), np.int8)
+    except MemoryError:
+        L.glt_tsplit_abort(h)
+        raise
+    L.glt_tsplit_emit(
+        h, in_order.ctypes.data_as(i32p), rg2.ctypes.data_as(i32p),
+        planes2.ctypes.data_as(i8p), c_win.ctypes.data_as(i32p),
+        sort2.ctypes.data_as(i8p), rowids.ctypes.data_as(i8p),
+        inv2.ctypes.data_as(i8p))
+    return dict(in_order=in_order, rg2=rg2, planes2=planes2, c_win=c_win,
+                sort2=sort2, rowids=rowids, inv2=inv2,
+                kb=kb, rstep2=rstep2, f2=f2, dmax2=dmax2, nsteps2=nsteps2)
 
 
 def csr2csc_native(indptr, indices, data, num_rows, num_cols):

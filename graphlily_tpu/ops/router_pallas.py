@@ -63,6 +63,30 @@ def _tropical_encode(vals, g):
     return INF_BITS - jax.lax.bitcast_convert_type(p, jnp.int32)
 
 
+def _onehot_place(gch, hi8, lo8, rh: int, precision):
+    """One-hot MXU placement of a flushed (8,128) chunk into (rh, 128)
+    region rows: out[h, v] = sum_m [hi_m==h] * g_m * [lo_m==v].
+
+    The values FOLD INTO THE HI FACTOR (ohg = indicator * g) so the lo
+    factor is a pure indicator — this removes the (128,128) where-select
+    per sublane that the previous (oh_hi, lo-masked-values) formulation
+    paid (~20-25%% of the dominant VPU build cost; same single bf16
+    rounding of g at DEFAULT MXU precision). Both factors stay slot-major
+    in lanes (one-hot targets ride the sublane dim), so no transposes
+    appear — Mosaic contracts lane dims natively."""
+    hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
+    lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    accd = jnp.zeros((rh, L), jnp.float32)
+    for s in range(S):
+        g = gch[s:s + 1, :].astype(jnp.float32)
+        ohg = (hi_t == hi8[s:s + 1, :]).astype(jnp.float32) * g
+        ohlo = (lo_t == lo8[s:s + 1, :]).astype(jnp.float32)
+        accd = accd + jax.lax.dot_general(
+            ohg, ohlo, (((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+    return accd
+
+
 def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                          fuse: bool = False, rh: int = 0, precision=None,
                          fnum: int = 0):
@@ -171,8 +195,6 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
         # flush ordinal (code stream: region id, -1 = no flush this step).
         # Keeping it out of the slot loop shrinks the unrolled kernel by
         # ~rstep/f (compile time) and gives static hi/lo slices.
-        hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
-        lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
         hi_all = hi_ref[0].astype(jnp.int32)
         lo_all = lo_ref[0].astype(jnp.int32)
         for qq in range(fnum):
@@ -180,18 +202,10 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
 
             @pl.when(c >= 0)
             def _():
-                gch = ring_ref[qq]
-                accd = jnp.zeros((rh, L), jnp.float32)
-                for s in range(S):
-                    row = qq * S + s
-                    oh = (hi_t == hi_all[row:row + 1, :]).astype(jnp.float32)
-                    ml = jnp.where(
-                        lo_t == lo_all[row:row + 1, :],
-                        jnp.broadcast_to(gch[s:s + 1, :], (L, L)), 0.0)
-                    accd = accd + jax.lax.dot_general(
-                        oh, ml, (((1,), (1,)), ((), ())),
-                        precision=precision,
-                        preferred_element_type=jnp.float32)
+                accd = _onehot_place(ring_ref[qq],
+                                     hi_all[qq * S:(qq + 1) * S, :],
+                                     lo_all[qq * S:(qq + 1) * S, :],
+                                     rh, precision)
                 o_ref[c] += accd.astype(o_ref.dtype)
 
     return kernel
@@ -307,9 +321,8 @@ def _make_reduce_kernel(cbc: int, rh: int, precision):
 
         # (bf16 one-hot builds would halve the VPU cost, but this libtpu
         # rejects bf16 vector compares: "Target does not support this
-        # comparison" — builds stay f32.)
-        hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
-        lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        # comparison" — builds stay f32. The g upcast from a bf16 stream
+        # happens inside _onehot_place.)
         hi_all = hi_ref[0].astype(jnp.int32)
         lo_all = lo_ref[0].astype(jnp.int32)
         for k in range(cbc):
@@ -317,20 +330,10 @@ def _make_reduce_kernel(cbc: int, rh: int, precision):
 
             @pl.when(c >= 0)
             def _():
-                acc = jnp.zeros((rh, L), jnp.float32)
-                for s in range(S):
-                    row = k * S + s
-                    # upcast on the (1,128) row: the stream may ride bf16
-                    g = g_ref[0, k, s:s + 1, :].astype(jnp.float32)
-                    hi = hi_all[row:row + 1, :]
-                    lo = lo_all[row:row + 1, :]
-                    oh_hi = (hi_t == hi).astype(jnp.float32)     # (rh, L)
-                    m_lo = jnp.where(lo_t == lo,
-                                     jnp.broadcast_to(g, (L, L)), 0.0)
-                    acc = acc + jax.lax.dot_general(
-                        oh_hi, m_lo, (((1,), (1,)), ((), ())),
-                        precision=precision,
-                        preferred_element_type=jnp.float32)
+                acc = _onehot_place(g_ref[0, k],
+                                    hi_all[k * S:(k + 1) * S, :],
+                                    lo_all[k * S:(k + 1) * S, :],
+                                    rh, precision)
                 o_ref[c] += acc.astype(o_ref.dtype)
 
     return kernel
@@ -493,8 +496,6 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
             return
 
         # ---- inline phase C (identical to the roll-router fused tail) -----
-        hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
-        lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
         hi_all = hi_ref[0].astype(jnp.int32)
         lo_all = lo_ref[0].astype(jnp.int32)
         for qq in range(fnum):
@@ -502,18 +503,10 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
 
             @pl.when(c >= 0)
             def _():
-                gch = ring_ref[qq]
-                accd = jnp.zeros((rh, L), jnp.float32)
-                for s in range(S):
-                    row = qq * S + s
-                    oh = (hi_t == hi_all[row:row + 1, :]).astype(jnp.float32)
-                    ml = jnp.where(
-                        lo_t == lo_all[row:row + 1, :],
-                        jnp.broadcast_to(gch[s:s + 1, :], (L, L)), 0.0)
-                    accd = accd + jax.lax.dot_general(
-                        oh, ml, (((1,), (1,)), ((), ())),
-                        precision=precision,
-                        preferred_element_type=jnp.float32)
+                accd = _onehot_place(ring_ref[qq],
+                                     hi_all[qq * S:(qq + 1) * S, :],
+                                     lo_all[qq * S:(qq + 1) * S, :],
+                                     rh, precision)
                 o_ref[c] += accd.astype(o_ref.dtype)
 
     return kernel
@@ -610,9 +603,6 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
             return
 
         # ---- phase C: rolled reduce loop over flush ordinals --------------
-        hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
-        lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-
         def cbody(qq, carry):
             # hi/lo ride 4D (1, f, 8, 128) so the dynamic flush-ordinal
             # index stays at vreg-tile granularity
@@ -620,19 +610,10 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
 
             @pl.when(c >= 0)
             def _():
-                gch = ring_ref[qq]
-                hi8 = hi_ref[0, qq].astype(jnp.int32)        # (8, 128)
-                lo8 = lo_ref[0, qq].astype(jnp.int32)
-                accd = jnp.zeros((rh, L), jnp.float32)
-                for s in range(S):
-                    oh = (hi_t == hi8[s:s + 1, :]).astype(jnp.float32)
-                    ml = jnp.where(
-                        lo_t == lo8[s:s + 1, :],
-                        jnp.broadcast_to(gch[s:s + 1, :], (L, L)), 0.0)
-                    accd = accd + jax.lax.dot_general(
-                        oh, ml, (((1,), (1,)), ((), ())),
-                        precision=precision,
-                        preferred_element_type=jnp.float32)
+                accd = _onehot_place(ring_ref[qq],
+                                     hi_ref[0, qq].astype(jnp.int32),
+                                     lo_ref[0, qq].astype(jnp.int32),
+                                     rh, precision)
                 o_ref[c] += accd.astype(o_ref.dtype)
 
             return carry

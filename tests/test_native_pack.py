@@ -94,3 +94,51 @@ def test_planar_native_unsorted_columns():
     nat = pack_planar(csr, native=True)
     ref = pack_planar(csr, native=False)
     assert_layouts_equal(nat, ref)
+
+
+@pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
+def test_tropical_split_native_matches_numpy(name, make):
+    # native/tropical_split.cpp vs io/tropical_format.build_split_schedule:
+    # the split + window-reduce schedules must agree array-for-array
+    from graphlily_tpu.io.formatter import util_round_csr_matrix_dim
+    from graphlily_tpu.io.tropical_format import (build_split_schedule,
+                                                  choose_tropical_region_rows)
+    from graphlily_tpu.semiring import FLOAT_INF
+    csr = make()
+    csr.adj_data[:csr.nnz] = np.abs(csr.adj_data[:csr.nnz])
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    rr = choose_tropical_region_rows(work.num_rows)
+    lay = pack_planar(work, region_rows=rr, hi_pad=-1,
+                      pad_val=float(FLOAT_INF))
+    ref = build_split_schedule(lay, kb=16, native=False)
+    nat = build_split_schedule(lay, kb=16, native=True)
+    assert set(ref) == set(nat)
+    for k, va in ref.items():
+        vb = nat[k]
+        if isinstance(va, np.ndarray):
+            assert va.dtype == vb.dtype and va.shape == vb.shape, k
+            np.testing.assert_array_equal(va, vb, err_msg=k)
+        else:
+            assert va == vb, f"{k}: {va} != {vb}"
+
+
+def test_tropical_split_native_small_kb_and_regions():
+    # small kb + small regions: many drains, splits, multi-step chunks
+    from graphlily_tpu.io.formatter import util_round_csr_matrix_dim
+    from graphlily_tpu.io.tropical_format import build_split_schedule
+    from graphlily_tpu.semiring import FLOAT_INF
+    csr = rmat_csr(num_rows=5000, nnz=60000, seed=17)
+    csr.adj_data[:csr.nnz] = np.abs(csr.adj_data[:csr.nnz])
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    lay = pack_planar(work, region_rows=1024, cb=8, hi_pad=-1,
+                      pad_val=float(FLOAT_INF))
+    ref = build_split_schedule(lay, kb=3, native=False)
+    nat = build_split_schedule(lay, kb=3, native=True)
+    for k, va in ref.items():
+        vb = nat[k]
+        if isinstance(va, np.ndarray):
+            np.testing.assert_array_equal(va, vb, err_msg=k)
+        else:
+            assert va == vb, f"{k}: {va} != {vb}"

@@ -32,8 +32,11 @@ from typing import Optional
 import numpy as np
 
 # bump when any packer's layout semantics change: stale cache entries from
-# an older code version must miss, not deserialize into wrong schedules
+# an older code version must miss, not deserialize into wrong schedules.
+# KIND_VERSIONS bumps one packer without invalidating the others' (slow to
+# rebuild) cached layouts.
 PACK_VERSION = 5
+KIND_VERSIONS = {"router": 2}   # v2: deposit w1 = dst|dl<<10|ds<<17|k<<20
 
 
 def _config_key_fields(kind: str, config) -> dict:
@@ -78,7 +81,8 @@ def _hash_update_array(h, a: np.ndarray) -> None:
 
 def structure_key(kind: str, csr, params: dict) -> str:
     h = hashlib.blake2b(digest_size=16)
-    h.update(f"{kind}|v{PACK_VERSION}|{csr.num_rows}x{csr.num_cols}"
+    kv = KIND_VERSIONS.get(kind, 1)
+    h.update(f"{kind}|v{PACK_VERSION}.{kv}|{csr.num_rows}x{csr.num_cols}"
              f"|{csr.nnz}|{json.dumps(params, sort_keys=True)}".encode())
     _hash_update_array(h, csr.adj_indptr)
     _hash_update_array(h, csr.adj_indices[:csr.nnz])

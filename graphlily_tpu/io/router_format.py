@@ -69,7 +69,10 @@ class RouterSpMVLayout:
     a_vals: np.ndarray     # (NSTEPS*CB, 8, 128) f32  : nnz values (pad 0)
     a_page: np.ndarray     # (NSTEPS*CB,) int32       : 1024-col tile id
     rg: np.ndarray         # (NSTEPS, RSTEP, 2) int32 : unified descriptors
-                           #   deposit: w1 = src16 | dst10<<16
+                           #   deposit: w1 = dst10 | dl7<<10 | ds3<<17 | k8<<20
+                           #            (k = chunk-in-step, dl/ds = lane/sub
+                           #             roll amounts — precomputed so the
+                           #             kernel body has no div/mod)
                            #            w2 = region12 | len11<<16  (w2 > 0)
                            #   flush:   w1 = valid cursor (1..1024)
                            #            w2 = region12 | q8<<16 | 1<<31 (w2 < 0)
@@ -314,7 +317,18 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     if nd_total:
         exec_order = np.lexsort((d_src13, d_step))
         e_step = d_step[exec_order]
-        e_w1 = (d_src13[exec_order] | (d_dst[exec_order] << 16)).astype(np.int64)
+        # deposit w1 precomputes EVERY per-descriptor scalar the kernel
+        # needs (dst | dl<<10 | ds<<17 | k<<20): the old src|dst encoding
+        # made the kernel derive k/dl/ds with div/mod chains per deposit —
+        # multi-cycle scalar ops on the critical path of a loop the
+        # compiler must serialize (every body RMWs acc_ref at a dynamic
+        # slot)
+        e_src = d_src13[exec_order] % CHUNK
+        e_k = d_src13[exec_order] // CHUNK
+        e_dst = d_dst[exec_order]
+        e_delta = (e_dst - e_src) % CHUNK
+        e_w1 = (e_dst | ((e_delta % 128) << 10) | ((e_delta // 128) << 17)
+                | (e_k << 20)).astype(np.int64)
         e_w2 = (d_region[exec_order] | (d_len[exec_order] << 16)).astype(np.int64)
         e_topping = (d_dst[exec_order] + d_len[exec_order]) == CHUNK
         e_rc = d_rc[exec_order]

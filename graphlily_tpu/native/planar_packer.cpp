@@ -867,7 +867,13 @@ int64_t glt_router_plan(const int64_t* rr_in, const int64_t* cc_in,
         const int64_t step = d.chunk / cb;
         it_step.push_back(step);
         it_slot.push_back(slot_cnt[step]++);
-        it_w1.push_back((int32_t)(d.src13 | (d.dst << 16)));
+        // w1 = dst10 | dl7<<10 | ds3<<17 | k8<<20 (precomputed roll
+        // amounts; mirrors io/router_format.py exactly)
+        const int64_t kk = d.src13 / CHUNK;
+        const int64_t src = d.src13 % CHUNK;
+        const int64_t delta = ((d.dst - src) % CHUNK + CHUNK) % CHUNK;
+        it_w1.push_back((int32_t)(d.dst | ((delta % 128) << 10)
+                                  | ((delta / 128) << 17) | (kk << 20)));
         it_w2.push_back((int32_t)(d.region | ((int64_t)d.len << 16)));
         it_fl.push_back(0);
         if (d.dst + d.len == CHUNK) {   // topping deposit -> inline flush

@@ -63,7 +63,7 @@ def _tropical_encode(vals, g):
     return INF_BITS - jax.lax.bitcast_convert_type(p, jnp.int32)
 
 
-def _onehot_place(gch, hi8, lo8, rh: int, precision):
+def _onehot_place(gch, hi8, lo8, rh: int, precision, ablate: str = ""):
     """One-hot MXU placement of a flushed (8,128) chunk into (rh, 128)
     region rows: out[h, v] = sum_m [hi_m==h] * g_m * [lo_m==v].
 
@@ -76,20 +76,32 @@ def _onehot_place(gch, hi8, lo8, rh: int, precision):
     appear — Mosaic contracts lane dims natively."""
     hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
     lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    accd = jnp.zeros((rh, L), jnp.float32)
+    parts = []
     for s in range(S):
         g = gch[s:s + 1, :].astype(jnp.float32)
-        ohg = (hi_t == hi8[s:s + 1, :]).astype(jnp.float32) * g
-        ohlo = (lo_t == lo8[s:s + 1, :]).astype(jnp.float32)
-        accd = accd + jax.lax.dot_general(
+        if ablate == "nobuilds":   # dots only, loop-invariant one-hots
+            ohg = jnp.broadcast_to(g, (rh, L))
+            ohlo = (lo_t == 0).astype(jnp.float32)
+        else:
+            ohg = (hi_t == hi8[s:s + 1, :]).astype(jnp.float32) * g
+            ohlo = (lo_t == lo8[s:s + 1, :]).astype(jnp.float32)
+        if ablate == "nodots":     # builds only; keep them DCE-proof
+            parts.append(ohg * jnp.sum(ohlo, axis=0, keepdims=True))
+            continue
+        parts.append(jax.lax.dot_general(
             ohg, ohlo, (((1,), (1,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32)
-    return accd
+            precision=precision, preferred_element_type=jnp.float32))
+    # pairwise tree sum: a serial `accd += dot` chain costs 8x the MXU
+    # latency (~19 cycles/dot measured, tools/router_e2e.py ablation);
+    # independent dots pipeline, the VPU pays 7 cheap (rh,L) adds
+    while len(parts) > 1:
+        parts = [parts[i] + parts[i + 1] for i in range(0, len(parts), 2)]
+    return parts[0]
 
 
 def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                          fuse: bool = False, rh: int = 0, precision=None,
-                         fnum: int = 0):
+                         fnum: int = 0, ablate: str = ""):
     """Phases A+B (gather -> radix deposit). With `fuse`, phase C (the
     one-hot MXU region reduce) runs INLINE at each flush — the value stream
     never round-trips HBM (the split pipeline pays ~124 MB read+write on the
@@ -152,16 +164,17 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
             w2 = rg_ref[0, j, 1]
             slot = w2 & 0xFFF
 
-            @pl.when(w2 > 0)   # deposit: region12 | len11<<16
+            @pl.when(w2 > 0)   # deposit: w2 = region12 | len11<<16
             def _():
+                # w1 = dst10 | dl7<<10 | ds3<<17 | k8<<20 — the pack
+                # precomputes the roll amounts; shifts/ands only here (the
+                # old src|dst encoding derived dl/ds/k with 4 div/mods of
+                # multi-cycle scalar latency per deposit)
                 ln = w2 >> 16
-                src16 = w1 & 0xFFFF
-                dst = (w1 >> 16) & 0x3FF
-                k = src16 // CHUNK
-                src = src16 % CHUNK
-                delta = (dst - src) % CHUNK
-                dl = delta % L
-                ds = delta // L
+                dst = w1 & 0x3FF
+                dl = (w1 >> 10) & 0x7F
+                ds = (w1 >> 17) & 0x7
+                k = w1 >> 20
                 g = g_buf[k]
                 r1 = pltpu.roll(g, dl, 1)
                 y = jnp.where(lane_i >= dl,
@@ -195,6 +208,8 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
         # flush ordinal (code stream: region id, -1 = no flush this step).
         # Keeping it out of the slot loop shrinks the unrolled kernel by
         # ~rstep/f (compile time) and gives static hi/lo slices.
+        if ablate == "noC":
+            return
         hi_all = hi_ref[0].astype(jnp.int32)
         lo_all = lo_ref[0].astype(jnp.int32)
         for qq in range(fnum):
@@ -205,7 +220,7 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                 accd = _onehot_place(ring_ref[qq],
                                      hi_all[qq * S:(qq + 1) * S, :],
                                      lo_all[qq * S:(qq + 1) * S, :],
-                                     rh, precision)
+                                     rh, precision, ablate)
                 o_ref[c] += accd.astype(o_ref.dtype)
 
     return kernel
@@ -246,14 +261,15 @@ def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
 @functools.partial(
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "nreg", "rh", "nregions",
-                     "nct", "nsteps", "mxu_precision", "interpret", "dtype"))
+                     "nct", "nsteps", "mxu_precision", "interpret", "dtype",
+                     "ablate"))
 def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2, *, op, cb,
                        rstep, f, nreg, rh, nregions, nct, nsteps,
-                       mxu_precision, interpret, dtype):
+                       mxu_precision, interpret, dtype, ablate=""):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     kernel = _make_scatter_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
-                                  precision=precision, fnum=f)
+                                  precision=precision, fnum=f, ablate=ablate)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -296,8 +312,8 @@ def _predicate_rg(rg, a_page, tiles_active, flavor: str):
     w1, w2 = rg[..., 0], rg[..., 1]
     if flavor == "planar":
         k = w1 & 0xFF                       # chunk-in-step
-    else:                                   # roll: w1 = src16 | dst<<16
-        k = (w1 & 0xFFFF) // CHUNK
+    else:                                   # roll: w1 = dst|dl<<10|ds<<17|k<<20
+        k = w1 >> 20
     act_chunk = jnp.take(tiles_active.astype(jnp.int32), a_page[:, 0, :],
                          axis=0, mode="clip")           # (nsteps, cb)
     act_d = jnp.take_along_axis(act_chunk, k, axis=1)   # (nsteps, rstep)

@@ -82,13 +82,11 @@ def make_kernel(cb, rstep, nreg, variant):
             slot = w2 & 0xFFF
 
             def deposit():
-                src16 = w1 & 0xFFFF
-                dst = (w1 >> 16) & 0x3FF
-                k = src16 // CHUNK
-                src = src16 % CHUNK
-                delta = (dst - src) % CHUNK
-                dl = delta % L
-                ds = delta // L
+                # w1 = dst10 | dl7<<10 | ds3<<17 | k8<<20 (precomputed)
+                dst = w1 & 0x3FF
+                dl = (w1 >> 10) & 0x7F
+                ds = (w1 >> 17) & 0x7
+                k = w1 >> 20
                 g = g_buf[k]
                 if variant == "noroll":
                     y = g

@@ -50,9 +50,16 @@ def timeit(fn, arrays, x, iters=50):
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     np.asarray(loop(arrays, x))
-    t0 = time.perf_counter()
-    np.asarray(loop(arrays, x))
-    return max((time.perf_counter() - t0 - dispatch_floor()), 1e-9) / iters
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(loop(arrays, x))
+        reps.append(max((time.perf_counter() - t0 - dispatch_floor()), 1e-9)
+                    / iters)
+    if max(reps) > 1.3 * min(reps):
+        print(f"  (unstable: {[round(r*1e3, 3) for r in reps]} ms)",
+              flush=True)
+    return sorted(reps)[1]
 
 
 def main():
@@ -115,10 +122,26 @@ def main():
         elif ph == "scatter":
             dt = timeit(lambda aa, xv: eng.scatter(xv, arrays=aa), a, x)
         elif ph == "reduce":
-            gs = eng.scatter(x, arrays=a)
-            gs.block_until_ready()
-            dt = timeit(lambda aa, _xv: _router_reduce_call(
-                aa.c_code, gs, aa.c_hi, aa.c_lo, **eng._static_reduce), a, x)
+            # carry-dependent THROUGH the scatter (a fixed g input gets the
+            # whole reduce LICM-hoisted out of the timing loop); report the
+            # split-mode pair and the difference vs the scatter number
+            def split_pair(aa, xv):
+                gs = eng.scatter(xv, arrays=aa)
+                return _router_reduce_call(aa.c_code, gs, aa.c_hi, aa.c_lo,
+                                           **eng._static_reduce)
+            dt = timeit(split_pair, a, x)
+            print(f"  (scatter+reduce pair — subtract the scatter row)",
+                  flush=True)
+        elif ph in ("noC", "nodots", "nobuilds"):
+            if engine == "planar" or not eng.fused:
+                print(f"{ph}: fused roll only", flush=True)
+                continue
+            from graphlily_tpu.ops.router_pallas import _router_fused_call
+            st = dict(eng._static_fused, ablate=ph)
+            dt = timeit(lambda aa, xv: _router_fused_call(
+                aa.a_page, aa.a_r, aa.a_sub, aa.a_vals, aa.rg, aa.c_code,
+                aa.c_hi, aa.c_lo,
+                xv.reshape(lay.num_col_tiles, S, L), **st), a, x)
         else:
             raise SystemExit(f"unknown phase {ph}")
         print(f"{ph:8s}: {dt*1e3:8.3f} ms  ({nnz/dt/1e9:6.2f} GTEPS)",

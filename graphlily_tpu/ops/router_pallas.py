@@ -101,7 +101,8 @@ def _onehot_place(gch, hi8, lo8, rh: int, precision, ablate: str = ""):
 
 def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                          fuse: bool = False, rh: int = 0, precision=None,
-                         fnum: int = 0, ablate: str = ""):
+                         fnum: int = 0, ablate: str = "",
+                         banks2: bool = True):
     """Phases A+B (gather -> radix deposit). With `fuse`, phase C (the
     one-hot MXU region reduce) runs INLINE at each flush — the value stream
     never round-trips HBM (the split pipeline pays ~124 MB read+write on the
@@ -119,16 +120,25 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
              lo_ref,              # (1, f*8, 128) int8
              x_ref,               # (nct, 8, 128) resident
              o_ref,               # (nregions, rh, 128) resident output
-             g_buf, acc_ref, ring_ref) = refs
+             g_buf, acc_ref, acc2_ref, ring_ref) = refs
         else:
             (page_ref, r_ref, sub_ref, v_ref, rg_ref, x_ref,
              o_ref,               # (1, f, 8, 128) flush block
              g_buf,               # scratch (cb, 8, 128)
-             acc_ref) = refs      # scratch (nreg, 8, 128)
+             acc_ref,             # scratch (nreg, 8, 128), even slots' bank
+             acc2_ref) = refs     # odd slots' bank (see banks note below)
 
-        if fuse:
-            @pl.when(pl.program_id(0) == 0)
-            def _():
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            # banks MUST start zeroed: a flush sums both banks, and a
+            # position's range is written in only one of them — the other
+            # bank's uninitialized garbage would leak into the first cycle
+            # (the single-bank kernel was safe uninitialized: its cursor
+            # mask only exposed written positions)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            if banks2:
+                acc2_ref[...] = jnp.zeros_like(acc2_ref)
+            if fuse:
                 o_ref[...] = jnp.zeros_like(o_ref)
 
         # ---- phase A: chained ax0+ax1 dynamic gather for cb chunks --------
@@ -157,19 +167,28 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
         # guard lets Mosaic skip the (dominant) dynamic rolls on inactive
         # slots — measured 18.5 -> 4.7 ms on the googleplus stand-in
         # (tools/router_ab.py).
+        #
+        # BANKS: every deposit RMWs the accumulator at a DYNAMIC slot, so
+        # the compiler must serialize all of them against each other. Two
+        # scratch banks picked by STATIC descriptor parity split that into
+        # two independent chains (deposits of one region cycle write
+        # disjoint ranges on a zero background, so the where-merges
+        # distribute across banks and the flush sums them).
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
         flat_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) * L + lane_i
         for j in range(rstep):
             w1 = rg_ref[0, j, 0]
             w2 = rg_ref[0, j, 1]
             slot = w2 & 0xFFF
+            bank = acc2_ref if (banks2 and j % 2) else acc_ref
 
             @pl.when(w2 > 0)   # deposit: w2 = region12 | len11<<16
             def _():
                 # w1 = dst10 | dl7<<10 | ds3<<17 | k8<<20 — the pack
-                # precomputes the roll amounts; shifts/ands only here (the
-                # old src|dst encoding derived dl/ds/k with 4 div/mods of
-                # multi-cycle scalar latency per deposit)
+                # precomputes the roll amounts; shifts/ands only here.
+                # (An unconditional variant measured 1.4 ms SLOWER on full
+                # googleplus: the pl.when skip of inactive bodies outweighs
+                # its branch cost.)
                 ln = w2 >> 16
                 dst = w1 & 0x3FF
                 dl = (w1 >> 10) & 0x7F
@@ -177,17 +196,21 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                 k = w1 >> 20
                 g = g_buf[k]
                 r1 = pltpu.roll(g, dl, 1)
-                y = jnp.where(lane_i >= dl,
-                              pltpu.roll(r1, ds, 0),
-                              pltpu.roll(r1, (ds + 1) % S, 0))
+                # the wrap case roll(r1, ds+1) == static roll-by-1 of
+                # roll(r1, ds): one dynamic sublane roll instead of two
+                # (dynamic rolls are the expensive ops in this body)
+                t = pltpu.roll(r1, ds, 0)
+                y = jnp.where(lane_i >= dl, t, pltpu.roll(t, 1, 0))
                 m = jnp.logical_and(flat_i >= dst, flat_i < dst + ln)
-                acc_ref[slot] = jnp.where(m, y, acc_ref[slot])
+                bank[slot] = jnp.where(m, y, bank[slot])
 
             @pl.when(w2 < 0)   # flush: region12 | q8<<16 | 1<<31
             def _():
                 q = (w2 >> 16) & 0xFF
                 cur = w1
-                gch = jnp.where(flat_i < cur, acc_ref[slot], 0.0)
+                both = (acc_ref[slot] + acc2_ref[slot] if banks2
+                        else acc_ref[slot])
+                gch = jnp.where(flat_i < cur, both, 0.0)
                 if not fuse:
                     # HBM flush stream may ride narrower than the f32
                     # accumulator (bf16 when the reduce dot rounds to bf16
@@ -200,6 +223,8 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                 # true zeros in its range instead of stale previous-cycle
                 # values; the cursor mask above keeps dense semantics exact
                 acc_ref[slot] = jnp.zeros_like(acc_ref[slot])
+                if banks2:
+                    acc2_ref[slot] = jnp.zeros_like(acc2_ref[slot])
 
         if not fuse:
             return
@@ -221,7 +246,10 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                                      hi_all[qq * S:(qq + 1) * S, :],
                                      lo_all[qq * S:(qq + 1) * S, :],
                                      rh, precision, ablate)
-                o_ref[c] += accd.astype(o_ref.dtype)
+                if ablate == "noacc":   # static tiny RMW instead of o_ref[c]
+                    o_ref[0, 0:1] += accd[0:1].astype(o_ref.dtype)
+                else:
+                    o_ref[c] += accd.astype(o_ref.dtype)
 
     return kernel
 
@@ -232,7 +260,8 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                      "interpret", "dtype", "gdtype"))
 def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
                          nreg, nct, nsteps, interpret, dtype, gdtype=None):
-    kernel = _make_scatter_kernel(op, cb, rstep, nreg)
+    kernel = _make_scatter_kernel(op, cb, rstep, nreg,
+                                  banks2=not interpret)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -252,6 +281,7 @@ def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
         scratch_shapes=[
             pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
             pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),   # odd-parity bank
         ],
         interpret=interpret,
     )
@@ -269,7 +299,8 @@ def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2, *, op, cb,
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     kernel = _make_scatter_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
-                                  precision=precision, fnum=f, ablate=ablate)
+                                  precision=precision, fnum=f, ablate=ablate,
+                                  banks2=not interpret)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -290,6 +321,7 @@ def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2, *, op, cb,
         scratch_shapes=[
             pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
             pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),   # odd-parity bank
             pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
         ],
         interpret=interpret,
@@ -436,7 +468,7 @@ def _xperm_call(planes, x2, *, nct, interpret, dtype):
 
 def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                         fuse: bool = False, rh: int = 0, precision=None,
-                        fnum: int = 0):
+                        fnum: int = 0, banks2: bool = True):
     """Planar-deposit kernel (see io/planar_format.py): bucket-binned tile
     chunks make phase A a single ax1 dynamic_gather, and each deposit ships
     a static (8,128) int8 plane — entry < 0 routes source lane (v & 127) of
@@ -455,17 +487,19 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
              lo_ref,              # (1, f*8, 128) int8
              x_ref,               # (nct, 8, 128) resident
              o_ref,               # (nregions, rh, 128) resident output
-             g_buf, acc_ref, ring_ref) = refs
+             g_buf, acc_ref, acc2_ref, ring_ref) = refs
         else:
             (page_ref, r_ref, v_ref, rg_ref, pl_ref, x_ref,
              o_ref,               # (1, f, 8, 128) flush stream block
-             g_buf, acc_ref) = refs
+             g_buf, acc_ref, acc2_ref) = refs
 
         step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
+            if banks2:
+                acc2_ref[...] = jnp.zeros_like(acc2_ref)
             if fuse:
                 o_ref[...] = jnp.zeros_like(o_ref)
 
@@ -486,27 +520,34 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
             g_buf[k] = g
 
         # ---- phase B: plane deposits + flushes ----------------------------
+        # two banks by static descriptor parity — see the roll kernel's
+        # banks note (breaks the conservative serialization of dynamic-slot
+        # accumulator RMWs into two independent chains)
         for j in range(rstep):
             w1 = rg_ref[0, j, 0]
             w2 = rg_ref[0, j, 1]
             slot = w2 & 0xFFF
+            bank = acc2_ref if (banks2 and j % 2) else acc_ref
 
             @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step | plane<<8
             def _():
                 pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
                 idx = pv & 127
                 g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
-                acc_ref[slot] = jnp.where(pv < 0, g, acc_ref[slot])
+                bank[slot] = jnp.where(pv < 0, g, bank[slot])
 
             @pl.when(w2 < 0)   # flush: copy + zero
             def _():
                 q = (w2 >> 16) & 0xFF
-                gch = acc_ref[slot]
+                gch = (acc_ref[slot] + acc2_ref[slot] if banks2
+                       else acc_ref[slot])
                 if fuse:
                     ring_ref[pl.ds(q, 1)] = gch[None]
                 else:
                     o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
                 acc_ref[slot] = jnp.zeros_like(gch)
+                if banks2:
+                    acc2_ref[slot] = jnp.zeros_like(gch)
 
         if not fuse:
             return
@@ -531,7 +572,7 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
 def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                                fuse: bool = False, rh: int = 0,
                                precision=None, fnum: int = 0,
-                               unroll: int = 16):
+                               unroll: int = 16, banks2: bool = True):
     """Partially-unrolled phase B: a lax.fori_loop over descriptor slots,
     `unroll` bodies per iteration. The fully-unrolled kernel compiles in
     ~35 min at pokec scale (rstep=195, f=47 fused) — far beyond the bench
@@ -545,16 +586,18 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
         if fuse:
             (page_ref, r_ref, v_ref, rg_ref, pl_ref,
              code_ref, hi_ref, lo_ref, x_ref, o_ref,
-             g_buf, acc_ref, ring_ref) = refs
+             g_buf, acc_ref, acc2_ref, ring_ref) = refs
         else:
             (page_ref, r_ref, v_ref, rg_ref, pl_ref, x_ref,
-             o_ref, g_buf, acc_ref) = refs
+             o_ref, g_buf, acc_ref, acc2_ref) = refs
 
         step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
+            if banks2:
+                acc2_ref[...] = jnp.zeros_like(acc2_ref)
             if fuse:
                 o_ref[...] = jnp.zeros_like(o_ref)
 
@@ -580,40 +623,46 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
         # ceil(rstep/unroll) blocks with `unroll` statically-inlined bodies
         # — Mosaic schedules across the static bodies (ILP) while the
         # program stays ~rstep/unroll times smaller than a full unroll.
-        def emit(j):
+        def emit(j, parity):
+            # bank by STATIC parity (any deposit may use either bank —
+            # flushes sum both); see the roll kernel's banks note
             w1 = rg_ref[0, j, 0]
             w2 = rg_ref[0, j, 1]
             slot = w2 & 0xFFF
+            bank = acc2_ref if (banks2 and parity) else acc_ref
 
             @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step | plane<<8
             def _():
                 pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
                 idx = pv & 127
                 g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
-                acc_ref[slot] = jnp.where(pv < 0, g, acc_ref[slot])
+                bank[slot] = jnp.where(pv < 0, g, bank[slot])
 
             @pl.when(w2 < 0)   # flush: copy + zero
             def _():
                 q = (w2 >> 16) & 0xFF
-                gch = acc_ref[slot]
+                gch = (acc_ref[slot] + acc2_ref[slot] if banks2
+                       else acc_ref[slot])
                 if fuse:
                     ring_ref[pl.ds(q, 1)] = gch[None]
                 else:
                     o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
                 acc_ref[slot] = jnp.zeros_like(gch)
+                if banks2:
+                    acc2_ref[slot] = jnp.zeros_like(gch)
 
         nb = rstep // unroll
 
         def body(b, carry):
             base = b * unroll
             for u in range(unroll):
-                emit(base + u)
+                emit(base + u, u % 2)
             return carry
 
         if nb:
             jax.lax.fori_loop(0, nb, body, 0, unroll=1)
         for j in range(nb * unroll, rstep):   # static tail
-            emit(j)
+            emit(j, j % 2)
 
         if not fuse:
             return
@@ -650,7 +699,8 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
     # _tropical_encode); deposits/flushes are dtype-agnostic bit movers
     sdt = jnp.int32 if op == OpType.ADDMIN else jnp.dtype(dtype)
     if looped:
-        kernel = _make_planar_kernel_looped(op, cb, rstep, nreg)
+        kernel = _make_planar_kernel_looped(op, cb, rstep, nreg,
+                                            banks2=not interpret)
         stream = lambda i: (i, 0, 0)
         fn = pl.pallas_call(
             kernel,
@@ -674,11 +724,13 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
             scratch_shapes=[
                 pltpu.VMEM((cb, S, L), sdt),
                 pltpu.VMEM((nreg, S, L), sdt),
+                pltpu.VMEM((nreg, S, L), sdt),   # odd-parity bank
             ],
             interpret=interpret,
         )
         return fn(page, r, vals, rg, planes, x2)
-    kernel = _make_planar_kernel(op, cb, rstep, nreg)
+    kernel = _make_planar_kernel(op, cb, rstep, nreg,
+                                 banks2=not interpret)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -699,6 +751,7 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
         scratch_shapes=[
             pltpu.VMEM((cb, S, L), sdt),
             pltpu.VMEM((nreg, S, L), sdt),
+            pltpu.VMEM((nreg, S, L), sdt),   # odd-parity bank
         ],
         interpret=interpret,
     )
@@ -718,7 +771,7 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
     if looped:
         kernel = _make_planar_kernel_looped(op, cb, rstep, nreg, fuse=True,
                                             rh=rh, precision=precision,
-                                            fnum=f)
+                                            fnum=f, banks2=not interpret)
         stream = lambda i: (i, 0, 0)
         fn = pl.pallas_call(
             kernel,
@@ -746,6 +799,7 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
             scratch_shapes=[
                 pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
                 pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),  # odd bank
                 pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
             ],
             interpret=interpret,
@@ -754,7 +808,8 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
                   hi.reshape(nsteps, f, S, L), lo.reshape(nsteps, f, S, L),
                   x2)
     kernel = _make_planar_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
-                                 precision=precision, fnum=f)
+                                 precision=precision, fnum=f,
+                                 banks2=not interpret)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -776,6 +831,7 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
         scratch_shapes=[
             pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
             pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),   # odd-parity bank
             pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
         ],
         interpret=interpret,
@@ -871,7 +927,7 @@ class PlanarSpMV:
         vbytes = jnp.dtype(vdt).itemsize
         est = (lay.num_col_tiles * 4096
                + lay.num_regions * rh * L * 4
-               + (lay.num_regions + lay.cb + lay.f) * 4096
+               + (2 * lay.num_regions + lay.cb + lay.f) * 4096
                + 2 * (lay.cb * S * L * (1 + vbytes)
                       + lay.dmax * S * L + 2 * lay.f * S * L
                       + lay.rstep * 8 + lay.cb * 4))
@@ -1021,7 +1077,7 @@ class RouterSpMV:
         vbytes = jnp.dtype(vdt).itemsize
         est = (lay.num_col_tiles * 4096            # x resident
                + lay.num_regions * rh * L * 4      # output resident
-               + (lay.num_regions + lay.cb) * 4096  # acc + g_buf scratch
+               + (2 * lay.num_regions + lay.cb) * 4096  # acc banks + g_buf
                + 2 * (lay.cb * S * L * (2 + vbytes)
                       + 2 * lay.f * S * L + lay.rstep * 8 + lay.cb * 4))
         self.fused = est <= 12e6

@@ -42,38 +42,46 @@ S = 8
 L = 128
 
 
-def _make_split_kernel(kb: int, rstep: int, nreg: int):
+def _make_split_kernel(kb: int, rstep: int, nreg: int,
+                       banks2: bool = True):
     """Window split: planar deposit/flush body minus phase A (the input is
     the already-encoded region stream)."""
     def kernel(rg_ref,            # (1, rstep, 2) int32 SMEM
                g_ref,             # (1, kb, 8, 128) int32 region-major stream
                pl_ref,            # (1, dmax, 8, 128) int8 deposit planes
                o_ref,             # (1, f, 8, 128) int32 window stream block
-               acc_ref):          # scratch (nreg, 8, 128) int32
+               acc_ref,           # scratch (nreg, 8, 128) int32, even bank
+               acc2_ref):         # odd-parity bank (router_pallas banks note)
         step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
+            if banks2:
+                acc2_ref[...] = jnp.zeros_like(acc2_ref)
 
         for j in range(rstep):
             w1 = rg_ref[0, j, 0]
             w2 = rg_ref[0, j, 1]
             slot = w2 & 0xFFF
+            bank = acc2_ref if (banks2 and j % 2) else acc_ref
 
             @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step | plane<<8
             def _():
                 pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
                 g = jnp.take_along_axis(g_ref[0, w1 & 0xFF], pv & 127,
                                         axis=1)
-                acc_ref[slot] = jnp.where(pv < 0, g, acc_ref[slot])
+                bank[slot] = jnp.where(pv < 0, g, bank[slot])
 
-            @pl.when(w2 < 0)   # flush: copy + zero
-            def _():
+            @pl.when(w2 < 0)   # flush: copy + zero (banks hold disjoint
+            def _():           # ranges on zero background -> sum = union)
                 q = (w2 >> 16) & 0xFF
-                gch = acc_ref[slot]
+                gch = (acc_ref[slot] + acc2_ref[slot] if banks2
+                       else acc_ref[slot])
                 o_ref[0, pl.ds(q, 1)] = gch[None]
                 acc_ref[slot] = jnp.zeros_like(gch)
+                if banks2:
+                    acc2_ref[slot] = jnp.zeros_like(gch)
 
     return kernel
 
@@ -84,7 +92,8 @@ def _make_split_kernel(kb: int, rstep: int, nreg: int):
                      "interpret"))
 def _split_call(rg, g, planes, *, kb, rstep, f, dmax, nreg, nsteps,
                 interpret):
-    kernel = _make_split_kernel(kb, rstep, nreg)
+    kernel = _make_split_kernel(kb, rstep, nreg,
+                                banks2=not interpret)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -99,7 +108,8 @@ def _split_call(rg, g, planes, *, kb, rstep, f, dmax, nreg, nsteps,
         out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((nreg, S, L), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((nreg, S, L), jnp.int32),
+                        pltpu.VMEM((nreg, S, L), jnp.int32)],  # odd bank
         interpret=interpret,
     )
     return fn(rg, g, planes)

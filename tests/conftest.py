@@ -30,3 +30,15 @@ assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """XLA:CPU's LLVM JIT segfaults after accumulating many large compiled
+    programs in one process (observed: test_router + test_planar then the
+    SSSP fused-loop compile in test_tropical dies in backend_compile; each
+    file passes in isolation). Dropping compiled programs between modules
+    keeps the process under the crash threshold."""
+    yield
+    import jax
+    jax.clear_caches()

@@ -30,10 +30,15 @@ def dispatch_floor():
         v = jnp.ones(128)
         for _ in range(2):
             np.asarray(f(v))
-        t0 = time.perf_counter()
-        for _ in range(4):
+        # MIN of several single-dispatch timings: a host stall during the
+        # floor measurement otherwise silently deflates EVERY later phase
+        # number by (stall / iters) — a 2x-wrong e2e was traced to this
+        reps = []
+        for _ in range(6):
+            t0 = time.perf_counter()
             np.asarray(f(v))
-        FLOOR[0] = (time.perf_counter() - t0) / 4
+            reps.append(time.perf_counter() - t0)
+        FLOOR[0] = min(reps)
     return FLOOR[0]
 
 
@@ -64,11 +69,14 @@ def timeit(fn, arrays, x, iters=50):
 
 def main():
     rr_opt = None
+    cb_opt = None
     engine = "router"
     args = []
     for a in sys.argv[1:]:
         if a.startswith("--r="):
             rr_opt = int(a.split("=")[1])
+        elif a.startswith("--cb="):
+            cb_opt = int(a.split("=")[1])
         elif a.startswith("--engine="):
             engine = a.split("=")[1]
         else:
@@ -85,9 +93,9 @@ def main():
     t0 = time.perf_counter()
     if engine == "planar":
         from graphlily_tpu.io.planar_format import pack_planar
-        lay = pack_planar(g, cfg, region_rows=rr_opt)
+        lay = pack_planar(g, cfg, region_rows=rr_opt, cb=cb_opt)
     else:
-        lay = pack_router(g, cfg, region_rows=rr_opt)
+        lay = pack_router(g, cfg, region_rows=rr_opt, cb=cb_opt)
     print(f"{graph} s{scale}: nnz={nnz} pack={time.perf_counter()-t0:.1f}s "
           f"nsteps={lay.nsteps} cb={lay.cb} rstep={lay.rstep} f={lay.f} "
           f"nreg={lay.num_regions} fill_a={lay.fill_a:.2%} "
@@ -121,6 +129,12 @@ def main():
             dt = timeit(lambda aa, xv: eng(xv, arrays=aa), a, x)
         elif ph == "scatter":
             dt = timeit(lambda aa, xv: eng.scatter(xv, arrays=aa), a, x)
+        elif ph == "noB":
+            # all deposits predicated off (w2=0): streams + phase A + loop
+            # skeleton + flushes only — isolates the non-deposit floor
+            dead = jnp.zeros(lay.num_col_tiles, jnp.int32)
+            dt = timeit(lambda aa, xv: eng.scatter(
+                xv, arrays=aa, tiles_active=dead), a, x)
         elif ph == "reduce":
             # carry-dependent THROUGH the scatter (a fixed g input gets the
             # whole reduce LICM-hoisted out of the timing loop); report the
@@ -132,7 +146,7 @@ def main():
             dt = timeit(split_pair, a, x)
             print(f"  (scatter+reduce pair — subtract the scatter row)",
                   flush=True)
-        elif ph in ("noC", "nodots", "nobuilds"):
+        elif ph in ("noC", "nodots", "nobuilds", "noacc"):
             if engine == "planar" or not eng.fused:
                 print(f"{ph}: fused roll only", flush=True)
                 continue

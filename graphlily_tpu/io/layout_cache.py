@@ -36,7 +36,7 @@ import numpy as np
 # KIND_VERSIONS bumps one packer without invalidating the others' (slow to
 # rebuild) cached layouts.
 PACK_VERSION = 5
-KIND_VERSIONS = {"router": 2}   # v2: deposit w1 = dst|dl<<10|ds<<17|k<<20
+KIND_VERSIONS = {"router": 3}   # v3: phase-ordered stream, K-rotated slots
 
 
 def _config_key_fields(kind: str, config) -> dict:

@@ -69,14 +69,20 @@ class RouterSpMVLayout:
     a_vals: np.ndarray     # (NSTEPS*CB, 8, 128) f32  : nnz values (pad 0)
     a_page: np.ndarray     # (NSTEPS*CB,) int32       : 1024-col tile id
     rg: np.ndarray         # (NSTEPS, RSTEP, 2) int32 : unified descriptors
+                           #   PHASE-ORDERED (v3): per step, slots
+                           #   [0, DSTEP) are deposits (batched under
+                           #   shared guards), [DSTEP, RSTEP) are flushes.
                            #   deposit: w1 = dst10 | dl7<<10 | ds3<<17 | k8<<20
                            #            (k = chunk-in-step, dl/ds = lane/sub
                            #             roll amounts — precomputed so the
                            #             kernel body has no div/mod)
-                           #            w2 = region12 | len11<<16  (w2 > 0)
+                           #            w2 = slot12 | len11<<16  (w2 > 0)
                            #   flush:   w1 = valid cursor (1..1024)
-                           #            w2 = region12 | q8<<16 | 1<<31 (w2 < 0)
-                           #   w2 == 0 -> inactive slot
+                           #            w2 = slot12 | q8<<16 | 1<<31 (w2 < 0)
+                           #   w2 == 0 -> inactive slot. slot = K-rotated
+                           #   accumulator id (slot_base[region] +
+                           #   cycle %% K[region]) — lets a step's flushes
+                           #   run after ALL its deposits
     # ---- reduce kernel (phase C) ----
     c_code: np.ndarray     # (NSTEPS*F,) int32 : region per flushed chunk,
                            #   -1 for garbage chunks (skipped)
@@ -95,6 +101,8 @@ class RouterSpMVLayout:
     nsteps: int
     fill_a: float          # nnz / A-chunk slots
     fill_stream: float     # nnz / flush-stream slots
+    dstep: int = 0         # deposit slots per step (rstep - f)
+    num_slots: int = 0     # rotated accumulator slots (scratch height)
     el_slot: np.ndarray | None = None   # (nnz,) original-order nnz -> flat
                                         # a_vals slot (structure/value split)
 
@@ -329,15 +337,45 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         e_delta = (e_dst - e_src) % CHUNK
         e_w1 = (e_dst | ((e_delta % 128) << 10) | ((e_delta // 128) << 17)
                 | (e_k << 20)).astype(np.int64)
-        e_w2 = (d_region[exec_order] | (d_len[exec_order] << 16)).astype(np.int64)
         e_topping = (d_dst[exec_order] + d_len[exec_order]) == CHUNK
         e_rc = d_rc[exec_order]
         rc_cursor = np.zeros(nrc + 1, np.int64)
         np.maximum.at(rc_cursor, d_rc, d_dst + d_len)
     else:
-        e_step = e_w1 = e_w2 = e_rc = np.zeros(0, np.int64)
+        e_step = e_w1 = e_rc = np.zeros(0, np.int64)
         e_topping = np.zeros(0, bool)
         rc_cursor = np.zeros(nrc + 1, np.int64)
+
+    # ---- K-rotated accumulator slots (phase-ordered stream, layout v3) ----
+    # The kernel executes ALL of a step's deposits first (batched under
+    # shared any-active guards: one pl.when per descriptor serializes the
+    # ~55-cycle roll chains — measured 2.2 ms of the googleplus scatter,
+    # recovered by batching: tools/router_e2e.py pair4 ablation) and THEN
+    # the step's flushes. A flush must read its cycle's accumulator before
+    # a later cycle of the same region overwrites it, so cycles rotate
+    # through K_r slots per region, K_r > max distinct cycles of r touched
+    # by any single step's deposits.
+    if nd_total:
+        cir_span = int(d_cir.max()) + 2
+        key = ((d_region * np.int64(nsteps_deposit + 1) + d_step)
+               * cir_span + d_cir)
+        uk = np.unique(key)
+        urs = uk // cir_span                    # (region, step) composite
+        uk2, cnt = np.unique(urs, return_counts=True)
+        kmax = np.ones(nregions, np.int64)
+        np.maximum.at(kmax, uk2 // np.int64(nsteps_deposit + 1), cnt)
+        K = kmax + 1
+    else:
+        K = np.full(nregions, 2, np.int64)
+    slot_base = np.concatenate([[0], np.cumsum(K)])
+    num_slots = int(slot_base[-1])
+    assert num_slots <= 4096, \
+        f"rotated accumulator slots exceed the 12-bit field ({num_slots})"
+    if nd_total:
+        e_slot = (slot_base[d_region] + d_cir % K[d_region])[exec_order]
+        e_w2 = (e_slot | (d_len[exec_order] << 16)).astype(np.int64)
+    else:
+        e_slot = e_w2 = np.zeros(0, np.int64)
 
     # drains: region-chunks whose final cursor < 1024 (each region's last)
     drain_rc = np.nonzero(rc_cursor[:nrc] < CHUNK)[0] if nrc else \
@@ -347,57 +385,47 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     n_drain_steps = (n_drain + drain_per_step - 1) // drain_per_step
     nsteps = nsteps_deposit + n_drain_steps
 
-    # interleave: deposits keep order; a flush follows each topping deposit
+    # phase-ordered stream: per step, deposits occupy slots [0, dstep) in
+    # exec order; flushes occupy [dstep, dstep + f) (topping flushes in
+    # their triggering deposit's step, drains in trailing steps)
     nd = len(e_step)
-    n_items = nd + int(e_topping.sum()) + n_drain
-    it_step = np.zeros(n_items, np.int64)
-    it_w1 = np.zeros(n_items, np.int64)
-    it_w2 = np.zeros(n_items, np.int64)
-    it_is_flush = np.zeros(n_items, bool)
-    it_rc = np.full(n_items, -1, np.int64)
-    if nd:
-        dep_pos = np.arange(nd) + np.concatenate(
-            [[0], np.cumsum(e_topping)[:-1]])
-        it_step[dep_pos] = e_step
-        it_w1[dep_pos] = e_w1
-        it_w2[dep_pos] = e_w2
-        fl_pos_arr = dep_pos[e_topping] + 1
-        it_step[fl_pos_arr] = e_step[e_topping]
-        it_w1[fl_pos_arr] = CHUNK                      # cursor = full
-        it_w2[fl_pos_arr] = d_region[exec_order][e_topping]  # slot; q later
-        it_is_flush[fl_pos_arr] = True
-        it_rc[fl_pos_arr] = e_rc[e_topping]
-    if n_drain:
-        dr_pos = nd + int(e_topping.sum()) + np.arange(n_drain)
-        dr_region = np.searchsorted(reg_base, drain_rc, side="right") - 1
-        it_step[dr_pos] = nsteps_deposit + np.arange(n_drain) // drain_per_step
-        it_w1[dr_pos] = rc_cursor[drain_rc]
-        it_w2[dr_pos] = dr_region
-        it_is_flush[dr_pos] = True
-        it_rc[dr_pos] = drain_rc
+    n_top = int(e_topping.sum())
+    dep_counts = (np.bincount(e_step, minlength=nsteps)
+                  if nd else np.zeros(nsteps, np.int64))
+    dstep = max(int(dep_counts.max()) if nd else 0, 1)
+    dep_first = np.concatenate([[0], np.cumsum(dep_counts)[:-1]])
+    dep_rank = (np.arange(nd) - dep_first[e_step]) if nd else e_step
 
-    # per-step slot layout + flush ordinal q
-    per_step = np.zeros(nsteps, np.int64)
-    np.add.at(per_step, it_step, 1)
-    rstep = max(int(per_step.max()) if n_items else 1, 1)
-    step_first = np.concatenate([[0], np.cumsum(per_step)[:-1]])
-    slot_in_step = np.arange(n_items) - step_first[it_step]
-    # q = number of flushes before this item within its step
-    fcum = np.cumsum(it_is_flush)
-    q_of = np.where(it_is_flush,
-                    fcum - 1 - np.concatenate(
-                        [[0], fcum])[step_first[it_step]],
-                    0)
-    f_max = max(int((q_of[it_is_flush].max() + 1)) if it_is_flush.any()
-                else 1, 1)
+    dr_region = (np.searchsorted(reg_base, drain_rc, side="right") - 1
+                 if n_drain else np.zeros(0, np.int64))
+    fl_step = np.concatenate([
+        e_step[e_topping],
+        nsteps_deposit + np.arange(n_drain) // drain_per_step]).astype(
+            np.int64)
+    fl_w1 = np.concatenate([np.full(n_top, CHUNK, np.int64),
+                            rc_cursor[drain_rc]])
+    fl_slot = np.concatenate([
+        e_slot[e_topping],
+        slot_base[dr_region] + (drain_rc - reg_base[dr_region])
+        % K[dr_region]]) if (n_top + n_drain) else np.zeros(0, np.int64)
+    fl_rc = np.concatenate([e_rc[e_topping], drain_rc])
+    nf = len(fl_step)
+    fl_counts = (np.bincount(fl_step, minlength=nsteps)
+                 if nf else np.zeros(nsteps, np.int64))
+    f_max = max(int(fl_counts.max()) if nf else 0, 1)
     assert f_max <= 256, f"flush ordinal overflow ({f_max} > 8 bits)"
+    fl_first = np.concatenate([[0], np.cumsum(fl_counts)[:-1]])
+    q_of = (np.arange(nf) - fl_first[fl_step]) if nf else fl_step
 
+    rstep = dstep + f_max
     rg = np.zeros((nsteps, rstep, 2), np.int32)
-    w2_final = np.where(it_is_flush,
-                        it_w2 | (q_of << 16) | (np.int64(1) << 31),
-                        it_w2)
-    rg[it_step, slot_in_step, 0] = it_w1.astype(np.int32)
-    rg[it_step, slot_in_step, 1] = w2_final.astype(np.int32)
+    if nd:
+        rg[e_step, dep_rank, 0] = e_w1.astype(np.int32)
+        rg[e_step, dep_rank, 1] = e_w2.astype(np.int32)
+    if nf:
+        rg[fl_step, dstep + q_of, 0] = fl_w1.astype(np.int32)
+        rg[fl_step, dstep + q_of, 1] = (
+            fl_slot | (q_of << 16) | (np.int64(1) << 31)).astype(np.int32)
 
     # pad the step count so the flush stream (nsteps * f chunks) is a
     # multiple of the reduce batch — the reduce then consumes the scatter
@@ -417,10 +445,10 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     # region-chunk -> flush stream position
     c_code = np.full(nsteps * f, -1, np.int32)
     rc_linear = np.zeros(nrc + 1, np.int64)
-    fmask = it_is_flush
-    rc_linear[it_rc[fmask]] = it_step[fmask] * f + q_of[fmask]
-    c_code[rc_linear[it_rc[fmask]]] = (
-        np.searchsorted(reg_base, it_rc[fmask], side="right") - 1)
+    if nf:
+        rc_linear[fl_rc] = fl_step * f + q_of
+        c_code[rc_linear[fl_rc]] = (
+            np.searchsorted(reg_base, fl_rc, side="right") - 1)
 
     # ---- A streams (padded to the full grid) ------------------------------
     ncap = nsteps * cb
@@ -466,5 +494,6 @@ def pack_router(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         cb=cb, rstep=rstep, f=f, nsteps=nsteps,
         fill_a=nnz / max(nca * CHUNK, 1),
         fill_stream=nnz / max(nsteps * f * CHUNK, 1),
+        dstep=dstep, num_slots=num_slots,
         el_slot=el_slot,
     )

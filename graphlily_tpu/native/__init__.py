@@ -199,7 +199,7 @@ def router_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb):
     cc = np.ascontiguousarray(cc, np.int64)
     vv = np.ascontiguousarray(vv, np.float32)
     nnz = len(rr)
-    dims = np.zeros(8, np.int64)
+    dims = np.zeros(10, np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)
     h = L.glt_router_plan(
         rr.ctypes.data_as(i64p), cc.ctypes.data_as(i64p),
@@ -207,7 +207,8 @@ def router_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb):
         nnz, nrows, ncols, region_rows, cb, dims.ctypes.data_as(i64p))
     if h == 0:
         return None
-    nsteps, cbv, rstep, f, nregions, nca, ncap, _ = (int(v) for v in dims)
+    (nsteps, cbv, rstep, f, nregions, nca, ncap, _,
+     dstep, num_slots) = (int(v) for v in dims)
     try:
         a_r = np.zeros((ncap, 8, 128), np.int8)
         a_sub = np.zeros((ncap, 8, 128), np.int8)
@@ -233,7 +234,8 @@ def router_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb):
     return dict(a_r=a_r, a_sub=a_sub, a_vals=a_vals, a_page=a_page, rg=rg,
                 c_code=c_code, c_hi=c_hi, c_lo=c_lo, el_slot=el_slot,
                 nsteps=nsteps, cb=cbv, rstep=rstep, f=f,
-                num_regions=nregions, nca=nca)
+                num_regions=nregions, nca=nca,
+                dstep=dstep, num_slots=num_slots)
 
 
 def tropical_split_native(c_code, c_hi, c_lo, R, kb):

@@ -848,6 +848,44 @@ int64_t glt_router_plan(const int64_t* rr_in, const int64_t* cc_in,
         (n_drain + drain_per_step - 1) / drain_per_step;
     int64_t nsteps = nsteps_dep + n_drain_steps;
 
+    // ---- K-rotated accumulator slots (phase-ordered stream, layout v3) ----
+    // see io/router_format.py: per region, cycles rotate through K_r
+    // accumulator slots so one step's flushes can all run after its
+    // deposits (the kernel batches deposits under shared guards for ILP)
+    std::vector<int64_t> K(nregions, 2);
+    {
+        std::vector<int64_t> trip;
+        trip.reserve(pieces.size());
+        int64_t cir_max = 0;
+        for (const auto& d : pieces)
+            cir_max = std::max<int64_t>(cir_max, d.cir);
+        const int64_t cspan = cir_max + 2;
+        for (const auto& d : pieces)
+            trip.push_back((d.region * (nsteps_dep + 1) + d.chunk / cb)
+                           * cspan + d.cir);
+        std::sort(trip.begin(), trip.end());
+        trip.erase(std::unique(trip.begin(), trip.end()), trip.end());
+        std::vector<int64_t> kmax(nregions, 1);
+        for (size_t k = 0; k < trip.size();) {
+            const int64_t rs = trip[k] / cspan;
+            size_t j = k;
+            while (j < trip.size() && trip[j] / cspan == rs) ++j;
+            const int64_t r = rs / (nsteps_dep + 1);
+            kmax[r] = std::max<int64_t>(kmax[r], (int64_t)(j - k));
+            k = j;
+        }
+        if (!pieces.empty())
+            for (int64_t r = 0; r < nregions; ++r) K[r] = kmax[r] + 1;
+    }
+    std::vector<int64_t> slot_base(nregions + 1, 0);
+    for (int64_t r = 0; r < nregions; ++r)
+        slot_base[r + 1] = slot_base[r] + K[r];
+    const int64_t num_slots = slot_base[nregions];
+    if (num_slots > 4096) {
+        delete P;
+        return 0;
+    }
+
     // ---- descriptor items: deposits in (step, src13) order ----------------
     std::vector<int64_t> ord(pieces.size());
     for (size_t k = 0; k < ord.size(); ++k) ord[k] = (int64_t)k;
@@ -856,37 +894,33 @@ int64_t glt_router_plan(const int64_t* rr_in, const int64_t* cc_in,
         if (sa != sb) return sa < sb;
         return pieces[a].src13 < pieces[b].src13;
     });
-    std::vector<int32_t> slot_cnt(nsteps, 0), q_cnt(nsteps, 0);
+    std::vector<int32_t> dep_cnt(nsteps, 0), q_cnt(nsteps, 0);
     std::vector<int64_t> fl_rc, fl_step;
-    std::vector<int32_t> fl_q, fl_region;
-    std::vector<int64_t> it_step, it_slot;
-    std::vector<int32_t> it_w1, it_w2;
-    std::vector<uint8_t> it_fl;
+    std::vector<int32_t> fl_q, fl_region, fl_slot, fl_w1;
+    std::vector<int64_t> dp_step, dp_rank;
+    std::vector<int32_t> dp_w1, dp_w2;
     for (const int64_t k : ord) {
         const Piece& d = pieces[k];
         const int64_t step = d.chunk / cb;
-        it_step.push_back(step);
-        it_slot.push_back(slot_cnt[step]++);
+        const int64_t slot = slot_base[d.region] + d.cir % K[d.region];
+        dp_step.push_back(step);
+        dp_rank.push_back(dep_cnt[step]++);
         // w1 = dst10 | dl7<<10 | ds3<<17 | k8<<20 (precomputed roll
         // amounts; mirrors io/router_format.py exactly)
         const int64_t kk = d.src13 / CHUNK;
         const int64_t src = d.src13 % CHUNK;
         const int64_t delta = ((d.dst - src) % CHUNK + CHUNK) % CHUNK;
-        it_w1.push_back((int32_t)(d.dst | ((delta % 128) << 10)
+        dp_w1.push_back((int32_t)(d.dst | ((delta % 128) << 10)
                                   | ((delta / 128) << 17) | (kk << 20)));
-        it_w2.push_back((int32_t)(d.region | ((int64_t)d.len << 16)));
-        it_fl.push_back(0);
-        if (d.dst + d.len == CHUNK) {   // topping deposit -> inline flush
+        dp_w2.push_back((int32_t)(slot | ((int64_t)d.len << 16)));
+        if (d.dst + d.len == CHUNK) {   // topping deposit -> flush (tail)
             const int32_t q = q_cnt[step]++;
-            it_step.push_back(step);
-            it_slot.push_back(slot_cnt[step]++);
-            it_w1.push_back((int32_t)CHUNK);
-            it_w2.push_back((int32_t)(d.region | ((int64_t)q << 16)));
-            it_fl.push_back(1);
             fl_rc.push_back(reg_base[d.region] + d.cir);
             fl_step.push_back(step);
             fl_q.push_back(q);
             fl_region.push_back((int32_t)d.region);
+            fl_slot.push_back((int32_t)slot);
+            fl_w1.push_back((int32_t)CHUNK);
         }
     }
     for (int64_t k = 0; k < n_drain; ++k) {
@@ -897,21 +931,20 @@ int64_t glt_router_plan(const int64_t* rr_in, const int64_t* cc_in,
                                                reg_base.end(), rc) -
                               reg_base.begin()) - 1;
         const int32_t q = q_cnt[step]++;
-        it_step.push_back(step);
-        it_slot.push_back(slot_cnt[step]++);
-        it_w1.push_back((int32_t)rc_cursor[rc]);
-        it_w2.push_back((int32_t)(r | ((int64_t)q << 16)));
-        it_fl.push_back(1);
         fl_rc.push_back(rc);
         fl_step.push_back(step);
         fl_q.push_back(q);
         fl_region.push_back((int32_t)r);
+        fl_slot.push_back(
+            (int32_t)(slot_base[r] + (rc - reg_base[r]) % K[r]));
+        fl_w1.push_back((int32_t)rc_cursor[rc]);
     }
-    int64_t rstep = 1, f = 1;
+    int64_t dstep = 1, f = 1;
     for (int64_t st = 0; st < nsteps; ++st) {
-        rstep = std::max<int64_t>(rstep, slot_cnt[st]);
+        dstep = std::max<int64_t>(dstep, dep_cnt[st]);
         f = std::max<int64_t>(f, q_cnt[st]);
     }
+    const int64_t rstep = dstep + f;
     if (f > 256) {
         delete P;
         return 0;
@@ -933,21 +966,24 @@ int64_t glt_router_plan(const int64_t* rr_in, const int64_t* cc_in,
     p.f = f;
     p.ncap = nsteps * cb;
 
-    const int64_t n_items = (int64_t)it_step.size();
-    p.it_pos.resize(n_items);
-    p.it_w1.resize(n_items);
-    p.it_w2.resize(n_items);
-    for (int64_t k = 0; k < n_items; ++k) {
-        p.it_pos[k] = it_step[k] * rstep + it_slot[k];
-        p.it_w1[k] = it_w1[k];
-        p.it_w2[k] = it_fl[k] ? (int32_t)(it_w2[k] | (int32_t)0x80000000)
-                              : it_w2[k];
+    const int64_t ndp = (int64_t)dp_step.size();
+    const int64_t nfl = (int64_t)fl_rc.size();
+    p.it_pos.resize(ndp + nfl);
+    p.it_w1.resize(ndp + nfl);
+    p.it_w2.resize(ndp + nfl);
+    for (int64_t k = 0; k < ndp; ++k) {
+        p.it_pos[k] = dp_step[k] * rstep + dp_rank[k];
+        p.it_w1[k] = dp_w1[k];
+        p.it_w2[k] = dp_w2[k];
     }
     std::vector<int64_t> rc_linear(nrc, 0);
-    const int64_t nfl = (int64_t)fl_rc.size();
     p.cc_pos.resize(nfl);
     p.cc_region.resize(nfl);
     for (int64_t k = 0; k < nfl; ++k) {
+        p.it_pos[ndp + k] = fl_step[k] * rstep + dstep + fl_q[k];
+        p.it_w1[ndp + k] = fl_w1[k];
+        p.it_w2[ndp + k] = (int32_t)(fl_slot[k] | ((int64_t)fl_q[k] << 16)
+                                     | (int64_t)0x80000000);
         const int64_t pos = fl_step[k] * f + fl_q[k];
         rc_linear[fl_rc[k]] = pos;
         p.cc_pos[k] = pos;
@@ -976,6 +1012,8 @@ int64_t glt_router_plan(const int64_t* rr_in, const int64_t* cc_in,
     dims_out[5] = nca;
     dims_out[6] = p.ncap;
     dims_out[7] = p.nca2;
+    dims_out[8] = dstep;
+    dims_out[9] = num_slots;
     const int64_t h = next_handle();
     rregistry()[h] = P;
     return h;

@@ -102,7 +102,7 @@ def _onehot_place(gch, hi8, lo8, rh: int, precision, ablate: str = ""):
 def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                          fuse: bool = False, rh: int = 0, precision=None,
                          fnum: int = 0, ablate: str = "",
-                         banks2: bool = True):
+                         banks2: bool = True, dstep: int = 0):
     """Phases A+B (gather -> radix deposit). With `fuse`, phase C (the
     one-hot MXU region reduce) runs INLINE at each flush — the value stream
     never round-trips HBM (the split pipeline pays ~124 MB read+write on the
@@ -176,35 +176,87 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
         # distribute across banks and the flush sums them).
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
         flat_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) * L + lane_i
-        for j in range(rstep):
+
+        def _fused_tail():
+            # ---- inline phase C, AFTER the descriptor loop: one reduce per
+            # flush ordinal (code stream: region id, -1 = no flush this
+            # step). Batched CG to a shared any-active guard like the
+            # deposits — a pl.when per ordinal is a scheduling barrier that
+            # serializes the builds' and dots' latency chains; inactive
+            # members are masked to zero before the output RMW.
+            if ablate == "noC":
+                return
+            hi_all = hi_ref[0].astype(jnp.int32)
+            lo_all = lo_ref[0].astype(jnp.int32)
+            CG = 4
+            for q0 in range(0, fnum, CG):
+                n = min(CG, fnum - q0)
+                cs = [code_ref[0, 0, q0 + u] for u in range(n)]
+                anyact = cs[0]
+                for u in range(1, n):
+                    anyact = jnp.maximum(anyact, cs[u])
+
+                @pl.when(anyact >= 0)
+                def _():
+                    for u in range(n):
+                        qq = q0 + u
+                        c = cs[u]
+                        accd = _onehot_place(ring_ref[qq],
+                                             hi_all[qq * S:(qq + 1) * S, :],
+                                             lo_all[qq * S:(qq + 1) * S, :],
+                                             rh, precision, ablate)
+                        accd = jnp.where(c >= 0, accd, 0.0)
+                        safe = jnp.maximum(c, 0)
+                        if ablate == "noacc":   # tiny static RMW
+                            o_ref[0, 0:1] += accd[0:1].astype(o_ref.dtype)
+                        else:
+                            o_ref[safe] += accd.astype(o_ref.dtype)
+
+        def dep_body(w1, w2, bank):
+            """One deposit; no-op when w2 is not a deposit word (ln<=0)."""
+            ln = w2 >> 16
+            dst = w1 & 0x3FF
+            dl = (w1 >> 10) & 0x7F
+            ds = (w1 >> 17) & 0x7
+            k = w1 >> 20
+            g = g_buf[k]
+            r1 = pltpu.roll(g, dl, 1)
+            t = pltpu.roll(r1, ds, 0)
+            y = jnp.where(lane_i >= dl, t, pltpu.roll(t, 1, 0))
+            m = jnp.logical_and(flat_i >= dst, flat_i < dst + ln)
+            bank[slot_of(w2)] = jnp.where(m, y, bank[slot_of(w2)])
+
+        def slot_of(w2):
+            return w2 & 0xFFF
+
+        # ---- phase-ordered stream (layout v3): the step's deposit slots
+        # [0, dstep) run FIRST, batched DG to a shared any-active guard —
+        # one pl.when per descriptor serializes the bodies' ~55-cycle roll
+        # chains (measured 2.2 ms of the googleplus scatter; batch-4 guards
+        # recovered 1.3 ms). Safe because the pack rotates each region's
+        # cycles through K accumulator slots, so no slot is flushed and
+        # re-deposited within one step. Flushes occupy [dstep, rstep).
+        DG = 8
+        for j0 in range(0, dstep, DG):
+            n = min(DG, dstep - j0)
+            ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
+                  for u in range(n)]
+            anyact = ws[0][1]
+            for u in range(1, n):
+                anyact = jnp.maximum(anyact, ws[u][1])
+
+            @pl.when(anyact > 0)
+            def _():
+                for u in range(n):
+                    bank = acc2_ref if (banks2 and u % 2) else acc_ref
+                    dep_body(ws[u][0], ws[u][1], bank)
+
+        for j in range(dstep, rstep):
             w1 = rg_ref[0, j, 0]
             w2 = rg_ref[0, j, 1]
             slot = w2 & 0xFFF
-            bank = acc2_ref if (banks2 and j % 2) else acc_ref
 
-            @pl.when(w2 > 0)   # deposit: w2 = region12 | len11<<16
-            def _():
-                # w1 = dst10 | dl7<<10 | ds3<<17 | k8<<20 — the pack
-                # precomputes the roll amounts; shifts/ands only here.
-                # (An unconditional variant measured 1.4 ms SLOWER on full
-                # googleplus: the pl.when skip of inactive bodies outweighs
-                # its branch cost.)
-                ln = w2 >> 16
-                dst = w1 & 0x3FF
-                dl = (w1 >> 10) & 0x7F
-                ds = (w1 >> 17) & 0x7
-                k = w1 >> 20
-                g = g_buf[k]
-                r1 = pltpu.roll(g, dl, 1)
-                # the wrap case roll(r1, ds+1) == static roll-by-1 of
-                # roll(r1, ds): one dynamic sublane roll instead of two
-                # (dynamic rolls are the expensive ops in this body)
-                t = pltpu.roll(r1, ds, 0)
-                y = jnp.where(lane_i >= dl, t, pltpu.roll(t, 1, 0))
-                m = jnp.logical_and(flat_i >= dst, flat_i < dst + ln)
-                bank[slot] = jnp.where(m, y, bank[slot])
-
-            @pl.when(w2 < 0)   # flush: region12 | q8<<16 | 1<<31
+            @pl.when(w2 < 0)   # flush: slot12 | q8<<16 | 1<<31
             def _():
                 q = (w2 >> 16) & 0xFF
                 cur = w1
@@ -228,28 +280,7 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
 
         if not fuse:
             return
-
-        # ---- inline phase C, AFTER the descriptor loop: one reduce per
-        # flush ordinal (code stream: region id, -1 = no flush this step).
-        # Keeping it out of the slot loop shrinks the unrolled kernel by
-        # ~rstep/f (compile time) and gives static hi/lo slices.
-        if ablate == "noC":
-            return
-        hi_all = hi_ref[0].astype(jnp.int32)
-        lo_all = lo_ref[0].astype(jnp.int32)
-        for qq in range(fnum):
-            c = code_ref[0, 0, qq]
-
-            @pl.when(c >= 0)
-            def _():
-                accd = _onehot_place(ring_ref[qq],
-                                     hi_all[qq * S:(qq + 1) * S, :],
-                                     lo_all[qq * S:(qq + 1) * S, :],
-                                     rh, precision, ablate)
-                if ablate == "noacc":   # static tiny RMW instead of o_ref[c]
-                    o_ref[0, 0:1] += accd[0:1].astype(o_ref.dtype)
-                else:
-                    o_ref[c] += accd.astype(o_ref.dtype)
+        _fused_tail()
 
     return kernel
 
@@ -257,11 +288,12 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
 @functools.partial(
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "nreg", "nct", "nsteps",
-                     "interpret", "dtype", "gdtype"))
+                     "interpret", "dtype", "gdtype", "dstep"))
 def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
-                         nreg, nct, nsteps, interpret, dtype, gdtype=None):
+                         nreg, nct, nsteps, interpret, dtype, gdtype=None,
+                         dstep=0):
     kernel = _make_scatter_kernel(op, cb, rstep, nreg,
-                                  banks2=not interpret)
+                                  banks2=not interpret, dstep=dstep)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -292,15 +324,16 @@ def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "nreg", "rh", "nregions",
                      "nct", "nsteps", "mxu_precision", "interpret", "dtype",
-                     "ablate"))
+                     "ablate", "dstep"))
 def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2, *, op, cb,
                        rstep, f, nreg, rh, nregions, nct, nsteps,
-                       mxu_precision, interpret, dtype, ablate=""):
+                       mxu_precision, interpret, dtype, ablate="",
+                       dstep=0):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     kernel = _make_scatter_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
                                   precision=precision, fnum=f, ablate=ablate,
-                                  banks2=not interpret)
+                                  banks2=not interpret, dstep=dstep)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -371,18 +404,30 @@ def _make_reduce_kernel(cbc: int, rh: int, precision):
         # rejects bf16 vector compares: "Target does not support this
         # comparison" — builds stay f32. The g upcast from a bf16 stream
         # happens inside _onehot_place.)
+        # Reduces run batched under shared any-active guards: one pl.when
+        # per chunk is a scheduling barrier that serializes the builds'
+        # and dots' latency chains (see the fused tail).
         hi_all = hi_ref[0].astype(jnp.int32)
         lo_all = lo_ref[0].astype(jnp.int32)
-        for k in range(cbc):
-            c = code_ref[0, 0, k]
+        CG = 4
+        for k0 in range(0, cbc, CG):
+            n = min(CG, cbc - k0)
+            cs = [code_ref[0, 0, k0 + u] for u in range(n)]
+            anyact = cs[0]
+            for u in range(1, n):
+                anyact = jnp.maximum(anyact, cs[u])
 
-            @pl.when(c >= 0)
+            @pl.when(anyact >= 0)
             def _():
-                acc = _onehot_place(g_ref[0, k],
-                                    hi_all[k * S:(k + 1) * S, :],
-                                    lo_all[k * S:(k + 1) * S, :],
-                                    rh, precision)
-                o_ref[c] += acc.astype(o_ref.dtype)
+                for u in range(n):
+                    k = k0 + u
+                    c = cs[u]
+                    acc = _onehot_place(g_ref[0, k],
+                                        hi_all[k * S:(k + 1) * S, :],
+                                        lo_all[k * S:(k + 1) * S, :],
+                                        rh, precision)
+                    acc = jnp.where(c >= 0, acc, 0.0)
+                    o_ref[jnp.maximum(c, 0)] += acc.astype(o_ref.dtype)
 
     return kernel
 
@@ -1056,7 +1101,8 @@ class RouterSpMV:
                else config.dtype)   # see PlanarSpMV: bf16 flush stream
         self._static_scatter = dict(
             op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
-            nreg=lay.num_regions, nct=lay.num_col_tiles, nsteps=lay.nsteps,
+            nreg=lay.num_slots, dstep=lay.dstep,
+            nct=lay.num_col_tiles, nsteps=lay.nsteps,
             interpret=config.resolve_interpret(), dtype=config.dtype,
             gdtype=gdt,
         )
@@ -1067,7 +1113,8 @@ class RouterSpMV:
         )
         self._static_fused = dict(
             op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
-            nreg=lay.num_regions, rh=rh, nregions=lay.num_regions,
+            nreg=lay.num_slots, dstep=lay.dstep,
+            rh=rh, nregions=lay.num_regions,
             nct=lay.num_col_tiles, nsteps=lay.nsteps,
             mxu_precision=config.mxu_precision,
             interpret=config.resolve_interpret(), dtype=config.dtype,
@@ -1077,7 +1124,7 @@ class RouterSpMV:
         vbytes = jnp.dtype(vdt).itemsize
         est = (lay.num_col_tiles * 4096            # x resident
                + lay.num_regions * rh * L * 4      # output resident
-               + (2 * lay.num_regions + lay.cb) * 4096  # acc banks + g_buf
+               + (2 * lay.num_slots + lay.cb) * 4096  # acc banks + g_buf
                + 2 * (lay.cb * S * L * (2 + vbytes)
                       + 2 * lay.f * S * L + lay.rstep * 8 + lay.cb * 4))
         self.fused = est <= 12e6

@@ -146,7 +146,7 @@ def main():
             dt = timeit(split_pair, a, x)
             print(f"  (scatter+reduce pair — subtract the scatter row)",
                   flush=True)
-        elif ph in ("noC", "nodots", "nobuilds", "noacc"):
+        elif ph in ("noC", "nodots", "nobuilds", "noacc") or ph.startswith("pair"):
             if engine == "planar" or not eng.fused:
                 print(f"{ph}: fused roll only", flush=True)
                 continue

@@ -80,6 +80,8 @@ class PlanarSpMVLayout:
     nsteps: int
     fill_a: float
     fill_stream: float
+    dstep: int = 0         # deposit slots per step (rstep - f)
+    num_slots: int = 0     # rotated accumulator slots (scratch height)
     el_slot: np.ndarray | None = None   # (nnz,) original-order nnz -> flat
                                         # a_vals slot (structure/value split:
                                         # re-valuing a cached layout is one
@@ -350,83 +352,112 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     rc_base = np.concatenate([[0], np.cumsum(ncyc)])
     nrc = int(rc_base[-1])
 
-    # ---- descriptor stream layout ----------------------------------------
-    # split deposits expand to [piece1, flush, piece2]; drains trail
+    # ---- descriptor stream layout (phase-ordered, v2) ---------------------
+    # Per step the kernel runs ALL deposit pieces (batched under shared
+    # any-active guards — one pl.when per descriptor serializes the bodies'
+    # latency chains, see io/router_format.py layout v3), THEN all flushes.
+    # Each region's cycles rotate through K accumulator slots so a flush
+    # never races a same-step deposit of a later cycle; a split deposit's
+    # two pieces belong to consecutive cycles and therefore land in
+    # different slots.
     n_drain = len(drain_regions)
     drain_per_step = cb + 2
     n_drain_steps = (n_drain + drain_per_step - 1) // drain_per_step
     nsteps = nsteps_dep + n_drain_steps
 
-    per_dep = np.where(d_split, 3, 1)
+    # K per region: max distinct cycles touched by one step's deposits + 1
+    if nd:
+        cyc_span = int(d_cyc2.max()) + 2
+        pc_reg = np.concatenate([d_region, d_region[d_split]])
+        pc_step = np.concatenate([d_step, d_step[d_split]])
+        pc_cyc = np.concatenate([d_cyc1, d_cyc2[d_split]])
+        key = ((pc_reg * np.int64(nsteps_dep + 1) + pc_step) * cyc_span
+               + pc_cyc)
+        uk = np.unique(key)
+        urs = uk // cyc_span
+        uk2, cnt = np.unique(urs, return_counts=True)
+        kmax = np.ones(nregions, np.int64)
+        np.maximum.at(kmax, uk2 // np.int64(nsteps_dep + 1), cnt)
+        K = kmax + 1
+    else:
+        K = np.full(nregions, 2, np.int64)
+    slot_base = np.concatenate([[0], np.cumsum(K)])
+    num_slots = int(slot_base[-1])
+    assert num_slots <= 4096, \
+        f"rotated accumulator slots exceed the 12-bit field ({num_slots})"
+
+    # deposit pieces in exec order: piece1 of every deposit, then piece2
+    # right after for splits (order within the deposit section is free)
+    per_dep = np.where(d_split, 2, 1)
     dbase = np.concatenate([[0], np.cumsum(per_dep)[:-1]]) if nd else \
         np.zeros(0, np.int64)
-    nid = int(per_dep.sum()) if nd else 0
-    n_items = nid + n_drain
-    it_step = np.zeros(n_items, np.int64)
-    it_w1 = np.zeros(n_items, np.int64)
-    it_w2 = np.zeros(n_items, np.int64)
-    it_is_flush = np.zeros(n_items, bool)
-    it_rc = np.full(n_items, -1, np.int64)
-    it_piece = np.full(n_items, -1, np.int64)   # 2*dep + piece for planes
+    npc = int(per_dep.sum()) if nd else 0
+    pc_step2 = np.zeros(npc, np.int64)
+    pc_w1 = np.zeros(npc, np.int64)
+    pc_slot = np.zeros(npc, np.int64)
+    pc_piece = np.zeros(npc, np.int64)          # 2*dep + piece for planes
     if nd:
-        it_step[dbase] = d_step
-        it_w1[dbase] = d_chunk % cb
-        it_w2[dbase] = d_region | (1 << 15)
-        it_piece[dbase] = 2 * np.arange(nd)
+        pc_step2[dbase] = d_step
+        pc_w1[dbase] = d_chunk % cb
+        pc_slot[dbase] = slot_base[d_region] + d_cyc1 % K[d_region]
+        pc_piece[dbase] = 2 * np.arange(nd)
         sp = np.nonzero(d_split)[0]
-        it_step[dbase[sp] + 1] = d_step[sp]
-        it_w2[dbase[sp] + 1] = d_region[sp]
-        it_is_flush[dbase[sp] + 1] = True
-        it_rc[dbase[sp] + 1] = rc_base[d_region[sp]] + d_cyc1[sp]
-        it_step[dbase[sp] + 2] = d_step[sp]
-        it_w1[dbase[sp] + 2] = d_chunk[sp] % cb
-        it_w2[dbase[sp] + 2] = d_region[sp] | (1 << 15)
-        it_piece[dbase[sp] + 2] = 2 * sp + 1
-    if n_drain:
-        dr_pos = nid + np.arange(n_drain)
-        it_step[dr_pos] = nsteps_dep + np.arange(n_drain) // drain_per_step
-        it_w2[dr_pos] = drain_regions
-        it_is_flush[dr_pos] = True
-        it_rc[dr_pos] = rc_base[drain_regions] + cycle[drain_regions]
+        pc_step2[dbase[sp] + 1] = d_step[sp]
+        pc_w1[dbase[sp] + 1] = d_chunk[sp] % cb
+        pc_slot[dbase[sp] + 1] = (slot_base[d_region[sp]]
+                                  + d_cyc2[sp] % K[d_region[sp]])
+        pc_piece[dbase[sp] + 1] = 2 * sp + 1
+    dep_counts = (np.bincount(pc_step2, minlength=nsteps)
+                  if npc else np.zeros(nsteps, np.int64))
+    dstep = max(int(dep_counts.max()) if npc else 0, 1)
+    dep_first_of = np.concatenate([[0], np.cumsum(dep_counts)[:-1]])
+    p_of = (np.arange(npc) - dep_first_of[pc_step2]) if npc else pc_step2
+    dmax = dstep
+    pc_w1 = pc_w1 | (p_of << 8)
 
-    per_step = np.zeros(nsteps, np.int64)
-    np.add.at(per_step, it_step, 1)
-    rstep = max(int(per_step.max()) if n_items else 1, 1)
-    step_first = np.concatenate([[0], np.cumsum(per_step)[:-1]])
-    slot_in_step = np.arange(n_items) - step_first[it_step]
-    fcum = np.cumsum(it_is_flush)
-    q_of = np.where(it_is_flush,
-                    fcum - 1 - np.concatenate([[0], fcum])[step_first[it_step]],
-                    0)
-    f_max = max(int(q_of[it_is_flush].max() + 1) if it_is_flush.any() else 1,
-                1)
+    # flushes: split flushes in their deposit's step (exec order), drains
+    # in trailing steps
+    sp = np.nonzero(d_split)[0] if nd else np.zeros(0, np.int64)
+    fl_step = np.concatenate([
+        d_step[sp],
+        nsteps_dep + np.arange(n_drain) // drain_per_step]).astype(np.int64)
+    fl_rc = np.concatenate([
+        rc_base[d_region[sp]] + d_cyc1[sp],
+        rc_base[drain_regions] + cycle[drain_regions]])
+    fl_slot = np.concatenate([
+        slot_base[d_region[sp]] + d_cyc1[sp] % K[d_region[sp]],
+        slot_base[drain_regions]
+        + cycle[drain_regions] % K[drain_regions]]) if (
+            len(sp) + n_drain) else np.zeros(0, np.int64)
+    # fl_step must be non-decreasing for the rank formula: split flushes
+    # follow exec order (step-sorted), drains trail
+    nf = len(fl_step)
+    fl_counts = (np.bincount(fl_step, minlength=nsteps)
+                 if nf else np.zeros(nsteps, np.int64))
+    f_max = max(int(fl_counts.max()) if nf else 0, 1)
     assert f_max <= 256, f"flush ordinal overflow ({f_max})"
     f = f_max
-    # plane ordinal p: deposits index the plane stream by their per-step
-    # DEPOSIT count, not their descriptor slot — flush and inactive slots
-    # carry no plane, so the plane stream shrinks from rstep to dmax chunks
-    # per step (the dominant HBM stream on deposit-heavy graphs)
-    dep_mask = ~it_is_flush
-    dcum = np.cumsum(dep_mask)
-    p_of = np.where(dep_mask,
-                    dcum - 1 - np.concatenate([[0], dcum])[step_first[it_step]],
-                    0)
-    dmax = max(int(p_of[dep_mask].max() + 1) if dep_mask.any() else 1, 1)
-    it_w1 = np.where(dep_mask, it_w1 | (p_of << 8), it_w1)
+    fl_first = np.concatenate([[0], np.cumsum(fl_counts)[:-1]])
+    q_of = (np.arange(nf) - fl_first[fl_step]) if nf else fl_step
 
+    rstep = dstep + f
     rg = np.zeros((nsteps, rstep, 2), np.int32)
-    w2_final = np.where(it_is_flush,
-                        it_w2 | (q_of << 16) | (np.int64(1) << 31), it_w2)
-    rg[it_step, slot_in_step, 0] = it_w1.astype(np.int32)
-    rg[it_step, slot_in_step, 1] = w2_final.astype(np.int32)
+    if npc:
+        rg[pc_step2, np.arange(npc) - dep_first_of[pc_step2], 0] = \
+            pc_w1.astype(np.int32)
+        rg[pc_step2, np.arange(npc) - dep_first_of[pc_step2], 1] = \
+            (pc_slot | (1 << 15)).astype(np.int32)
+    if nf:
+        rg[fl_step, dstep + q_of, 1] = (
+            fl_slot | (q_of << 16) | (np.int64(1) << 31)).astype(np.int32)
 
     # rc -> flush stream position
     c_code = np.full(nsteps * f, -1, np.int32)
     rc_linear = np.zeros(nrc + 1, np.int64)
-    fm = it_is_flush
-    rc_linear[it_rc[fm]] = it_step[fm] * f + q_of[fm]
-    c_code[rc_linear[it_rc[fm]]] = np.searchsorted(
-        rc_base, it_rc[fm], side="right") - 1
+    if nf:
+        rc_linear[fl_rc] = fl_step * f + q_of
+        c_code[rc_linear[fl_rc]] = np.searchsorted(
+            rc_base, fl_rc, side="right") - 1
 
     # ---- deposit planes + phase-C streams ---------------------------------
     planes = np.zeros((nsteps, dmax, S, L), np.int8)
@@ -435,9 +466,8 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     if nsub:
         piece_step = np.empty(2 * nd, np.int64)
         piece_slot = np.empty(2 * nd, np.int64)
-        pm = it_piece >= 0
-        piece_step[it_piece[pm]] = it_step[pm]
-        piece_slot[it_piece[pm]] = p_of[pm]
+        piece_step[pc_piece] = pc_step2
+        piece_slot[pc_piece] = p_of
 
         sr_dep = inv_ed[sub_of_dep]              # exec-order deposit ids
         sr_sub = s_sub[d_order]
@@ -504,7 +534,7 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         num_rows=nrows, num_cols=ncols, nnz=nnz,
         num_col_tiles=ncols // 1024, num_regions=nregions,
         region_rows=region_rows, cb=cb, rstep=rstep, f=f, dmax=dmax,
-        nsteps=nsteps,
+        nsteps=nsteps, dstep=dstep, num_slots=num_slots,
         fill_a=nnz / max(nca * CHUNK, 1),
         fill_stream=nnz / max(nsteps * f * CHUNK, 1),
         el_slot=el_slot,

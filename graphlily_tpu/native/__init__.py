@@ -159,7 +159,7 @@ def planar_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb, hi_pad=0,
     if h == 0:
         return None
     (nsteps, cbv, rstep, f, dmax, nregions, nca, ntiles, ncap,
-     nca2) = (int(v) for v in dims[:10])
+     nca2, dstep, num_slots) = (int(v) for v in dims[:12])
     try:
         a_r = np.zeros((ncap, 8, 128), np.int8)
         xperm = np.zeros((ntiles, 8, 8, 128), np.int8)
@@ -186,7 +186,8 @@ def planar_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb, hi_pad=0,
     return dict(a_r=a_r, xperm=xperm, a_vals=a_vals, a_page=a_page, rg=rg,
                 planes=planes, c_code=c_code, c_hi=c_hi, c_lo=c_lo,
                 el_slot=el_slot, nsteps=nsteps, cb=cbv, rstep=rstep, f=f,
-                dmax=dmax, num_regions=nregions, nca=nca)
+                dmax=dmax, num_regions=nregions, nca=nca,
+                dstep=dstep, num_slots=num_slots)
 
 
 def router_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb):

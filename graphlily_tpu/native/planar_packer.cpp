@@ -416,98 +416,137 @@ int64_t glt_planar_plan(const int64_t* rr_in, const int64_t* cc_in,
     }
     const int64_t nrc = rc_base[nregions];
 
-    // ---- descriptor items: per-step slot / flush q / deposit p counters ---
-    std::vector<int32_t> slot_cnt(nsteps, 0), q_cnt(nsteps, 0),
-        p_cnt(nsteps, 0);
+    // ---- K-rotated accumulator slots (phase-ordered stream) --------------
+    // mirrors io/planar_format.py: per region, cycles rotate through K
+    // slots so one step's flushes can all run after its (guard-batched)
+    // deposits; a split's two pieces are consecutive cycles
+    std::vector<int64_t> K(nregions, 2);
+    if (nd) {
+        int64_t cyc_max = 0;
+        for (int64_t k = 0; k < nd; ++k)
+            cyc_max = std::max<int64_t>(cyc_max, sim.cyc2[k]);
+        const int64_t cspan = cyc_max + 2;
+        std::vector<int64_t> trip;
+        trip.reserve(2 * nd);
+        for (int64_t k = 0; k < nd; ++k) {
+            const int64_t i = sim.ed[k];
+            const int64_t step = d_chunk[i] / cb;
+            const int64_t rs = d_region[i] * (nsteps_dep + 1) + step;
+            trip.push_back(rs * cspan + sim.cyc1[k]);
+            if (sim.split[k]) trip.push_back(rs * cspan + sim.cyc2[k]);
+        }
+        std::sort(trip.begin(), trip.end());
+        trip.erase(std::unique(trip.begin(), trip.end()), trip.end());
+        std::vector<int64_t> kmax(nregions, 1);
+        for (size_t k = 0; k < trip.size();) {
+            const int64_t rs = trip[k] / cspan;
+            size_t j = k;
+            while (j < trip.size() && trip[j] / cspan == rs) ++j;
+            const int64_t r = rs / (nsteps_dep + 1);
+            kmax[r] = std::max<int64_t>(kmax[r], (int64_t)(j - k));
+            k = j;
+        }
+        for (int64_t r = 0; r < nregions; ++r) K[r] = kmax[r] + 1;
+    }
+    std::vector<int64_t> slot_base(nregions + 1, 0);
+    for (int64_t r = 0; r < nregions; ++r)
+        slot_base[r + 1] = slot_base[r] + K[r];
+    const int64_t num_slots = slot_base[nregions];
+    if (num_slots > 4096) {
+        delete P;
+        return 0;
+    }
+
+    // ---- descriptor items: deposits first (rank == plane ordinal),
+    // flushes at the step tail ----------------------------------------------
+    std::vector<int32_t> dep_cnt(nsteps, 0), q_cnt(nsteps, 0);
     // piece id (2*exec_dep [+1]) -> (step, plane ordinal)
     std::vector<int64_t> piece_step(2 * nd, -1), piece_slot(2 * nd, -1);
     std::vector<int64_t> fl_rc, fl_step;   // per flush item
-    std::vector<int32_t> fl_q, fl_region;
-    // rg items gathered as (step, slot, w1, w2-without-q)
-    std::vector<int64_t> it_step, it_slot;
-    std::vector<int32_t> it_w1, it_w2;
-    std::vector<uint8_t> it_fl;
-    const int64_t n_items_est = nd * 3 + n_drain;
-    it_step.reserve(n_items_est);
-    it_slot.reserve(n_items_est);
-    it_w1.reserve(n_items_est);
-    it_w2.reserve(n_items_est);
-    it_fl.reserve(n_items_est);
+    std::vector<int32_t> fl_q, fl_region, fl_slot12;
+    std::vector<int64_t> dp_step, dp_rank;
+    std::vector<int32_t> dp_w1, dp_w2;
+    dp_step.reserve(2 * nd);
+    dp_rank.reserve(2 * nd);
+    dp_w1.reserve(2 * nd);
+    dp_w2.reserve(2 * nd);
     for (int64_t k = 0; k < nd; ++k) {
         const int64_t i = sim.ed[k];
         const int64_t step = d_chunk[i] / cb;
-        const int32_t reg = (int32_t)d_region[i];
+        const int64_t reg = d_region[i];
         // piece 1
-        int64_t pp = p_cnt[step]++;
+        int64_t pp = dep_cnt[step]++;
         piece_step[2 * k] = step;
         piece_slot[2 * k] = pp;
-        it_step.push_back(step);
-        it_slot.push_back(slot_cnt[step]++);
-        it_w1.push_back((int32_t)((d_chunk[i] % cb) | (pp << 8)));
-        it_w2.push_back(reg | (1 << 15));
-        it_fl.push_back(0);
+        dp_step.push_back(step);
+        dp_rank.push_back(pp);
+        dp_w1.push_back((int32_t)((d_chunk[i] % cb) | (pp << 8)));
+        dp_w2.push_back((int32_t)((slot_base[reg] + sim.cyc1[k] % K[reg])
+                                  | (1 << 15)));
         if (sim.split[k]) {
-            // flush
+            // flush of cycle cyc1 (step tail)
             const int32_t q = q_cnt[step]++;
-            it_step.push_back(step);
-            it_slot.push_back(slot_cnt[step]++);
-            it_w1.push_back(0);
-            it_w2.push_back(reg | (q << 16));
-            it_fl.push_back(1);
             fl_rc.push_back(rc_base[reg] + sim.cyc1[k]);
             fl_step.push_back(step);
             fl_q.push_back(q);
-            fl_region.push_back(reg);
-            // piece 2
-            pp = p_cnt[step]++;
+            fl_region.push_back((int32_t)reg);
+            fl_slot12.push_back(
+                (int32_t)(slot_base[reg] + sim.cyc1[k] % K[reg]));
+            // piece 2 (next cycle -> different rotated slot)
+            pp = dep_cnt[step]++;
             piece_step[2 * k + 1] = step;
             piece_slot[2 * k + 1] = pp;
-            it_step.push_back(step);
-            it_slot.push_back(slot_cnt[step]++);
-            it_w1.push_back((int32_t)((d_chunk[i] % cb) | (pp << 8)));
-            it_w2.push_back(reg | (1 << 15));
-            it_fl.push_back(0);
+            dp_step.push_back(step);
+            dp_rank.push_back(pp);
+            dp_w1.push_back((int32_t)((d_chunk[i] % cb) | (pp << 8)));
+            dp_w2.push_back((int32_t)((slot_base[reg]
+                                       + sim.cyc2[k] % K[reg]) | (1 << 15)));
         }
     }
     for (int64_t k = 0; k < n_drain; ++k) {
         const int64_t step = nsteps_dep + k / drain_per_step;
-        const int32_t reg = (int32_t)drain_regions[k];
+        const int64_t reg = drain_regions[k];
         const int32_t q = q_cnt[step]++;
-        it_step.push_back(step);
-        it_slot.push_back(slot_cnt[step]++);
-        it_w1.push_back(0);
-        it_w2.push_back(reg | (q << 16));
-        it_fl.push_back(1);
         fl_rc.push_back(rc_base[reg] + sim.cycle[reg]);
         fl_step.push_back(step);
         fl_q.push_back(q);
-        fl_region.push_back(reg);
+        fl_region.push_back((int32_t)reg);
+        fl_slot12.push_back(
+            (int32_t)(slot_base[reg] + sim.cycle[reg] % K[reg]));
     }
-    int64_t rstep = 1, f = 1, dmax = 1;
+    int64_t dstep = 1, f = 1;
     for (int64_t st = 0; st < nsteps; ++st) {
-        rstep = std::max<int64_t>(rstep, slot_cnt[st]);
+        dstep = std::max<int64_t>(dstep, dep_cnt[st]);
         f = std::max<int64_t>(f, q_cnt[st]);
-        dmax = std::max<int64_t>(dmax, p_cnt[st]);
     }
     if (f > 256) {   // flush ordinal overflow: fall back to the numpy
         delete P;    // packer, whose assert raises the documented error
         return 0;
     }
+    const int64_t rstep = dstep + f;
+    const int64_t dmax = dstep;
     p.rstep = rstep;
     p.f = f;
     p.dmax = dmax;
     p.ncap = nsteps * cb;
 
     // finalize rg entries (flush w2 needs the sign bit)
-    const int64_t n_items = (int64_t)it_step.size();
-    p.it_pos.resize(n_items);
-    p.it_w1.resize(n_items);
-    p.it_w2.resize(n_items);
-    for (int64_t k = 0; k < n_items; ++k) {
-        p.it_pos[k] = it_step[k] * rstep + it_slot[k];
-        p.it_w1[k] = it_w1[k];
-        p.it_w2[k] = it_fl[k] ? (int32_t)(it_w2[k] | (int32_t)0x80000000)
-                              : it_w2[k];
+    const int64_t ndp2 = (int64_t)dp_step.size();
+    const int64_t nfl0 = (int64_t)fl_rc.size();
+    p.it_pos.resize(ndp2 + nfl0);
+    p.it_w1.resize(ndp2 + nfl0);
+    p.it_w2.resize(ndp2 + nfl0);
+    for (int64_t k = 0; k < ndp2; ++k) {
+        p.it_pos[k] = dp_step[k] * rstep + dp_rank[k];
+        p.it_w1[k] = dp_w1[k];
+        p.it_w2[k] = dp_w2[k];
+    }
+    for (int64_t k = 0; k < nfl0; ++k) {
+        p.it_pos[ndp2 + k] = fl_step[k] * rstep + dstep + fl_q[k];
+        p.it_w1[ndp2 + k] = 0;
+        p.it_w2[ndp2 + k] = (int32_t)(fl_slot12[k]
+                                      | ((int64_t)fl_q[k] << 16)
+                                      | (int64_t)0x80000000);
     }
 
     // rc -> flush stream position; c_code entries
@@ -580,6 +619,8 @@ int64_t glt_planar_plan(const int64_t* rr_in, const int64_t* cc_in,
     dims_out[7] = ntiles;
     dims_out[8] = p.ncap;
     dims_out[9] = p.nca2;
+    dims_out[10] = dstep;
+    dims_out[11] = num_slots;
     const int64_t h = next_handle();
     registry()[h] = P;
     return h;

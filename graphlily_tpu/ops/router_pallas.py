@@ -513,7 +513,8 @@ def _xperm_call(planes, x2, *, nct, interpret, dtype):
 
 def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                         fuse: bool = False, rh: int = 0, precision=None,
-                        fnum: int = 0, banks2: bool = True):
+                        fnum: int = 0, banks2: bool = True,
+                        dstep: int = 0):
     """Planar-deposit kernel (see io/planar_format.py): bucket-binned tile
     chunks make phase A a single ax1 dynamic_gather, and each deposit ships
     a static (8,128) int8 plane — entry < 0 routes source lane (v & 127) of
@@ -564,22 +565,37 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                 raise ValueError(op)
             g_buf[k] = g
 
-        # ---- phase B: plane deposits + flushes ----------------------------
-        # two banks by static descriptor parity — see the roll kernel's
-        # banks note (breaks the conservative serialization of dynamic-slot
-        # accumulator RMWs into two independent chains)
-        for j in range(rstep):
-            w1 = rg_ref[0, j, 0]
+        # ---- phase B (phase-ordered stream): batched deposits, then
+        # flushes — see the roll kernel / io/planar_format.py layout notes.
+        # A deposit body no-ops via the w2-driven threshold when its slot
+        # is padding or SpMSpV-predicated (w2 == 0): the plane compare
+        # never takes. Banks by in-group parity.
+        def dep_body(w1, w2, bank):
+            pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
+            idx = pv & 127
+            g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
+            thr = jnp.where(w2 > 0, 0, -256)
+            slot = w2 & 0xFFF
+            bank[slot] = jnp.where(pv < thr, g, bank[slot])
+
+        DG = 8
+        for j0 in range(0, dstep, DG):
+            n = min(DG, dstep - j0)
+            ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
+                  for u in range(n)]
+            anyact = ws[0][1]
+            for u in range(1, n):
+                anyact = jnp.maximum(anyact, ws[u][1])
+
+            @pl.when(anyact > 0)
+            def _():
+                for u in range(n):
+                    bank = acc2_ref if (banks2 and u % 2) else acc_ref
+                    dep_body(ws[u][0], ws[u][1], bank)
+
+        for j in range(dstep, rstep):
             w2 = rg_ref[0, j, 1]
             slot = w2 & 0xFFF
-            bank = acc2_ref if (banks2 and j % 2) else acc_ref
-
-            @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step | plane<<8
-            def _():
-                pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
-                idx = pv & 127
-                g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
-                bank[slot] = jnp.where(pv < 0, g, bank[slot])
 
             @pl.when(w2 < 0)   # flush: copy + zero
             def _():
@@ -597,19 +613,28 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
         if not fuse:
             return
 
-        # ---- inline phase C (identical to the roll-router fused tail) -----
+        # ---- inline phase C: batched reduces (see the roll fused tail) ----
         hi_all = hi_ref[0].astype(jnp.int32)
         lo_all = lo_ref[0].astype(jnp.int32)
-        for qq in range(fnum):
-            c = code_ref[0, 0, qq]
+        CG = 4
+        for q0 in range(0, fnum, CG):
+            n = min(CG, fnum - q0)
+            cs = [code_ref[0, 0, q0 + u] for u in range(n)]
+            anyact = cs[0]
+            for u in range(1, n):
+                anyact = jnp.maximum(anyact, cs[u])
 
-            @pl.when(c >= 0)
+            @pl.when(anyact >= 0)
             def _():
-                accd = _onehot_place(ring_ref[qq],
-                                     hi_all[qq * S:(qq + 1) * S, :],
-                                     lo_all[qq * S:(qq + 1) * S, :],
-                                     rh, precision)
-                o_ref[c] += accd.astype(o_ref.dtype)
+                for u in range(n):
+                    qq = q0 + u
+                    c = cs[u]
+                    accd = _onehot_place(ring_ref[qq],
+                                         hi_all[qq * S:(qq + 1) * S, :],
+                                         lo_all[qq * S:(qq + 1) * S, :],
+                                         rh, precision)
+                    accd = jnp.where(c >= 0, accd, 0.0)
+                    o_ref[jnp.maximum(c, 0)] += accd.astype(o_ref.dtype)
 
     return kernel
 
@@ -617,7 +642,8 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
 def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                                fuse: bool = False, rh: int = 0,
                                precision=None, fnum: int = 0,
-                               unroll: int = 16, banks2: bool = True):
+                               unroll: int = 16, banks2: bool = True,
+                               dstep: int = 0):
     """Partially-unrolled phase B: a lax.fori_loop over descriptor slots,
     `unroll` bodies per iteration. The fully-unrolled kernel compiles in
     ~35 min at pokec scale (rstep=195, f=47 fused) — far beyond the bench
@@ -662,26 +688,40 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                 raise ValueError(op)
             g_buf[k] = g
 
-        # ---- phase B: block-unrolled descriptor loop ----------------------
+        # ---- phase B: block-unrolled deposit loop (phase-ordered stream) --
         # Mosaic's pallas fori_loop lowering supports only unroll=1 or full
         # unroll, so the partial unroll is MANUAL: a dynamic outer loop over
-        # ceil(rstep/unroll) blocks with `unroll` statically-inlined bodies
-        # — Mosaic schedules across the static bodies (ILP) while the
-        # program stays ~rstep/unroll times smaller than a full unroll.
-        def emit(j, parity):
-            # bank by STATIC parity (any deposit may use either bank —
-            # flushes sum both); see the roll kernel's banks note
+        # blocks of `unroll` statically-inlined bodies. Bodies run
+        # UNCONDITIONALLY with the w2-driven threshold no-op (padding /
+        # SpMSpV-predicated slots route nothing) — batching replaces the
+        # per-descriptor pl.when barrier that serialized the bodies.
+        def dep_body(j, parity):
             w1 = rg_ref[0, j, 0]
             w2 = rg_ref[0, j, 1]
             slot = w2 & 0xFFF
             bank = acc2_ref if (banks2 and parity) else acc_ref
+            pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
+            idx = pv & 127
+            g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
+            thr = jnp.where(w2 > 0, 0, -256)
+            bank[slot] = jnp.where(pv < thr, g, bank[slot])
 
-            @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step | plane<<8
-            def _():
-                pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
-                idx = pv & 127
-                g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
-                bank[slot] = jnp.where(pv < 0, g, bank[slot])
+        nb = dstep // unroll
+
+        def body(b, carry):
+            base = b * unroll
+            for u in range(unroll):
+                dep_body(base + u, u % 2)
+            return carry
+
+        if nb:
+            jax.lax.fori_loop(0, nb, body, 0, unroll=1)
+        for j in range(nb * unroll, dstep):   # static tail
+            dep_body(j, j % 2)
+
+        for j in range(dstep, rstep):         # flushes (few; static loop)
+            w2 = rg_ref[0, j, 1]
+            slot = w2 & 0xFFF
 
             @pl.when(w2 < 0)   # flush: copy + zero
             def _():
@@ -696,39 +736,34 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                 if banks2:
                     acc2_ref[slot] = jnp.zeros_like(gch)
 
-        nb = rstep // unroll
-
-        def body(b, carry):
-            base = b * unroll
-            for u in range(unroll):
-                emit(base + u, u % 2)
-            return carry
-
-        if nb:
-            jax.lax.fori_loop(0, nb, body, 0, unroll=1)
-        for j in range(nb * unroll, rstep):   # static tail
-            emit(j, j % 2)
-
         if not fuse:
             return
 
-        # ---- phase C: rolled reduce loop over flush ordinals --------------
-        def cbody(qq, carry):
-            # hi/lo ride 4D (1, f, 8, 128) so the dynamic flush-ordinal
-            # index stays at vreg-tile granularity
+        # ---- phase C: blocked reduce loop over flush ordinals -------------
+        # masked-unconditional bodies in blocks of CG (same ILP argument);
+        # hi/lo ride 4D (1, f, 8, 128) so the dynamic flush-ordinal index
+        # stays at vreg-tile granularity
+        def cred(qq):
             c = code_ref[0, 0, qq]
+            accd = _onehot_place(ring_ref[qq],
+                                 hi_ref[0, qq].astype(jnp.int32),
+                                 lo_ref[0, qq].astype(jnp.int32),
+                                 rh, precision)
+            accd = jnp.where(c >= 0, accd, 0.0)
+            o_ref[jnp.maximum(c, 0)] += accd.astype(o_ref.dtype)
 
-            @pl.when(c >= 0)
-            def _():
-                accd = _onehot_place(ring_ref[qq],
-                                     hi_ref[0, qq].astype(jnp.int32),
-                                     lo_ref[0, qq].astype(jnp.int32),
-                                     rh, precision)
-                o_ref[c] += accd.astype(o_ref.dtype)
+        CG = 4
+        ncb = fnum // CG
 
+        def cbody(b, carry):
+            for u in range(CG):
+                cred(b * CG + u)
             return carry
 
-        jax.lax.fori_loop(0, fnum, cbody, 0, unroll=1)
+        if ncb:
+            jax.lax.fori_loop(0, ncb, cbody, 0, unroll=1)
+        for qq in range(ncb * CG, fnum):
+            cred(qq)
 
     return kernel
 
@@ -736,16 +771,18 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
 @functools.partial(
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "nct",
-                     "nsteps", "interpret", "dtype", "gdtype", "looped"))
+                     "nsteps", "interpret", "dtype", "gdtype", "looped",
+                     "dstep"))
 def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
                          dmax, nreg, nct, nsteps, interpret, dtype,
-                         gdtype=None, looped=False):
+                         gdtype=None, looped=False, dstep=0):
     # tropical rides the exact int32 bit encoding end-to-end (see
     # _tropical_encode); deposits/flushes are dtype-agnostic bit movers
     sdt = jnp.int32 if op == OpType.ADDMIN else jnp.dtype(dtype)
     if looped:
         kernel = _make_planar_kernel_looped(op, cb, rstep, nreg,
-                                            banks2=not interpret)
+                                            banks2=not interpret,
+                                            dstep=dstep)
         stream = lambda i: (i, 0, 0)
         fn = pl.pallas_call(
             kernel,
@@ -775,7 +812,7 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
         )
         return fn(page, r, vals, rg, planes, x2)
     kernel = _make_planar_kernel(op, cb, rstep, nreg,
-                                 banks2=not interpret)
+                                 banks2=not interpret, dstep=dstep)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -807,16 +844,18 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "rh",
                      "nregions", "nct", "nsteps", "mxu_precision",
-                     "interpret", "dtype", "looped"))
+                     "interpret", "dtype", "looped", "dstep"))
 def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
                        cb, rstep, f, dmax, nreg, rh, nregions, nct, nsteps,
-                       mxu_precision, interpret, dtype, looped=False):
+                       mxu_precision, interpret, dtype, looped=False,
+                       dstep=0):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     if looped:
         kernel = _make_planar_kernel_looped(op, cb, rstep, nreg, fuse=True,
                                             rh=rh, precision=precision,
-                                            fnum=f, banks2=not interpret)
+                                            fnum=f, banks2=not interpret,
+                                            dstep=dstep)
         stream = lambda i: (i, 0, 0)
         fn = pl.pallas_call(
             kernel,
@@ -854,7 +893,7 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
                   x2)
     kernel = _make_planar_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
                                  precision=precision, fnum=f,
-                                 banks2=not interpret)
+                                 banks2=not interpret, dstep=dstep)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -951,8 +990,8 @@ class PlanarSpMV:
                else config.dtype)
         self._static_scatter = dict(
             op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
-            dmax=lay.dmax,
-            nreg=lay.num_regions, nct=lay.num_col_tiles, nsteps=lay.nsteps,
+            dmax=lay.dmax, dstep=lay.dstep,
+            nreg=lay.num_slots, nct=lay.num_col_tiles, nsteps=lay.nsteps,
             interpret=config.resolve_interpret(), dtype=config.dtype,
             gdtype=gdt,
         )
@@ -963,8 +1002,8 @@ class PlanarSpMV:
         )
         self._static_fused = dict(
             op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
-            dmax=lay.dmax,
-            nreg=lay.num_regions, rh=rh, nregions=lay.num_regions,
+            dmax=lay.dmax, dstep=lay.dstep,
+            nreg=lay.num_slots, rh=rh, nregions=lay.num_regions,
             nct=lay.num_col_tiles, nsteps=lay.nsteps,
             mxu_precision=config.mxu_precision,
             interpret=config.resolve_interpret(), dtype=config.dtype,

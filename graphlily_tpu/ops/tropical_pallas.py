@@ -234,7 +234,8 @@ class TropicalSpMV:
         )
         self._static_scatter = dict(
             op=OpType.ADDMIN, cb=p.cb, rstep=p.rstep, f=p.f, dmax=p.dmax,
-            nreg=p.num_regions, nct=p.num_col_tiles, nsteps=p.nsteps,
+            dstep=p.dstep,
+            nreg=p.num_slots, nct=p.num_col_tiles, nsteps=p.nsteps,
             interpret=config.resolve_interpret(), dtype="float32",
             gdtype="int32", looped=p.rstep > 48)
         self._static_split = dict(

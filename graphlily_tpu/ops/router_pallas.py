@@ -486,11 +486,26 @@ def _make_xperm_kernel(tb: int):
 @functools.partial(jax.jit,
                    static_argnames=("nct", "interpret", "dtype"))
 def _xperm_call(planes, x2, *, nct, interpret, dtype):
-    tb = 1
-    for cand in (16, 8, 4, 2, 1):
-        if nct % cand == 0:
-            tb = cand
-            break
+    # always run 16-tile blocks: small blocks (tb=2 when nct is even but
+    # not 16-divisible) load (128,128) int8 sub-tiles that pay a Mosaic
+    # relayout — measured ~5 ms on full pokec vs ~1 ms padded. Padding
+    # tiles are zeros and never referenced downstream (a_page < nct).
+    nct_p = -(-nct // 16) * 16
+    if nct_p != nct:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((nct_p - nct,) + planes.shape[1:],
+                               planes.dtype)], axis=0)
+        x2 = jnp.concatenate(
+            [x2, jnp.zeros((nct_p - nct, S, L), x2.dtype)], axis=0)
+    tb = 16
+    out = _xperm_call_padded(planes, x2, nct=nct_p, interpret=interpret,
+                             dtype=dtype, tb=tb)
+    return out[:nct]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nct", "interpret", "dtype", "tb"))
+def _xperm_call_padded(planes, x2, *, nct, interpret, dtype, tb):
     kernel = _make_xperm_kernel(tb)
     fn = pl.pallas_call(
         kernel,

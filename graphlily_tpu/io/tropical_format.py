@@ -59,9 +59,12 @@ class TropicalSpMVLayout:
     in_order: np.ndarray    # (nsteps2*kb,) int32: pass-1 stream chunk ids in
                             #   region-major consumption order (pad: repeat
                             #   of a garbage chunk, descriptors never touch)
-    rg2: np.ndarray         # (nsteps2, rstep2, 2) int32, planar descriptor
-                            #   format: deposit w1 = k | p<<8, w2 = d | 1<<15
-                            #   flush w1 = 0, w2 = d | q<<16 | 1<<31
+    rg2: np.ndarray         # (nsteps2, rstep2, 2) int32, phase-ordered:
+                            #   deposits [0, dstep2): w1 = k | p<<8,
+                            #     w2 = slot12 | 1<<15 (slot = digit*K +
+                            #     global_cycle%K — K-rotated, see builder)
+                            #   flushes [dstep2, rstep2): w1 = 0,
+                            #     w2 = slot12 | q<<16 | 1<<31
     planes2: np.ndarray     # (nsteps2, dmax2, 8, 128) int8 deposit planes
     # ---- window reduce pass ----
     c_win: np.ndarray       # (nsteps2*f2,) int32 global window id (-1 skip)
@@ -82,6 +85,8 @@ class TropicalSpMVLayout:
     dmax2: int
     nsteps2: int
     fill2: float            # nnz / window-stream slots
+    dstep2: int = 0         # deposit slots per split step (rstep2 - f2)
+    num_slots2: int = 0     # rotated digit slots (split scratch height)
 
     @property
     def mem_bytes(self) -> int:
@@ -177,93 +182,115 @@ def build_split_schedule(lay: PlanarSpMVLayout, kb: int = 16,
     rc_base = np.concatenate([[0], np.cumsum(ncyc)])
     nrc = int(rc_base[-1])
 
-    # ---- descriptor stream ------------------------------------------------
-    # walk deposits in exec order; emit [piece1, flush?, piece2] per
-    # deposit; when the region changes between chunks, emit the finished
-    # region's drains first (in the step of ITS last chunk — descriptors in
-    # a step execute in slot order, so boundary mid-step stays correct)
+    # ---- phase-ordered descriptor stream (K-rotated digit slots) ----------
+    # Per step the kernel runs ALL deposits (batched under shared guards —
+    # see ops/router_pallas.py layout v3) then all flushes; a digit's
+    # GLOBAL cycle sequence (cumulative across regions, since the digit
+    # slot is reused region to region) rotates through K accumulator slots
+    # so no slot is flushed and re-deposited within one step.
     step_of_chunk = np.arange(n_in) // kb
-    last_chunk_of_region = {}
-    for i in range(n_in):
-        last_chunk_of_region[int(regions[i])] = i
+    nregs = int(regions.max()) + 1
+    last_pos = np.zeros(nregs, np.int64)
+    np.maximum.at(last_pos, regions, np.arange(n_in))
     # exec-order deposit fields
     e_chunk = sim.dc
     e_key = sim.dr
     e_digit = e_key % R
     e_step = step_of_chunk[e_chunk]
-    slot_cnt = np.zeros(nsteps2, np.int64)
-    q_cnt = np.zeros(nsteps2, np.int64)
-    p_cnt = np.zeros(nsteps2, np.int64)
-    it_pos, it_w1, it_w2 = [], [], []
-    fl_rc, fl_pos_meta = [], []     # rc -> (step, q) resolved after f known
-    piece_sp = np.full((2 * nd, 2), -1, np.int64)   # (step, plane ordinal)
+    sp_mask = sim.split.astype(bool)
+    spw = np.nonzero(sp_mask)[0]
 
-    def emit_flush(key, cyc, step):
-        d = int(key % R)
-        q = int(q_cnt[step])
-        q_cnt[step] += 1
-        it_pos.append((step, int(slot_cnt[step])))
-        slot_cnt[step] += 1
-        it_w1.append(0)
-        it_w2.append(np.int32(d | (q << 16) | -(1 << 31)))
-        fl_rc.append(int(rc_base[key] + cyc))
-        fl_pos_meta.append((step, q))
+    # per-digit global cycle ids (cumulative flush count across regions)
+    basecyc = np.concatenate(
+        [np.zeros((1, R), np.int64),
+         np.cumsum(ncyc.reshape(nregs, R), axis=0)[:-1]]).reshape(-1)
+    gc1 = basecyc[e_key] + sim.cyc1
+    gc2 = basecyc[e_key] + sim.cyc2
+    dr_keys = np.nonzero(has_resid)[0]
+    dr_reg = dr_keys // R
+    dr_step = step_of_chunk[last_pos[dr_reg]]
+    dr_gc = basecyc[dr_keys] + sim.cycle[dr_keys]
 
-    def emit_dep(k_exec, piece, step, chunk):
-        p = int(p_cnt[step])
-        p_cnt[step] += 1
-        piece_sp[2 * k_exec + piece] = (step, p)
-        it_pos.append((step, int(slot_cnt[step])))
-        slot_cnt[step] += 1
-        it_w1.append(np.int32((chunk - step * kb) | (p << 8)))
-        it_w2.append(np.int32(int(e_digit[k_exec]) | (1 << 15)))
+    # K: max distinct global cycles of one digit touched in one step
+    # (deposit pieces AND flushes — a drained slot must not be re-deposited
+    # by the next region's cycle within the drain step)
+    t_dig = np.concatenate([e_digit, e_digit[spw], dr_keys % R])
+    t_step = np.concatenate([e_step, e_step[spw], dr_step])
+    t_gc = np.concatenate([gc1, gc2[spw], dr_gc])
+    gspan = int(t_gc.max()) + 2
+    tk = (t_dig * np.int64(nsteps2 + 1) + t_step) * gspan + t_gc
+    uk = np.unique(tk)
+    uk2, cnt = np.unique(uk // gspan, return_counts=True)
+    K = int(cnt.max()) + 1
+    num_slots2 = R * K
+    assert num_slots2 <= 4096, \
+        f"rotated split slots exceed the 12-bit field ({num_slots2})"
+    slot1 = e_digit * K + gc1 % K
+    slot2 = e_digit * K + gc2 % K
 
-    prev_region = -1
-    for k in range(nd):
-        ch = int(e_chunk[k])
-        reg = int(regions[ch])
-        if reg != prev_region:
-            if prev_region >= 0:
-                dr_step = int(step_of_chunk[last_chunk_of_region[prev_region]])
-                base = prev_region * R
-                for d in range(R):
-                    if has_resid[base + d]:
-                        emit_flush(base + d, int(sim.cycle[base + d]), dr_step)
-            prev_region = reg
-        step = int(e_step[k])
-        emit_dep(k, 0, step, ch)
-        if sim.split[k]:
-            emit_flush(int(e_key[k]), int(sim.cyc1[k]), step)
-            emit_dep(k, 1, step, ch)
-    if prev_region >= 0:
-        dr_step = int(step_of_chunk[last_chunk_of_region[prev_region]])
-        base = prev_region * R
-        for d in range(R):
-            if has_resid[base + d]:
-                emit_flush(base + d, int(sim.cycle[base + d]), dr_step)
+    # deposit pieces in exec order (piece2 right after its piece1)
+    per_dep = np.where(sp_mask, 2, 1)
+    dbase = np.concatenate([[0], np.cumsum(per_dep)[:-1]])
+    npc = int(per_dep.sum())
+    pc_step = np.zeros(npc, np.int64)
+    pc_chunk = np.zeros(npc, np.int64)
+    pc_slot = np.zeros(npc, np.int64)
+    pc_piece = np.zeros(npc, np.int64)
+    pc_step[dbase] = e_step
+    pc_chunk[dbase] = e_chunk
+    pc_slot[dbase] = slot1
+    pc_piece[dbase] = 2 * np.arange(nd)
+    pc_step[dbase[spw] + 1] = e_step[spw]
+    pc_chunk[dbase[spw] + 1] = e_chunk[spw]
+    pc_slot[dbase[spw] + 1] = slot2[spw]
+    pc_piece[dbase[spw] + 1] = 2 * spw + 1
+    dep_counts = np.bincount(pc_step, minlength=nsteps2)
+    dstep2 = max(int(dep_counts.max()), 1)
+    dep_first2 = np.concatenate([[0], np.cumsum(dep_counts)[:-1]])
+    p_of = np.arange(npc) - dep_first2[pc_step]
+    dmax2 = dstep2
 
-    rstep2 = max(int(slot_cnt.max()), 1)
-    f2 = max(int(q_cnt.max()), 1)
-    dmax2 = max(int(p_cnt.max()), 1)
+    # flushes: split flushes at their step, drains at their region's last
+    # chunk's step; stable sort by step (split-before-drain within a step
+    # preserves each key's cycle order)
+    fl_step_all = np.concatenate([e_step[spw], dr_step])
+    fl_key_all = np.concatenate([e_key[spw], dr_keys])
+    fl_rc_all = np.concatenate([rc_base[e_key[spw]] + sim.cyc1[spw],
+                                rc_base[dr_keys] + sim.cycle[dr_keys]])
+    fl_slot_all = np.concatenate([slot1[spw],
+                                  (dr_keys % R) * K + dr_gc % K])
+    forder = np.argsort(fl_step_all, kind="stable")
+    fl_step_all = fl_step_all[forder]
+    fl_key_all = fl_key_all[forder]
+    fl_rc_all = fl_rc_all[forder]
+    fl_slot_all = fl_slot_all[forder]
+    nf = len(fl_step_all)
+    fl_counts = np.bincount(fl_step_all, minlength=nsteps2)
+    f2 = max(int(fl_counts.max()), 1)
     assert f2 <= 256, f"flush ordinal overflow ({f2})"
+    fl_first2 = np.concatenate([[0], np.cumsum(fl_counts)[:-1]])
+    q_of = np.arange(nf) - fl_first2[fl_step_all]
 
+    rstep2 = dstep2 + f2
     rg2 = np.zeros((nsteps2, rstep2, 2), np.int32)
-    pos_arr = np.asarray(it_pos, np.int64)
-    rg2[pos_arr[:, 0], pos_arr[:, 1], 0] = np.asarray(it_w1, np.int64) \
-        .astype(np.int32)
-    rg2[pos_arr[:, 0], pos_arr[:, 1], 1] = np.asarray(it_w2, np.int64) \
-        .astype(np.int32)
+    rg2[pc_step, p_of, 0] = ((pc_chunk - pc_step * kb)
+                             | (p_of << 8)).astype(np.int32)
+    rg2[pc_step, p_of, 1] = (pc_slot | (1 << 15)).astype(np.int32)
+    if nf:
+        rg2[fl_step_all, dstep2 + q_of, 1] = (
+            fl_slot_all | (q_of << 16) | (np.int64(1) << 31)).astype(np.int32)
+
+    piece_sp = np.full((2 * nd, 2), -1, np.int64)   # (step, plane ordinal)
+    piece_sp[pc_piece, 0] = pc_step
+    piece_sp[pc_piece, 1] = p_of
 
     # rc -> out stream position
     rc_linear = np.zeros(nrc + 1, np.int64)
-    fl_rc_a = np.asarray(fl_rc, np.int64)
-    fl_meta = np.asarray(fl_pos_meta, np.int64)
-    out_pos = fl_meta[:, 0] * f2 + fl_meta[:, 1]
-    rc_linear[fl_rc_a] = out_pos
+    out_pos = fl_step_all * f2 + q_of
+    rc_linear[fl_rc_all] = out_pos
     c_win = np.full(nsteps2 * f2, -1, np.int32)
     # rc -> global window: key = region*R + digit, window = same value
-    rc_key = np.searchsorted(rc_base, fl_rc_a, side="right") - 1
-    c_win[out_pos] = rc_key.astype(np.int32)
+    c_win[out_pos] = fl_key_all.astype(np.int32)
 
     # ---- deposit planes + per-element out positions -----------------------
     # elements of deposit k (exec pos): piece split at part1 per sublane
@@ -337,7 +364,7 @@ def build_split_schedule(lay: PlanarSpMVLayout, kb: int = 16,
                 sort2=sort2, rowids=rowids, inv2=inv2,
                 num_windows=max(nwin, 1), region_digits=R, kb=kb,
                 rstep2=rstep2, f2=f2, dmax2=dmax2, nsteps2=nsteps2,
-                fill2=fill2)
+                dstep2=dstep2, num_slots2=num_slots2, fill2=fill2)
 
 
 def pack_tropical(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,

@@ -261,7 +261,8 @@ def tropical_split_native(c_code, c_hi, c_lo, R, kb):
         c_lo.ctypes.data_as(i8p), nc, R, kb, dims.ctypes.data_as(i64p))
     if h == 0:
         return None
-    n_in, nsteps2, rstep2, f2, dmax2, _nel = (int(v) for v in dims[:6])
+    (n_in, nsteps2, rstep2, f2, dmax2, _nel,
+     dstep2, num_slots2) = (int(v) for v in dims[:8])
     n_out = nsteps2 * f2
     try:
         in_order = np.zeros(nsteps2 * kb, np.int32)
@@ -281,7 +282,8 @@ def tropical_split_native(c_code, c_hi, c_lo, R, kb):
         inv2.ctypes.data_as(i8p))
     return dict(in_order=in_order, rg2=rg2, planes2=planes2, c_win=c_win,
                 sort2=sort2, rowids=rowids, inv2=inv2,
-                kb=kb, rstep2=rstep2, f2=f2, dmax2=dmax2, nsteps2=nsteps2)
+                kb=kb, rstep2=rstep2, f2=f2, dmax2=dmax2, nsteps2=nsteps2,
+                dstep2=dstep2, num_slots2=num_slots2)
 
 
 def csr2csc_native(indptr, indices, data, num_rows, num_cols):

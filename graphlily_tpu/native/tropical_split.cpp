@@ -39,6 +39,7 @@ struct TItem {          // one descriptor-stream entry
 struct TSplitPlan {
     int64_t nc = 0, R = 0, kb = 0;
     int64_t n_in = 0, nsteps2 = 0, rstep2 = 0, f2 = 0, dmax2 = 0, nel = 0;
+    int64_t dstep2 = 0, num_slots2 = 0;
     const int8_t* c_hi = nullptr;   // borrowed: caller keeps alive until emit
     const int8_t* c_lo = nullptr;
     std::vector<int32_t> in_order;            // (n_in,)
@@ -125,7 +126,7 @@ int64_t glt_tsplit_plan(const int32_t* c_code, const int8_t* c_hi,
                 const int8_t dg = c_hi[base + s * L + l];
                 if (dg < 0) continue;
                 const int8_t rw = c_lo[base + s * L + l];
-                buf.push_back({(int16_t)(((int)dg * 8 + (int)s) * 128 + rw),
+                buf.push_back({(int32_t)(((int)dg * 8 + (int)s) * 128 + rw),
                                (int8_t)s, (int8_t)l, dg, rw});
             }
         std::stable_sort(buf.begin(), buf.end(),
@@ -197,72 +198,140 @@ int64_t glt_tsplit_plan(const int32_t* c_code, const int8_t* c_hi,
     for (int64_t r = 0; r < nkeys; ++r)
         p.rc_base[r + 1] = p.rc_base[r] + cycle[r] + has_resid[r];
 
-    // ---- descriptor emission walk -----------------------------------------
-    // last in_order position of each region (drain step anchor)
-    std::vector<int64_t> last_chunk_of_region(nregs, -1);
-    for (int64_t i = 0; i < n_in; ++i)
-        last_chunk_of_region[regions[i]] = i;
-    std::vector<int32_t> slot_cnt(p.nsteps2, 0), q_cnt(p.nsteps2, 0),
-        p_cnt(p.nsteps2, 0);
+    // ---- phase-ordered emission (K-rotated digit slots) --------------------
+    // mirrors io/tropical_format.py: deposits per step first (rank == plane
+    // ordinal), flushes at the step tail; a digit's GLOBAL cycle sequence
+    // rotates through K slots
+    std::vector<int64_t> last_pos(nregs, 0);
+    for (int64_t i = 0; i < n_in; ++i) last_pos[regions[i]] = i;
+    // per-digit cumulative cycle base across regions
+    std::vector<int64_t> basecyc(nkeys, 0);
+    for (int64_t r = 1; r < nregs; ++r)
+        for (int64_t d = 0; d < R; ++d)
+            basecyc[r * R + d] = basecyc[(r - 1) * R + d]
+                + cycle[(r - 1) * R + d] + (has_resid[(r - 1) * R + d] ? 1 : 0);
+
+    // K: max distinct global cycles of one digit touched in one step
+    int64_t K;
+    {
+        std::vector<int64_t> trip;
+        trip.reserve(2 * nd + nkeys);
+        int64_t gmax = 0;
+        auto gc = [&](int64_t key, int64_t cyc) {
+            return basecyc[key] + cyc;
+        };
+        for (int64_t k = 0; k < nd; ++k) {
+            gmax = std::max(gmax, gc(p.dep_key[k], p.d_cyc2[k]));
+        }
+        for (int64_t key = 0; key < nkeys; ++key)
+            if (has_resid[key])
+                gmax = std::max(gmax, gc(key, cycle[key]));
+        const int64_t gspan = gmax + 2;
+        auto push = [&](int64_t dgt, int64_t step, int64_t g) {
+            trip.push_back((dgt * (p.nsteps2 + 1) + step) * gspan + g);
+        };
+        for (int64_t k = 0; k < nd; ++k) {
+            const int64_t step = p.dep_chunk[k] / p.kb;
+            const int64_t dgt = p.dep_key[k] % R;
+            push(dgt, step, gc(p.dep_key[k], p.d_cyc1[k]));
+            if (p.d_split[k]) push(dgt, step, gc(p.dep_key[k], p.d_cyc2[k]));
+        }
+        for (int64_t key = 0; key < nkeys; ++key)
+            if (has_resid[key])
+                push(key % R, last_pos[key / R] / p.kb, gc(key, cycle[key]));
+        std::sort(trip.begin(), trip.end());
+        trip.erase(std::unique(trip.begin(), trip.end()), trip.end());
+        const int64_t gspan2 = gspan;
+        int64_t kmax = 1;
+        for (size_t k = 0; k < trip.size();) {
+            const int64_t rs = trip[k] / gspan2;
+            size_t j = k;
+            while (j < trip.size() && trip[j] / gspan2 == rs) ++j;
+            kmax = std::max<int64_t>(kmax, (int64_t)(j - k));
+            k = j;
+        }
+        K = kmax + 1;
+    }
+    if (R * K > 4096) { delete P; return 0; }
+    p.num_slots2 = R * K;
+    auto slot_of = [&](int64_t key, int64_t cyc) {
+        return (key % R) * K + (basecyc[key] + cyc) % K;
+    };
+
+    std::vector<int32_t> dep_cnt(p.nsteps2, 0), q_cnt(p.nsteps2, 0);
     p.items.reserve(2 * nd + nd / 4 + 16);
     p.piece_sp.assign(2 * nd, {-1, -1});
-
-    auto emit_flush = [&](int64_t key, int32_t cyc, int32_t step) {
-        const int32_t d = (int32_t)(key % R);
-        const int32_t q = q_cnt[step]++;
-        const int32_t slot = slot_cnt[step]++;
-        p.items.push_back({step, slot, 0,
-                           (int32_t)((uint32_t)d | ((uint32_t)q << 16)
-                                     | 0x80000000u)});
-        p.fl_rc.push_back(p.rc_base[key] + cyc);
-        p.fl_step.push_back(step);
-        p.fl_q.push_back(q);
-        p.fl_key.push_back((int32_t)key);
-    };
-    auto emit_dep = [&](int64_t k, int piece, int32_t step, int64_t chunk) {
-        const int32_t pp = p_cnt[step]++;
-        p.piece_sp[2 * k + piece] = {step, pp};
-        const int32_t slot = slot_cnt[step]++;
-        const int32_t dg = (int32_t)(p.dep_key[k] % R);
-        p.items.push_back({step, slot,
-                           (int32_t)((chunk - (int64_t)step * p.kb)
-                                     | (pp << 8)),
-                           (int32_t)(dg | (1 << 15))});
-    };
-    auto drain_region = [&](int64_t reg) {
-        const int32_t dr_step =
-            (int32_t)(last_chunk_of_region[reg] / p.kb);
-        const int64_t base = reg * R;
-        for (int64_t d = 0; d < R; ++d)
-            if (has_resid[base + d])
-                emit_flush(base + d, cycle[base + d], dr_step);
-    };
-    int64_t prev_region = -1;
+    // deposits: exec order, piece2 right after piece1
     for (int64_t k = 0; k < nd; ++k) {
         const int64_t ch = p.dep_chunk[k];
-        const int64_t reg = regions[ch];
-        if (reg != prev_region) {
-            if (prev_region >= 0) drain_region(prev_region);
-            prev_region = reg;
-        }
         const int32_t step = (int32_t)(ch / p.kb);
-        emit_dep(k, 0, step, ch);
-        if (p.d_split[k]) {
-            emit_flush(p.dep_key[k], p.d_cyc1[k], step);
-            emit_dep(k, 1, step, ch);
+        for (int piece = 0; piece < (p.d_split[k] ? 2 : 1); ++piece) {
+            const int32_t pp = dep_cnt[step]++;
+            p.piece_sp[2 * k + piece] = {step, pp};
+            const int64_t cyc = piece ? p.d_cyc2[k] : p.d_cyc1[k];
+            p.items.push_back({step, pp,
+                               (int32_t)((ch - (int64_t)step * p.kb)
+                                         | (pp << 8)),
+                               (int32_t)(slot_of(p.dep_key[k], cyc)
+                                         | (1 << 15))});
         }
     }
-    if (prev_region >= 0) drain_region(prev_region);
+    // flushes, step-sorted (split flushes in exec order, then drains;
+    // merge keeps splits before drains at equal steps, like the numpy
+    // stable sort over the concatenated list)
+    struct Fl { int32_t step; int64_t key, rc; int32_t slot; };
+    std::vector<Fl> fls;
+    for (int64_t k = 0; k < nd; ++k)
+        if (p.d_split[k]) {
+            const int32_t step = (int32_t)(p.dep_chunk[k] / p.kb);
+            fls.push_back({step, p.dep_key[k],
+                           p.rc_base[p.dep_key[k]] + p.d_cyc1[k],
+                           (int32_t)slot_of(p.dep_key[k], p.d_cyc1[k])});
+        }
+    std::vector<Fl> drs;
+    for (int64_t key = 0; key < nkeys; ++key)
+        if (has_resid[key]) {
+            const int32_t step = (int32_t)(last_pos[key / R] / p.kb);
+            drs.push_back({step, key, p.rc_base[key] + cycle[key],
+                           (int32_t)slot_of(key, cycle[key])});
+        }
+    std::stable_sort(drs.begin(), drs.end(),
+                     [](const Fl& a, const Fl& b) { return a.step < b.step; });
+    std::vector<Fl> merged;
+    merged.reserve(fls.size() + drs.size());
+    {
+        size_t a = 0, b = 0;
+        while (a < fls.size() || b < drs.size()) {
+            if (b >= drs.size() ||
+                (a < fls.size() && fls[a].step <= drs[b].step))
+                merged.push_back(fls[a++]);
+            else
+                merged.push_back(drs[b++]);
+        }
+    }
+    for (const Fl& fl : merged) {
+        const int32_t q = q_cnt[fl.step]++;
+        p.items.push_back({fl.step, -1 - q, 0,   // slot fixed after dstep2
+                           (int32_t)((uint32_t)fl.slot | ((uint32_t)q << 16)
+                                     | 0x80000000u)});
+        p.fl_rc.push_back(fl.rc);
+        p.fl_step.push_back(fl.step);
+        p.fl_q.push_back(q);
+        p.fl_key.push_back((int32_t)fl.key);
+    }
 
-    p.rstep2 = 1;
+    p.dstep2 = 1;
     p.f2 = 1;
-    p.dmax2 = 1;
     for (int64_t s = 0; s < p.nsteps2; ++s) {
-        p.rstep2 = std::max<int64_t>(p.rstep2, slot_cnt[s]);
+        p.dstep2 = std::max<int64_t>(p.dstep2, dep_cnt[s]);
         p.f2 = std::max<int64_t>(p.f2, q_cnt[s]);
-        p.dmax2 = std::max<int64_t>(p.dmax2, p_cnt[s]);
     }
     if (p.f2 > 256) { delete P; return 0; }   // flush ordinal overflow
+    p.rstep2 = p.dstep2 + p.f2;
+    p.dmax2 = p.dstep2;
+    // resolve flush slots (marked -1-q) now that dstep2 is known
+    for (auto& it : p.items)
+        if (it.slot < 0) it.slot = (int32_t)(p.dstep2 + (-1 - it.slot));
 
     dims_out[0] = p.n_in;
     dims_out[1] = p.nsteps2;
@@ -270,6 +339,8 @@ int64_t glt_tsplit_plan(const int32_t* c_code, const int8_t* c_hi,
     dims_out[3] = p.f2;
     dims_out[4] = p.dmax2;
     dims_out[5] = p.nel;
+    dims_out[6] = p.dstep2;
+    dims_out[7] = p.num_slots2;
     const int64_t h = tnext_handle();
     tregistry()[h] = P;
     return h;

@@ -43,9 +43,10 @@ L = 128
 
 
 def _make_split_kernel(kb: int, rstep: int, nreg: int,
-                       banks2: bool = True):
+                       banks2: bool = True, dstep: int = 0):
     """Window split: planar deposit/flush body minus phase A (the input is
-    the already-encoded region stream)."""
+    the already-encoded region stream). Phase-ordered stream with batched
+    deposit guards — see ops/router_pallas.py layout v3."""
     def kernel(rg_ref,            # (1, rstep, 2) int32 SMEM
                g_ref,             # (1, kb, 8, 128) int32 region-major stream
                pl_ref,            # (1, dmax, 8, 128) int8 deposit planes
@@ -60,18 +61,31 @@ def _make_split_kernel(kb: int, rstep: int, nreg: int,
             if banks2:
                 acc2_ref[...] = jnp.zeros_like(acc2_ref)
 
-        for j in range(rstep):
-            w1 = rg_ref[0, j, 0]
+        def dep_body(w1, w2, bank):
+            pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
+            g = jnp.take_along_axis(g_ref[0, w1 & 0xFF], pv & 127, axis=1)
+            thr = jnp.where(w2 > 0, 0, -256)   # padding slots route nothing
+            slot = w2 & 0xFFF
+            bank[slot] = jnp.where(pv < thr, g, bank[slot])
+
+        DG = 8
+        for j0 in range(0, dstep, DG):
+            n = min(DG, dstep - j0)
+            ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
+                  for u in range(n)]
+            anyact = ws[0][1]
+            for u in range(1, n):
+                anyact = jnp.maximum(anyact, ws[u][1])
+
+            @pl.when(anyact > 0)
+            def _():
+                for u in range(n):
+                    bank = acc2_ref if (banks2 and u % 2) else acc_ref
+                    dep_body(ws[u][0], ws[u][1], bank)
+
+        for j in range(dstep, rstep):
             w2 = rg_ref[0, j, 1]
             slot = w2 & 0xFFF
-            bank = acc2_ref if (banks2 and j % 2) else acc_ref
-
-            @pl.when(w2 > 0)   # deposit: w1 = chunk-in-step | plane<<8
-            def _():
-                pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
-                g = jnp.take_along_axis(g_ref[0, w1 & 0xFF], pv & 127,
-                                        axis=1)
-                bank[slot] = jnp.where(pv < 0, g, bank[slot])
 
             @pl.when(w2 < 0)   # flush: copy + zero (banks hold disjoint
             def _():           # ranges on zero background -> sum = union)
@@ -89,11 +103,11 @@ def _make_split_kernel(kb: int, rstep: int, nreg: int,
 @functools.partial(
     jax.jit,
     static_argnames=("kb", "rstep", "f", "dmax", "nreg", "nsteps",
-                     "interpret"))
+                     "interpret", "dstep"))
 def _split_call(rg, g, planes, *, kb, rstep, f, dmax, nreg, nsteps,
-                interpret):
+                interpret, dstep=0):
     kernel = _make_split_kernel(kb, rstep, nreg,
-                                banks2=not interpret)
+                                banks2=not interpret, dstep=dstep)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -117,7 +131,12 @@ def _split_call(rg, g, planes, *, kb, rstep, f, dmax, nreg, nsteps,
 
 def _make_window_reduce_kernel(cbc: int):
     """Per window-pure chunk: sort gather -> segmented max-scan -> run-end
-    inv gather -> sublane max -> resident window max-accumulate."""
+    inv gather -> sublane max -> resident window max-accumulate.
+
+    Chunks run batched under shared any-active guards: one pl.when per
+    chunk is a scheduling barrier that serializes the scan's roll chains
+    (see ops/router_pallas.py layout v3); inactive members mask their
+    result to 0, the bit-encoded max identity."""
     def kernel(cwin_ref,          # (1, 1, cbc) int32 SMEM: window ids
                g_ref,             # (1, cbc, 8, 128) int32
                sort_ref,          # (1, cbc*8, 128) int8 sort permutation
@@ -130,23 +149,34 @@ def _make_window_reduce_kernel(cbc: int):
         def _():
             o_ref[...] = jnp.zeros_like(o_ref)
 
-        for k in range(cbc):
-            c = cwin_ref[0, 0, k]
+        def body(k, c):
+            sidx = sort_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32)
+            g = jnp.take_along_axis(g_ref[0, k], sidx & 127, axis=1)
+            rows = row_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32)
+            for shift in (1, 2, 4, 8, 16, 32, 64):
+                g_s = pltpu.roll(g, shift, 1)
+                r_s = pltpu.roll(rows, shift, 1)
+                g = jnp.where(r_s == rows, jnp.maximum(g, g_s), g)
+            iv = inv_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32)
+            h = jnp.take_along_axis(g, iv & 127, axis=1)
+            h = jnp.where(iv < 0, h, 0)
+            m = jnp.max(h, axis=0, keepdims=True)           # (1, 128)
+            m = jnp.where(c >= 0, m, 0)                     # inactive -> id
+            o_ref[jnp.maximum(c, 0)] = jnp.maximum(
+                o_ref[jnp.maximum(c, 0)], m)
 
-            @pl.when(c >= 0)
+        CG = 4
+        for k0 in range(0, cbc, CG):
+            n = min(CG, cbc - k0)
+            cs = [cwin_ref[0, 0, k0 + u] for u in range(n)]
+            anyact = cs[0]
+            for u in range(1, n):
+                anyact = jnp.maximum(anyact, cs[u])
+
+            @pl.when(anyact >= 0)
             def _():
-                sidx = sort_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32)
-                g = jnp.take_along_axis(g_ref[0, k], sidx & 127, axis=1)
-                rows = row_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32)
-                for shift in (1, 2, 4, 8, 16, 32, 64):
-                    g_s = pltpu.roll(g, shift, 1)
-                    r_s = pltpu.roll(rows, shift, 1)
-                    g = jnp.where(r_s == rows, jnp.maximum(g, g_s), g)
-                iv = inv_ref[0, k * S:(k + 1) * S, :].astype(jnp.int32)
-                h = jnp.take_along_axis(g, iv & 127, axis=1)
-                h = jnp.where(iv < 0, h, 0)
-                m = jnp.max(h, axis=0, keepdims=True)       # (1, 128)
-                o_ref[c] = jnp.maximum(o_ref[c], m)
+                for u in range(n):
+                    body(k0 + u, cs[u])
 
     return kernel
 
@@ -240,7 +270,8 @@ class TropicalSpMV:
             gdtype="int32", looped=p.rstep > 48)
         self._static_split = dict(
             kb=layout.kb, rstep=layout.rstep2, f=layout.f2,
-            dmax=layout.dmax2, nreg=layout.region_digits,
+            dmax=layout.dmax2, dstep=layout.dstep2,
+            nreg=layout.num_slots2,
             nsteps=layout.nsteps2, interpret=config.resolve_interpret())
         self._static_reduce = dict(
             cbc=layout.f2, nwin=layout.num_windows, nsteps=layout.nsteps2,

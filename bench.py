@@ -288,6 +288,10 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
     dt = max(time.perf_counter() - t0 - floor, 1e-9)
     res["pagerank_ms_per_iter"] = dt / 10 * 1e3
     res["pagerank_compile_s"] = t_first
+    # free each app's device arrays before building the next: three apps'
+    # layouts + CSC twins alive at once exhaust HBM on the 100M+-edge
+    # graphs (hollywood apps died RESOURCE_EXHAUSTED)
+    del pr, r
 
     bfs = BFS(config)
     bfs.load_and_format_matrix(csr)
@@ -301,6 +305,7 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
     # name for the kernel-throughput view
     res["bfs_gteps"] = csr.nnz / dt / 1e9
     res["bfs_edges_x_iters_gteps"] = csr.nnz * bfs_iters / dt / 1e9
+    del bfs
 
     if with_sssp:
         g = sssp_csr if sssp_csr is not None else csr
@@ -465,7 +470,8 @@ def main():
                 save()
         except Exception as e:  # keep the primary metric robust
             log(f"{name} failed: {type(e).__name__}: {e}")
-            details[key] = {"error": f"{type(e).__name__}: {e}"}
+            details[key] = {**details.get(key, {}),
+                            "error": f"{type(e).__name__}: {e}"}
             save()
 
 

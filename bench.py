@@ -429,6 +429,13 @@ def main():
                                     "ogbn_products", "orkut"]
     for name in big:
         key = f"{name}_s{args.scale}"
+        # drop compiled executables + free device buffers between graphs:
+        # accumulated state from earlier sections OOMed HBM on the
+        # 100M+-edge graphs (hollywood apps, products SpMV)
+        import gc
+        import jax
+        gc.collect()
+        jax.clear_caches()
         if elapsed_min() > args.total_budget_min:
             if "spmv_gteps" in details.get(key, {}):
                 log(f"{name}: budget reached; keeping the prior run's row")

@@ -346,6 +346,12 @@ def main():
     ap.add_argument("--skip-gate", action="store_true")
     ap.add_argument("--skip-big", action="store_true",
                     help="googleplus only (fast mode)")
+    ap.add_argument("--skip-primary", action="store_true",
+                    help="skip the googleplus primary section (targeted "
+                         "re-runs of big-graph rows; emits the prior "
+                         "BENCH_DETAILS primary metric)")
+    ap.add_argument("--graphs", type=str, default="",
+                    help="comma list restricting the big-graph loop")
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--no-layout-cache", action="store_true")
     ap.add_argument("--apps-budget-min", type=float, default=100.0,
@@ -392,6 +398,21 @@ def main():
         save()
 
     # ---- primary: full-scale googleplus stand-in -------------------------
+    if args.skip_primary:
+        prior = details.get("googleplus_full", {}).get("spmv_gteps", 0.0)
+        print(json.dumps({
+            "metric": "SpMV GTEPS (arithmetic, no mask, googleplus-scale "
+                      "RMAT 107614v/13.7Me, 100-run avg on device, prior "
+                      "run)",
+            "value": round(prior, 4),
+            "unit": "GTEPS",
+            "vs_baseline": round(prior / PEAK_REFERENCE_GTEPS, 4),
+        }), flush=True)
+        big = [g for g in ["ogbl_ppa", "hollywood", "pokec",
+                           "ogbn_products", "orkut"]
+               if not args.graphs or g in args.graphs.split(",")]
+        _run_big(args, config, details, save, big, elapsed_min, log)
+        return
     log("== googleplus stand-in (full scale) ==")
     csr = iccad_standin("googleplus", scale=1.0, seed=0)
     stats_r = bench_spmv(csr, config, iters=args.iters, engine="router")
@@ -430,6 +451,13 @@ def main():
     # ---- the other five at full scale (router engine) --------------------
     big = [] if args.skip_big else ["ogbl_ppa", "hollywood", "pokec",
                                     "ogbn_products", "orkut"]
+    if args.graphs:
+        big = [g for g in big if g in args.graphs.split(",")]
+    _run_big(args, config, details, save, big, elapsed_min, log)
+
+
+def _run_big(args, config, details, save, big, elapsed_min, log):
+    from graphlily_tpu.io import iccad_standin, ICCAD_GRAPHS
     for name in big:
         key = f"{name}_s{args.scale}"
         # drop compiled executables + free device buffers between graphs:

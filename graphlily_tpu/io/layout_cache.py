@@ -36,7 +36,7 @@ import numpy as np
 # KIND_VERSIONS bumps one packer without invalidating the others' (slow to
 # rebuild) cached layouts.
 PACK_VERSION = 5
-KIND_VERSIONS = {"router": 3, "planar": 2, "tropical": 3}  # phase-ordered
+KIND_VERSIONS = {"router": 3, "planar": 3, "tropical": 3}  # phase-ordered
 # streams with K-rotated accumulator slots (planar v2 nests inside tropical)
 
 

@@ -140,16 +140,17 @@ def simulate_cursors(dc, dr, dl, nkeys: int):
 
 
 def choose_planar_region_rows(nrows: int, ncols: int, nnz: int) -> int:
-    """Deposits scale as ntiles*nrows/R (~50 ns each); the phase-C reduce
-    costs R MACs/nnz. With tile-reach runs the deposit term is 8x smaller
-    than the page router's, pushing the optimum toward the 16384 cap for
-    every benchmark graph; the cap itself is the (128 hi x 128 lo) one-hot
-    limit."""
+    """Deposits scale as ntiles*nrows/R; the phase-C reduce costs R MACs/nnz
+    plus (R/128 + 128) one-hot compare rows per flushed slot-row. The
+    phase-ordered kernels made deposits ~10x cheaper (3-7 ns measured), so
+    the optimum moved DOWN from the 16384 cap: rh=64 regions measured
+    pokec 16.8 -> 14.9 ms and hollywood 45.8 -> 32.5 ms full-scale
+    (tools/planar_profile.py rr sweeps, post-v3 kernels)."""
     ntiles = max(ncols // 1024, 1)
     r_opt = (ntiles * nrows * 2.0e8 / max(nnz, 1)) ** 0.5
     r = int(round(r_opt / 128)) * 128
     r_min = ((nrows + MAX_REGIONS - 1) // MAX_REGIONS + 127) // 128 * 128
-    return max(min(max(r, 1024), REGION_ROWS), r_min)
+    return max(min(max(r, 1024), 8192), r_min)
 
 
 def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,

@@ -175,6 +175,20 @@ def _refill_values(layout, csr, pad_val: float) -> None:
     flat[layout.el_slot] = data.astype(vals.dtype)
 
 
+def _gc_stale(d: str, kind: str, ver: str, log=None) -> None:
+    """Delete this kind's version-prefixed entries from OTHER versions —
+    unreachable after a bump, and big enough (GBs/graph) to fill the disk."""
+    try:
+        for fn in os.listdir(d):
+            if (fn.startswith(f"{kind}_v") and fn.endswith(".npz")
+                    and not fn.startswith(f"{kind}_{ver}_")):
+                os.unlink(os.path.join(d, fn))
+                if log:
+                    log(f"layout cache: dropped stale {fn}")
+    except OSError:
+        pass
+
+
 def pack_cached(kind: str, csr, config=None, cache_dir: Optional[str] = None,
                 log=None, **params):
     """Pack `csr` with the `kind` packer, through the disk cache when a
@@ -191,7 +205,17 @@ def pack_cached(kind: str, csr, config=None, cache_dir: Optional[str] = None,
     skey = structure_key(kind, csr, dict(params,
                                          **_config_key_fields(kind, config)))
     vkey = value_key(csr)
-    path = os.path.join(d, f"{kind}_{skey}.npz")
+    # version-prefixed filenames let a GC drop entries stranded by a
+    # version bump (a multi-GB layout per graph per kind; stale entries
+    # once filled the disk). Entries under the old unversioned naming are
+    # still read as a fallback.
+    ver = f"v{PACK_VERSION}.{KIND_VERSIONS.get(kind, 1)}"
+    path = os.path.join(d, f"{kind}_{ver}_{skey}.npz")
+    _gc_stale(d, kind, ver, log)
+    if not os.path.exists(path):
+        legacy = os.path.join(d, f"{kind}_{skey}.npz")
+        if os.path.exists(legacy):
+            path = legacy
     pad_val = float(params.get("pad_val", 0.0))
     if os.path.exists(path):
         try:

@@ -41,6 +41,11 @@ class EngineConfig:
     dtype: str = "float32"       # value dtype
     idx_dtype: str = "int32"
     mxu_precision: str = "highest"   # "highest" (f32-accurate) | "default" (bf16 MXU)
+    simulate_ufixed: bool = False    # bit-parity experiment mode: round +
+                                     # saturate arithmetic module results to
+                                     # the reference's ap_ufixed<32,8,AP_RND,
+                                     # AP_SAT> grid (graphlily/global.h:63;
+                                     # see semiring.ufixed_quantize)
 
     # --- engine selection ---
     engine: str = "auto"         # "auto" | "xla" | "pallas" | "router"

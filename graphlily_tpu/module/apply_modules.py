@@ -40,7 +40,13 @@ class eWiseAddModule(BaseModule):
 
     def run(self, length: int | None = None, val: float = 0.0) -> None:
         x = self.in_buf.value
-        self.out_buf.value = ewise_add_scalar(x, val, length)
+        y = ewise_add_scalar(x, val, length)
+        if self.config.simulate_ufixed:
+            # the reference kernel adds in val_t (saturating ufixed,
+            # add_scalar_vector_dense_module.h:150-189)
+            from ..semiring import ufixed_quantize
+            y = ufixed_quantize(y)
+        self.out_buf.value = y
 
     @staticmethod
     def compute_reference_results(in_vec, length: int, val: float) -> np.ndarray:

@@ -219,6 +219,11 @@ class SpMSpVModule(BaseModule):
                               capacity=self.capacity)
         if mask is not None and self.mask_type_ != MaskType.NO_MASK:
             y = apply_mask_sparse_style(y, mask, self.mask_type_, zero)
+        if (self.config.simulate_ufixed
+                and self.semiring_.op == OpType.MULADD):
+            from ..semiring import ufixed_quantize
+            y = ufixed_quantize(y)   # before the nnz count: sub-grid values
+            # round to 0 and drop out of the frontier, as on the bitstream
         nnz = jnp.sum(y != jnp.asarray(zero, y.dtype)).astype(jnp.int32)
         return y, nnz
 
@@ -232,6 +237,10 @@ class SpMSpVModule(BaseModule):
             y = self._run_engine(x, state)
             if mask is not None and self.mask_type_ != MaskType.NO_MASK:
                 y = apply_mask_sparse_style(y, mask, self.mask_type_, zero)
+            if (self.config.simulate_ufixed
+                    and self.semiring_.op == OpType.MULADD):
+                from ..semiring import ufixed_quantize
+                y = ufixed_quantize(y)
             return dense_to_sparse(y, zero, self.capacity), y
         coo = state if state is not None else self._coo
         return spmspv_coo(coo, sv, self.semiring_, mask,

@@ -208,11 +208,18 @@ class SpMVModule(BaseModule):
         (pallas engines only) x/y ride as (n/1024, 8, 128) tiles so fused
         loops skip the 1D<->tiled relayout each iteration."""
         if self._pallas is not None:
-            return self._pallas(x, mask, self.mask_type_, arrays=state,
-                                out_3d=out_3d)
-        assert not out_3d, "3D carries need a pallas engine"
-        coo = state if state is not None else self._coo
-        return spmv_coo(coo, x, self.semiring_, mask, self.mask_type_)
+            y = self._pallas(x, mask, self.mask_type_, arrays=state,
+                             out_3d=out_3d)
+        else:
+            assert not out_3d, "3D carries need a pallas engine"
+            coo = state if state is not None else self._coo
+            y = spmv_coo(coo, x, self.semiring_, mask, self.mask_type_)
+        if self.config.simulate_ufixed and self.semiring_.op == OpType.MULADD:
+            # bit-parity experiment mode: saturate/round to the reference's
+            # ap_ufixed<32,8,AP_RND,AP_SAT> grid (graphlily/global.h:63)
+            from ..semiring import ufixed_quantize
+            y = ufixed_quantize(y)
+        return y
 
     def run(self) -> None:
         mask = self.mask_buf.value if self.mask_type_ != MaskType.NO_MASK else None

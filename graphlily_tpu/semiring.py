@@ -28,6 +28,38 @@ FLOAT_INF = np.float32(999999999.0)
 # We keep it for sparse-vector parity utilities.
 IDX_MARKER = np.uint32(0xFFFFFFFF)
 
+# ---- simulated reference datatype: ap_ufixed<32, 8, AP_RND, AP_SAT> -------
+# (graphlily/global.h:63, hw/overlay.h:22): 8 integer + 24 fractional bits,
+# round-to-nearest on quantization (AP_RND), saturate on overflow (AP_SAT);
+# domain [0, 256 - 2^-24]. The tropical flavor's UFIXED_INF is 255
+# (hw/math_constants.h:7). This is SURVEY §7's "simulated-saturation mode
+# for bit-parity experiments": EngineConfig.simulate_ufixed applies the
+# grid to arithmetic module results (module/spmv_module.py,
+# spmspv_module.py, apply_modules.py). Mid-accumulation per-PE saturation
+# is NOT simulated — the reference's own CPU oracles are float too
+# (module/spmv_module.h:488-532) and its tests compare with an epsilon.
+UFIXED_FRAC_BITS = 24
+UFIXED_MAX = float(np.float64(2**32 - 1) / np.float64(1 << UFIXED_FRAC_BITS))
+
+
+def ufixed_quantize(v):
+    """Round-and-saturate to the val_t grid (jnp). Exact in float64; on
+    float32 the 24-bit mantissa cannot hold all 32 grid bits near the top
+    of the range, so device results are best-effort on the same grid."""
+    scale = jnp.asarray(1 << UFIXED_FRAC_BITS, v.dtype)
+    s = jnp.floor(v * scale + jnp.asarray(0.5, v.dtype))
+    s = jnp.clip(s, jnp.asarray(0.0, v.dtype),
+                 jnp.asarray(float(2**32 - 1), v.dtype))
+    return (s / scale).astype(v.dtype)
+
+
+def np_ufixed_quantize(v):
+    """Exact float64 host flavor of ufixed_quantize (for oracles/tests)."""
+    v = np.asarray(v, np.float64)
+    s = np.floor(v * np.float64(1 << UFIXED_FRAC_BITS) + 0.5)
+    s = np.clip(s, 0.0, np.float64(2**32 - 1))
+    return s / np.float64(1 << UFIXED_FRAC_BITS)
+
 
 class OpType(enum.IntEnum):
     """Reference: graphlily/global.h:83-87."""

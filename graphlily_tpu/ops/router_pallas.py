@@ -50,6 +50,18 @@ from ..io.router_format import RouterSpMVLayout, CHUNK
 S = 8
 L = 128
 
+# XLA's scoped-VMEM default is 16 MiB — a compiler allowance, NOT the v5e
+# hardware (128 MiB VMEM/core). Raising the per-kernel cap lets the fused
+# single-kernel pipelines (x + output + accumulators resident) cover graphs
+# the 16 MiB default rejects; verified on-chip (pokec fused compiled at
+# 16.02 MiB scoped and runs correctly with the raised cap).
+VMEM_CAP = 64 * 1024 * 1024
+
+
+def _cparams(interpret: bool):
+    return None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=VMEM_CAP)
+
 # Exact tropical encoding (see io/tropical_format.py): for v >= 0 the f32
 # bit pattern is order-preserving, so INF_BITS - bits(sat(v+x)) is an exact
 # order-REVERSING integer map with E(FLOAT_INF) = 0 — the scatter's
@@ -288,12 +300,13 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
 @functools.partial(
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "nreg", "nct", "nsteps",
-                     "interpret", "dtype", "gdtype", "dstep"))
+                     "interpret", "dtype", "gdtype", "dstep", "banks2"))
 def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
                          nreg, nct, nsteps, interpret, dtype, gdtype=None,
-                         dstep=0):
+                         dstep=0, banks2=True):
+    use2 = banks2 and not interpret
     kernel = _make_scatter_kernel(op, cb, rstep, nreg,
-                                  banks2=not interpret, dstep=dstep)
+                                  banks2=use2, dstep=dstep)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -313,9 +326,12 @@ def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
         scratch_shapes=[
             pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
             pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),   # odd-parity bank
+            # odd-parity bank (1-slot dummy when single-banked: the kernel
+            # never touches it with banks2=False)
+            pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
         ],
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )
     return fn(page, r, sub, vals, rg, x2)
 
@@ -324,16 +340,17 @@ def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "nreg", "rh", "nregions",
                      "nct", "nsteps", "mxu_precision", "interpret", "dtype",
-                     "ablate", "dstep"))
+                     "ablate", "dstep", "banks2"))
 def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2, *, op, cb,
                        rstep, f, nreg, rh, nregions, nct, nsteps,
                        mxu_precision, interpret, dtype, ablate="",
-                       dstep=0):
+                       dstep=0, banks2=True):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
+    use2 = banks2 and not interpret
     kernel = _make_scatter_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
                                   precision=precision, fnum=f, ablate=ablate,
-                                  banks2=not interpret, dstep=dstep)
+                                  banks2=use2, dstep=dstep)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -354,10 +371,11 @@ def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2, *, op, cb,
         scratch_shapes=[
             pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
             pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),   # odd-parity bank
+            pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
             pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
         ],
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )
     return fn(page, r, sub, vals, rg, code, hi, lo, x2)
 
@@ -458,17 +476,22 @@ def _router_reduce_call(code, g, hi, lo, *, cbc, nregions, rh, nsteps,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),   # whole out
         out_shape=jax.ShapeDtypeStruct((nregions, rh, L), jnp.dtype(dtype)),
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )
     return fn(code, g, hi, lo)
 
 
-def _make_xperm_kernel(tb: int):
+def _make_xperm_kernel(tb: int, pred: bool = False):
     """Per-tile static column re-layout of x (see planar_format.py): for
     each source sublane, broadcast its row and gather/select by the tile's
-    shuffle plane. 8 gather+selects per tile, ~30 us for the largest graph."""
-    def kernel(pl_ref,    # (1, tb*64, 128) int8 : per tile 8 source planes
-               x_ref,     # (1, tb*8, 128) input tiles
-               o_ref):    # (1, tb*8, 128) re-laid tiles
+    shuffle plane. 8 gather+selects per tile, ~30 us for the largest graph.
+
+    With `pred`, an SMEM per-block activity flag (SpMSpV: any tile in the
+    16-tile block holds a frontier entry) skips the whole block's work —
+    inactive blocks write zeros (their gathered values are deposit-masked
+    downstream by _predicate_rg, so any value is correct; zeros keep the
+    stream debuggable)."""
+    def body(pl_ref, x_ref, o_ref):
         for t in range(tb):
             xt = x_ref[0, t * S:(t + 1) * S, :]
             out = jnp.zeros((S, L), xt.dtype)
@@ -480,12 +503,29 @@ def _make_xperm_kernel(tb: int):
                 out = jnp.where(pv < 0, g, out)
             o_ref[0, t * S:(t + 1) * S, :] = out
 
+    if not pred:
+        def kernel(pl_ref, x_ref, o_ref):
+            body(pl_ref, x_ref, o_ref)
+        return kernel
+
+    def kernel(act_ref,   # (1, 1, 1) int32 SMEM : block activity
+               pl_ref,    # (1, tb*64, 128) int8 : per tile 8 source planes
+               x_ref,     # (1, tb*8, 128) input tiles
+               o_ref):    # (1, tb*8, 128) re-laid tiles
+        @pl.when(act_ref[0, 0, 0] > 0)
+        def _():
+            body(pl_ref, x_ref, o_ref)
+
+        @pl.when(act_ref[0, 0, 0] == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("nct", "interpret", "dtype"))
-def _xperm_call(planes, x2, *, nct, interpret, dtype):
+def _xperm_call(planes, x2, *, nct, interpret, dtype, act=None):
     # always run 16-tile blocks: small blocks (tb=2 when nct is even but
     # not 16-divisible) load (128,128) int8 sub-tiles that pay a Mosaic
     # relayout — measured ~5 ms on full pokec vs ~1 ms padded. Padding
@@ -498,32 +538,46 @@ def _xperm_call(planes, x2, *, nct, interpret, dtype):
         x2 = jnp.concatenate(
             [x2, jnp.zeros((nct_p - nct, S, L), x2.dtype)], axis=0)
     tb = 16
-    out = _xperm_call_padded(planes, x2, nct=nct_p, interpret=interpret,
+    if act is not None:
+        pad = jnp.zeros(nct_p - nct, jnp.int32) if nct_p != nct else None
+        act_i = act.astype(jnp.int32)
+        if pad is not None:
+            act_i = jnp.concatenate([act_i, pad])
+        blk = jnp.max(act_i.reshape(nct_p // tb, tb), axis=1)
+        act = blk.reshape(nct_p // tb, 1, 1)
+    out = _xperm_call_padded(planes, x2, act, nct=nct_p, interpret=interpret,
                              dtype=dtype, tb=tb)
     return out[:nct]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("nct", "interpret", "dtype", "tb"))
-def _xperm_call_padded(planes, x2, *, nct, interpret, dtype, tb):
-    kernel = _make_xperm_kernel(tb)
+def _xperm_call_padded(planes, x2, act, *, nct, interpret, dtype, tb):
+    kernel = _make_xperm_kernel(tb, pred=act is not None)
+    in_specs = [
+        pl.BlockSpec((1, tb * 64, L), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb * S, L), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = (planes.reshape(nct // tb, tb * 64, L),
+            x2.reshape(nct // tb, tb * S, L))
+    if act is not None:
+        in_specs.insert(0, pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.SMEM))
+        args = (act,) + args
     fn = pl.pallas_call(
         kernel,
         grid=(nct // tb,),
-        in_specs=[
-            pl.BlockSpec((1, tb * 64, L), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb * S, L), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tb * S, L), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nct // tb, tb * S, L),
                                        jnp.dtype(dtype)),
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )
-    return fn(planes.reshape(nct // tb, tb * 64, L),
-              x2.reshape(nct // tb, tb * S, L)).reshape(nct, S, L)
+    return fn(*args).reshape(nct, S, L)
 
 
 def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
@@ -787,16 +841,17 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "nct",
                      "nsteps", "interpret", "dtype", "gdtype", "looped",
-                     "dstep"))
+                     "dstep", "banks2"))
 def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
                          dmax, nreg, nct, nsteps, interpret, dtype,
-                         gdtype=None, looped=False, dstep=0):
+                         gdtype=None, looped=False, dstep=0, banks2=True):
     # tropical rides the exact int32 bit encoding end-to-end (see
     # _tropical_encode); deposits/flushes are dtype-agnostic bit movers
     sdt = jnp.int32 if op == OpType.ADDMIN else jnp.dtype(dtype)
+    use2 = banks2 and not interpret
     if looped:
         kernel = _make_planar_kernel_looped(op, cb, rstep, nreg,
-                                            banks2=not interpret,
+                                            banks2=use2,
                                             dstep=dstep)
         stream = lambda i: (i, 0, 0)
         fn = pl.pallas_call(
@@ -821,13 +876,14 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
             scratch_shapes=[
                 pltpu.VMEM((cb, S, L), sdt),
                 pltpu.VMEM((nreg, S, L), sdt),
-                pltpu.VMEM((nreg, S, L), sdt),   # odd-parity bank
+                pltpu.VMEM((nreg if use2 else 1, S, L), sdt),
             ],
             interpret=interpret,
+            compiler_params=_cparams(interpret),
         )
         return fn(page, r, vals, rg, planes, x2)
     kernel = _make_planar_kernel(op, cb, rstep, nreg,
-                                 banks2=not interpret, dstep=dstep)
+                                 banks2=use2, dstep=dstep)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -848,9 +904,10 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
         scratch_shapes=[
             pltpu.VMEM((cb, S, L), sdt),
             pltpu.VMEM((nreg, S, L), sdt),
-            pltpu.VMEM((nreg, S, L), sdt),   # odd-parity bank
+            pltpu.VMEM((nreg if use2 else 1, S, L), sdt),
         ],
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )
     return fn(page, r, vals, rg, planes, x2)
 
@@ -859,17 +916,18 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "rh",
                      "nregions", "nct", "nsteps", "mxu_precision",
-                     "interpret", "dtype", "looped", "dstep"))
+                     "interpret", "dtype", "looped", "dstep", "banks2"))
 def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
                        cb, rstep, f, dmax, nreg, rh, nregions, nct, nsteps,
                        mxu_precision, interpret, dtype, looped=False,
-                       dstep=0):
+                       dstep=0, banks2=True):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
+    use2 = banks2 and not interpret
     if looped:
         kernel = _make_planar_kernel_looped(op, cb, rstep, nreg, fuse=True,
                                             rh=rh, precision=precision,
-                                            fnum=f, banks2=not interpret,
+                                            fnum=f, banks2=use2,
                                             dstep=dstep)
         stream = lambda i: (i, 0, 0)
         fn = pl.pallas_call(
@@ -898,17 +956,18 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
             scratch_shapes=[
                 pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
                 pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
-                pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),  # odd bank
+                pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
                 pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
             ],
             interpret=interpret,
+            compiler_params=_cparams(interpret),
         )
         return fn(page, r, vals, rg, planes, code,
                   hi.reshape(nsteps, f, S, L), lo.reshape(nsteps, f, S, L),
                   x2)
     kernel = _make_planar_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
                                  precision=precision, fnum=f,
-                                 banks2=not interpret, dstep=dstep)
+                                 banks2=use2, dstep=dstep)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -930,10 +989,11 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
         scratch_shapes=[
             pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
             pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),   # odd-parity bank
+            pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
             pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
         ],
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )
     return fn(page, r, vals, rg, planes, code, hi, lo, x2)
 
@@ -1024,31 +1084,38 @@ class PlanarSpMV:
             interpret=config.resolve_interpret(), dtype=config.dtype,
         )
         vbytes = jnp.dtype(vdt).itemsize
-        est = (lay.num_col_tiles * 4096
-               + lay.num_regions * rh * L * 4
-               + (2 * lay.num_regions + lay.cb + lay.f) * 4096
-               + 2 * (lay.cb * S * L * (1 + vbytes)
-                      + lay.dmax * S * L + 2 * lay.f * S * L
-                      + lay.rstep * 8 + lay.cb * 4))
+        base = (lay.num_col_tiles * 4096
+                + lay.num_regions * rh * L * 4
+                + (lay.cb + lay.f) * 4096          # g_buf + flush ring
+                + 2 * (lay.cb * S * L * (1 + vbytes)
+                       + lay.dmax * S * L + 2 * lay.f * S * L
+                       + lay.rstep * 8 + lay.cb * 4))
         # 14.5 MB: VMEM is ~16 MB/core and the estimate is conservative —
-        # full-scale pokec (x 6.5 MB f32 + out 5.8 MB, est 13.7 MB) compiles
-        # and runs fused (28.8 ms vs 30.3 split, tools/planar_profile.py)
-        self.fused = est <= 14.5e6
+        # full-scale pokec (x 6.5 MB f32 + out 5.8 MB) compiles and runs
+        # fused (tools/planar_profile.py). Post-v3 the accumulator banks are
+        # num_slots tall (K-rotated cycles); when two banks blow the budget
+        # but ONE fits, run fused single-banked — batching under shared
+        # guards, not bank parity, is what won the deposit ILP (session-4
+        # measurements), and killing the flush round-trip is worth more.
+        self.banks2 = base + 2 * lay.num_slots * 4096 <= 14.5e6
+        self.fused = (base + (2 if self.banks2 else 1)
+                      * lay.num_slots * 4096 <= 14.5e6)
 
-    def _x2(self, x, a):
+    def _x2(self, x, a, tiles_active=None):
         """Static per-tile column re-layout of x (bucket balancing).
         Accepts x as (ncols,) or pre-tiled (nct, 8, 128) — the 1D form pays
         a ~2.3 GB/s 1D->tiled relayout (measured 5.6 ms on full pokec), so
-        iterating callers should stay in 3D (see __call__ out_3d)."""
+        iterating callers should stay in 3D (see __call__ out_3d).
+        `tiles_active` skips inactive 16-tile blocks (SpMSpV floor)."""
         nct = self.layout.num_col_tiles
         x3 = x.reshape(nct, S, L) if x.ndim == 1 else x
         return _xperm_call(a.xperm, x3, nct=nct,
                            interpret=self.config.resolve_interpret(),
-                           dtype=x3.dtype)
+                           dtype=x3.dtype, act=tiles_active)
 
     def scatter(self, x, arrays=None, tiles_active=None):
         a = self.arrays if arrays is None else arrays
-        x2 = self._x2(x, a)
+        x2 = self._x2(x, a, tiles_active)
         rg = (a.rg if tiles_active is None
               else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
         return _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg,
@@ -1066,12 +1133,13 @@ class PlanarSpMV:
         a = self.arrays if arrays is None else arrays
         lay = self.layout
         if self.fused:
-            x2 = self._x2(x, a)
+            x2 = self._x2(x, a, tiles_active)
             rg = (a.rg if tiles_active is None
                   else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
             blocks = _planar_fused_call(a.a_page, a.a_r, a.a_vals, rg,
                                         a.planes, a.c_code, a.c_hi, a.c_lo,
                                         x2, looped=self._looped,
+                                        banks2=self.banks2,
                                         **self._static_fused)
         else:
             g = self.scatter(x, arrays=a, tiles_active=tiles_active)
@@ -1174,14 +1242,19 @@ class RouterSpMV:
             interpret=config.resolve_interpret(), dtype=config.dtype,
         )
         # fused when everything resident fits VMEM (~16 MB/core): x + output
-        # + accumulators + double-buffered stream blocks, with headroom
+        # + accumulators + double-buffered stream blocks, with headroom.
+        # Single-bank fallback as in PlanarSpMV: when the second parity bank
+        # alone blows the budget, fused still beats the split flush
+        # round-trip.
         vbytes = jnp.dtype(vdt).itemsize
-        est = (lay.num_col_tiles * 4096            # x resident
-               + lay.num_regions * rh * L * 4      # output resident
-               + (2 * lay.num_slots + lay.cb) * 4096  # acc banks + g_buf
-               + 2 * (lay.cb * S * L * (2 + vbytes)
-                      + 2 * lay.f * S * L + lay.rstep * 8 + lay.cb * 4))
-        self.fused = est <= 12e6
+        base = (lay.num_col_tiles * 4096            # x resident
+                + lay.num_regions * rh * L * 4      # output resident
+                + lay.cb * 4096                     # g_buf
+                + 2 * (lay.cb * S * L * (2 + vbytes)
+                       + 2 * lay.f * S * L + lay.rstep * 8 + lay.cb * 4))
+        self.banks2 = base + 2 * lay.num_slots * 4096 <= 12e6
+        self.fused = (base + (2 if self.banks2 else 1)
+                      * lay.num_slots * 4096 <= 12e6)
 
     def scatter(self, x, arrays: RouterArrays | None = None,
                 tiles_active=None):
@@ -1211,6 +1284,7 @@ class RouterSpMV:
                   else _predicate_rg(a.rg, a.a_page, tiles_active, "roll"))
             blocks = _router_fused_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
                                         rg, a.c_code, a.c_hi, a.c_lo, x2,
+                                        banks2=self.banks2,
                                         **self._static_fused)
         else:
             g = self.scatter(x, arrays=a, tiles_active=tiles_active)

@@ -294,7 +294,7 @@ class TropicalSpMV:
         x3 = x.reshape(nct, S, L) if x.ndim == 1 else x
         x2 = _xperm_call(a.xperm, x3, nct=nct,
                          interpret=self.config.resolve_interpret(),
-                         dtype=x3.dtype)
+                         dtype=x3.dtype, act=tiles_active)
         rg = (a.rg if tiles_active is None
               else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
         g1 = _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg, a.planes,

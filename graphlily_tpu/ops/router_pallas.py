@@ -575,7 +575,9 @@ def _xperm_call_padded(planes, x2, act, *, nct, interpret, dtype, tb):
         out_shape=jax.ShapeDtypeStruct((nct // tb, tb * S, L),
                                        jnp.dtype(dtype)),
         interpret=interpret,
-        compiler_params=_cparams(interpret),
+        # no raised vmem cap: this kernel's blocks are far under the
+        # 16 MiB scoped default; only kernels that NEED >16 MiB get the
+        # raised cap (don't hand the scheduler headroom it can't use)
     )
     return fn(*args).reshape(nct, S, L)
 
@@ -1090,16 +1092,19 @@ class PlanarSpMV:
                 + 2 * (lay.cb * S * L * (1 + vbytes)
                        + lay.dmax * S * L + 2 * lay.f * S * L
                        + lay.rstep * 8 + lay.cb * 4))
-        # 14.5 MB: VMEM is ~16 MB/core and the estimate is conservative —
-        # full-scale pokec (x 6.5 MB f32 + out 5.8 MB) compiles and runs
-        # fused (tools/planar_profile.py). Post-v3 the accumulator banks are
-        # num_slots tall (K-rotated cycles); when two banks blow the budget
-        # but ONE fits, run fused single-banked — batching under shared
-        # guards, not bank parity, is what won the deposit ILP (session-4
-        # measurements), and killing the flush round-trip is worth more.
+        # Two banks only with comfortable headroom (14.5 MB); the fused
+        # limit itself is 17.5 MB — beyond the 16 MiB scoped-VMEM default
+        # but measured real: full-scale pokec single-banked fused compiles
+        # at ~17.0 MB scoped under the raised cap, is oracle-exact, and
+        # beats split 13.27 -> 12.46 ms (min-of-5 interleaved 3D-carry
+        # reps, tools/planar_ab_mode.py, session 5 — post-v3 the split
+        # flush round-trip is cheap, so the fused win is modest: the
+        # reduce reads accumulators in VMEM instead of a g stream).
+        # Single-bank is safe: batching under shared guards, not bank
+        # parity, is what won the deposit ILP (session-4 measurements).
         self.banks2 = base + 2 * lay.num_slots * 4096 <= 14.5e6
         self.fused = (base + (2 if self.banks2 else 1)
-                      * lay.num_slots * 4096 <= 14.5e6)
+                      * lay.num_slots * 4096 <= 17.5e6)
 
     def _x2(self, x, a, tiles_active=None):
         """Static per-tile column re-layout of x (bucket balancing).

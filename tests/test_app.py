@@ -5,6 +5,8 @@ PageRank pull, each against the app's CPU reference on a uniform random graph
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode engine tests (see pytest.ini)
+
 from graphlily_tpu import EngineConfig
 from graphlily_tpu.apps import BFS, SSSP, PageRank
 from graphlily_tpu.io import uniform_csr

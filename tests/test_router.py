@@ -9,6 +9,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode engine tests (see pytest.ini)
+
 from graphlily_tpu import (ArithmeticSemiring, LogicalSemiring, MaskType,
                            EngineConfig)
 from graphlily_tpu.io import (uniform_csr, dense_csr, conflict_csr, rmat_csr,

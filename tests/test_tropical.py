@@ -9,6 +9,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode engine tests (see pytest.ini)
+
 from graphlily_tpu import EngineConfig, TropicalSemiring, MaskType
 from graphlily_tpu.io import rmat_csr, uniform_csr, util_round_csr_matrix_dim
 from graphlily_tpu.io.tropical_format import pack_tropical

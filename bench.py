@@ -43,14 +43,19 @@ def log(*a):
 
 
 def measure_floor(jax, jnp):
+    """Host->device dispatch floor as MIN-of-6 single dispatches: one host
+    stall during an AVERAGED floor sample silently deflates every timing the
+    floor is later subtracted from (a 2x-wrong e2e was traced to this)."""
     f = jax.jit(lambda v: v[:8].sum())
     v = jnp.ones(128)
     for _ in range(2):
         np.asarray(f(v))
-    t0 = time.perf_counter()
-    for _ in range(4):
+    samples = []
+    for _ in range(6):
+        t0 = time.perf_counter()
         np.asarray(f(v))
-    return (time.perf_counter() - t0) / 4
+        samples.append(time.perf_counter() - t0)
+    return min(samples)
 
 
 def _prep(csr, config, degree_sort):
@@ -261,33 +266,50 @@ def bench_spmspv_sweep(csr, config, sparsities=(0.9, 0.95, 0.99, 0.995,
         np.asarray(loop(state, sv))
         dt = max((time.perf_counter() - t0 - floor) / iters, 1e-9)
         traversed = int(deg[idx].sum())
+        # the reference's protocol metric (bench_spmspv.cpp:61-76,229-240):
+        # bytes of TOUCHED matrix (8 B/edge: 4B row idx + 4B value) over
+        # time, with GTEPS derived as GB/s / 8
+        gbs = traversed * 8 / dt / 1e9
         out[f"sparsity_{sp}"] = {
             "ms": dt * 1e3,
             "traversed_edges": traversed,
             "gteps_traversed": traversed / dt / 1e9,
+            "touched_gbps": gbs,
+            "gteps_from_gbps": gbs / 8,
         }
     return out
 
 
 def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
-               sssp_scale=1.0):
-    """PageRank x10 + BFS pull_push + (feasible-scale) SSSP pull_push."""
+               sssp_scale=1.0, reps=3):
+    """PageRank x10 + BFS pull_push + (feasible-scale) SSSP pull_push.
+
+    Each app is timed as MIN over `reps` single-dispatch runs: one app run is
+    one ~25 ms tunnel dispatch over only ~10 on-device iterations, so a host
+    stall in either the run or the (min-of-6) floor sample used to swing
+    recorded per-iteration numbers by 1-2 ms (the round-2 app-overhead story
+    was partly this noise)."""
     import jax
     import jax.numpy as jnp
     from graphlily_tpu.apps import BFS, SSSP, PageRank
     res = {}
     floor = measure_floor(jax, jnp)
 
+    def timed_min(fn):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return max(best - floor, 1e-9)
+
     pr = PageRank(config)
     pr.load_and_format_matrix(csr, damping=0.9)
     t0 = time.perf_counter()
     r = pr.pull(0.9, 10)
-    t_first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    r = pr.pull(0.9, 10)
-    dt = max(time.perf_counter() - t0 - floor, 1e-9)
+    res["pagerank_compile_s"] = time.perf_counter() - t0
+    dt = timed_min(lambda: pr.pull(0.9, 10))
     res["pagerank_ms_per_iter"] = dt / 10 * 1e3
-    res["pagerank_compile_s"] = t_first
     # free each app's device arrays before building the next: three apps'
     # layouts + CSC twins alive at once exhaust HBM on the 100M+-edge
     # graphs (hollywood apps died RESOURCE_EXHAUSTED)
@@ -296,9 +318,7 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
     bfs = BFS(config)
     bfs.load_and_format_matrix(csr)
     bfs.pull_push(0, bfs_iters, threshold=0.001)  # compile
-    t0 = time.perf_counter()
-    bfs.pull_push(0, bfs_iters, threshold=0.001)
-    dt = max(time.perf_counter() - t0 - floor, 1e-9)
+    dt = timed_min(lambda: bfs.pull_push(0, bfs_iters, threshold=0.001))
     res["bfs_pull_push_ms"] = dt * 1e3
     # conventional BFS GTEPS: |E| / total-traversal time (what the ICCAD'21
     # numbers mean); the per-iteration-edges figure is kept under an explicit
@@ -312,9 +332,7 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
         sssp = SSSP(config)
         sssp.load_and_format_matrix(g)
         sssp.pull_push(0, bfs_iters, threshold=0.001)
-        t0 = time.perf_counter()
-        sssp.pull_push(0, bfs_iters, threshold=0.001)
-        dt = max(time.perf_counter() - t0 - floor, 1e-9)
+        dt = timed_min(lambda: sssp.pull_push(0, bfs_iters, threshold=0.001))
         res["sssp_pull_push_ms"] = dt * 1e3
         res["sssp_scale"] = sssp_scale
     return res
@@ -338,6 +356,27 @@ def feasible_sssp_scale(name, config):
     return None, None
 
 
+def engine_sig(name: str) -> str:
+    """Cheap layout+engine signature for row reuse: pack versions (bumped on
+    any schedule-semantics change) + graph identity. A prior BENCH_DETAILS
+    row whose sig matches was measured by the same engine generation — when
+    the time budget runs out it is re-emitted instead of silently kept."""
+    from graphlily_tpu.io.layout_cache import PACK_VERSION, KIND_VERSIONS
+    return (f"v{PACK_VERSION}." +
+            ".".join(str(KIND_VERSIONS[k]) for k in sorted(KIND_VERSIONS))
+            + f"|{name}")
+
+
+def _gc_between_graphs():
+    # drop compiled executables + free device buffers between graphs:
+    # accumulated state from earlier sections OOMed HBM on the
+    # 100M+-edge graphs (hollywood apps, products SpMV)
+    import gc
+    import jax
+    gc.collect()
+    jax.clear_caches()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0,
@@ -356,8 +395,8 @@ def main():
     ap.add_argument("--no-layout-cache", action="store_true")
     ap.add_argument("--apps-budget-min", type=float, default=100.0,
                     help="stop benching big-graph apps past this elapsed time")
-    ap.add_argument("--total-budget-min", type=float, default=170.0,
-                    help="stop starting new graphs past this elapsed time")
+    ap.add_argument("--total-budget-min", type=float, default=160.0,
+                    help="stop starting new sections past this elapsed time")
     args = ap.parse_args()
     t_start = time.perf_counter()
 
@@ -397,7 +436,16 @@ def main():
             "ok": True, "seconds": time.perf_counter() - t0}
         save()
 
-    # ---- primary: full-scale googleplus stand-in -------------------------
+    big = [] if args.skip_big else ["ogbl_ppa", "hollywood", "pokec",
+                                    "ogbn_products", "orkut"]
+    if args.graphs:
+        big = [g for g in big if g in args.graphs.split(",")]
+
+    # ---- phase 1: SpMV rows for ALL SIX graphs (the headline numbers) ----
+    # run before any apps/sweeps so a time-limited driver run still produces
+    # the full six-graph SpMV matrix (the round-2 run timed out mid-apps
+    # with three SpMV rows missing)
+    csr = None
     if args.skip_primary:
         prior = details.get("googleplus_full", {}).get("spmv_gteps", 0.0)
         print(json.dumps({
@@ -408,72 +456,50 @@ def main():
             "unit": "GTEPS",
             "vs_baseline": round(prior / PEAK_REFERENCE_GTEPS, 4),
         }), flush=True)
-        big = [g for g in ["ogbl_ppa", "hollywood", "pokec",
-                           "ogbn_products", "orkut"]
-               if not args.graphs or g in args.graphs.split(",")]
-        _run_big(args, config, details, save, big, elapsed_min, log)
-        return
-    log("== googleplus stand-in (full scale) ==")
-    csr = iccad_standin("googleplus", scale=1.0, seed=0)
-    stats_r = bench_spmv(csr, config, iters=args.iters, engine="router")
-    log(f"googleplus router: {stats_r['spmv_gteps']:.3f} GTEPS "
-        f"({stats_r['spmv_ms']:.3f} ms, fill={stats_r['fill']:.2%})")
-    stats_c = bench_spmv(csr, config, iters=args.iters, engine="chunked")
-    log(f"googleplus chunked: {stats_c['spmv_gteps']:.3f} GTEPS "
-        f"({stats_c['spmv_ms']:.3f} ms, fill={stats_c['fill']:.2%})")
-    best = max(stats_r, stats_c, key=lambda s: s["spmv_gteps"])
-    details["googleplus_full"] = dict(best)
-    details["googleplus_full"]["spmv_chunked_ms"] = stats_c["spmv_ms"]
-    details["googleplus_full"]["spmv_router_ms"] = stats_r["spmv_ms"]
-    primary = best["spmv_gteps"]
-    save()
-    # the one-line primary metric goes out NOW (nothing else is printed to
-    # stdout): the remaining sections can be long on this 1-core host and
-    # the driver must see the metric even if the run is cut short
-    print(json.dumps({
-        "metric": "SpMV GTEPS (arithmetic, no mask, googleplus-scale RMAT "
-                  "107614v/13.7Me, 100-run avg on device)",
-        "value": round(primary, 4),
-        "unit": "GTEPS",
-        "vs_baseline": round(primary / PEAK_REFERENCE_GTEPS, 4),
-    }), flush=True)
-
-    if not args.skip_apps:
-        appres = bench_apps(csr, config, ICCAD_GRAPHS["googleplus"]["iters"])
-        details["googleplus_full"].update(appres)
-        log(f"googleplus apps: {appres}")
-        sweep = bench_spmspv_sweep(csr, config)
-        details["googleplus_full"]["spmspv_sweep"] = sweep
-        log(f"spmspv sweep: "
-            f"{ {k: round(v['ms'],2) for k,v in sweep.items()} } ms")
+    else:
+        log("== googleplus stand-in (full scale) ==")
+        csr = iccad_standin("googleplus", scale=1.0, seed=0)
+        stats_r = bench_spmv(csr, config, iters=args.iters, engine="router")
+        log(f"googleplus router: {stats_r['spmv_gteps']:.3f} GTEPS "
+            f"({stats_r['spmv_ms']:.3f} ms, fill={stats_r['fill']:.2%})")
+        stats_c = bench_spmv(csr, config, iters=args.iters, engine="chunked")
+        log(f"googleplus chunked: {stats_c['spmv_gteps']:.3f} GTEPS "
+            f"({stats_c['spmv_ms']:.3f} ms, fill={stats_c['fill']:.2%})")
+        best = max(stats_r, stats_c, key=lambda s: s["spmv_gteps"])
+        details["googleplus_full"] = dict(best)
+        details["googleplus_full"]["spmv_chunked_ms"] = stats_c["spmv_ms"]
+        details["googleplus_full"]["spmv_router_ms"] = stats_r["spmv_ms"]
+        details["googleplus_full"]["sig"] = engine_sig("googleplus")
+        primary = best["spmv_gteps"]
         save()
+        # the one-line primary metric goes out NOW (nothing else is printed
+        # to stdout): the remaining sections can be long on this 1-core host
+        # and the driver must see the metric even if the run is cut short
+        print(json.dumps({
+            "metric": "SpMV GTEPS (arithmetic, no mask, googleplus-scale "
+                      "RMAT 107614v/13.7Me, 100-run avg on device)",
+            "value": round(primary, 4),
+            "unit": "GTEPS",
+            "vs_baseline": round(primary / PEAK_REFERENCE_GTEPS, 4),
+        }), flush=True)
 
-    # ---- the other five at full scale (router engine) --------------------
-    big = [] if args.skip_big else ["ogbl_ppa", "hollywood", "pokec",
-                                    "ogbn_products", "orkut"]
-    if args.graphs:
-        big = [g for g in big if g in args.graphs.split(",")]
-    _run_big(args, config, details, save, big, elapsed_min, log)
-
-
-def _run_big(args, config, details, save, big, elapsed_min, log):
-    from graphlily_tpu.io import iccad_standin, ICCAD_GRAPHS
     for name in big:
         key = f"{name}_s{args.scale}"
-        # drop compiled executables + free device buffers between graphs:
-        # accumulated state from earlier sections OOMed HBM on the
-        # 100M+-edge graphs (hollywood apps, products SpMV)
-        import gc
-        import jax
-        gc.collect()
-        jax.clear_caches()
+        _gc_between_graphs()
+        row = details.get(key, {})
         if elapsed_min() > args.total_budget_min:
-            if "spmv_gteps" in details.get(key, {}):
-                log(f"{name}: budget reached; keeping the prior run's row")
+            if ("spmv_gteps" in row
+                    and row.get("sig") == engine_sig(name)):
+                log(f"{name}: budget reached; re-emitting the stored row "
+                    "(layout+engine signature unchanged)")
+            elif "spmv_gteps" in row:
+                log(f"{name}: budget reached; prior row kept but STALE "
+                    "(engine signature changed)")
+                details[key]["stale"] = True
+                save()
             else:
                 log(f"{name}: skipped (elapsed {elapsed_min():.0f} min > "
-                    f"--total-budget-min; pack alone takes 10-30 min on "
-                    f"this 1-core host)")
+                    "--total-budget-min)")
                 details[key] = {"skipped": "total time budget"}
                 save()
             continue
@@ -481,35 +507,70 @@ def _run_big(args, config, details, save, big, elapsed_min, log):
             g = iccad_standin(name, scale=args.scale, seed=1)
             log(f"== {name} (scale {args.scale}, nnz={g.nnz}) ==")
             st = bench_spmv(g, config, iters=20, engine="router")
-            prior = {k2: v for k2, v in details.get(key, {}).items()
-                     if k2 not in ("skipped", "error", "apps_skipped")}
-            details[key] = {**prior, **st}
+            prior = {k2: v for k2, v in row.items()
+                     if k2 not in ("skipped", "error", "apps_skipped",
+                                   "stale")}
+            details[key] = {**prior, **st, "sig": engine_sig(name)}
             log(f"{name}: {st['spmv_gteps']:.3f} GTEPS "
                 f"({st['spmv_ms']:.3f} ms, fill={st['fill']:.2%}, "
                 f"mem={st['mem_bytes']/1e9:.2f} GB, "
                 f"pack={st['pack_s']:.0f}s)")
             save()
-            if not args.skip_apps and elapsed_min() > args.apps_budget_min:
-                if "pagerank_ms_per_iter" in details[key]:
-                    log(f"{name} apps: budget reached; keeping prior rows")
-                else:
-                    log(f"{name} apps: skipped (elapsed "
-                        f"{elapsed_min():.0f} min > --apps-budget-min)")
-                    details[key]["apps_skipped"] = "time budget"
-                save()
-            elif not args.skip_apps:
-                sc_s, g_s = feasible_sssp_scale(name, config)
-                appres = bench_apps(
-                    g, config, ICCAD_GRAPHS[name]["iters"],
-                    with_sssp=sc_s is not None, sssp_csr=g_s,
-                    sssp_scale=sc_s if sc_s is not None else 0.0)
-                details[key].update(appres)
-                log(f"{name} apps: {appres}")
-                save()
         except Exception as e:  # keep the primary metric robust
             log(f"{name} failed: {type(e).__name__}: {e}")
             details[key] = {**details.get(key, {}),
                             "error": f"{type(e).__name__}: {e}"}
+            save()
+
+    # ---- phase 2: apps + SpMSpV sweep -------------------------------------
+    if args.skip_apps:
+        return
+    if csr is not None:
+        _gc_between_graphs()
+        try:
+            appres = bench_apps(csr, config,
+                                ICCAD_GRAPHS["googleplus"]["iters"])
+            details["googleplus_full"].update(appres)
+            log(f"googleplus apps: {appres}")
+            sweep = bench_spmspv_sweep(csr, config)
+            details["googleplus_full"]["spmspv_sweep"] = sweep
+            log(f"spmspv sweep: "
+                f"{ {k: round(v['ms'],2) for k,v in sweep.items()} } ms")
+            save()
+        except Exception as e:
+            log(f"googleplus apps failed: {type(e).__name__}: {e}")
+            details["googleplus_full"]["apps_error"] = (
+                f"{type(e).__name__}: {e}")
+            save()
+
+    for name in big:
+        key = f"{name}_s{args.scale}"
+        if "spmv_gteps" not in details.get(key, {}):
+            continue
+        _gc_between_graphs()
+        if elapsed_min() > args.apps_budget_min:
+            if "pagerank_ms_per_iter" in details[key]:
+                log(f"{name} apps: budget reached; keeping prior rows")
+            else:
+                log(f"{name} apps: skipped (elapsed "
+                    f"{elapsed_min():.0f} min > --apps-budget-min)")
+                details[key]["apps_skipped"] = "time budget"
+            save()
+            continue
+        try:
+            g = iccad_standin(name, scale=args.scale, seed=1)
+            sc_s, g_s = feasible_sssp_scale(name, config)
+            appres = bench_apps(
+                g, config, ICCAD_GRAPHS[name]["iters"],
+                with_sssp=sc_s is not None, sssp_csr=g_s,
+                sssp_scale=sc_s if sc_s is not None else 0.0)
+            details[key].update(appres)
+            details[key].pop("apps_skipped", None)
+            log(f"{name} apps: {appres}")
+            save()
+        except Exception as e:
+            log(f"{name} apps failed: {type(e).__name__}: {e}")
+            details[key]["apps_error"] = f"{type(e).__name__}: {e}"
             save()
 
 

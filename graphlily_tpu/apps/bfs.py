@@ -95,11 +95,19 @@ class BFS(ModuleCollection):
         n = self.matrix_num_rows_
         spmv = self.SpMV_.apply
         spmspv = self.SpMSpV_.apply
+        # 3D (tile, sublane, lane) carries whenever both modules run pallas
+        # engines: the SpMV's tiled output view is free, while a 1D carry
+        # pays a ~2.3 GB/s 1D<->tiled relayout EVERY iteration (measured
+        # 5.6 ms/iter on full-scale pokec — most of the app-vs-SpMV overhead
+        # the round-2 bench recorded)
+        use3d = (self.SpMV_._pallas is not None
+                 and self.SpMSpV_._pallas is not None)
+        self._use3d = use3d
 
         def pull_step(mstate, iter_num, frontier, distance):
             """One pull iteration `iter_num` (1-based): masked SpMV then stamp
             distance = iter_num+1 at the new frontier (bfs.h:117-124)."""
-            y = spmv(frontier, distance, state=mstate)
+            y = spmv(frontier, distance, state=mstate, out_3d=use3d)
             val = (iter_num + 1).astype(distance.dtype)
             distance = assign_vector_dense(distance, y, val,
                                            MaskType.WRITE_TO_ONE)
@@ -114,7 +122,8 @@ class BFS(ModuleCollection):
             nonzeros of the masked product, and the sparse assign writes val
             at exactly those indices) — avoids per-iteration scatter/nonzero.
             Returns (frontier, nnz, distance)."""
-            y, nnz = spmspv_dense(frontier, distance, state=sstate)
+            y, nnz = spmspv_dense(frontier, distance, state=sstate,
+                                  out_3d=use3d)
             val = (iter_num + 1).astype(distance.dtype)
             distance = jnp.where(y != 0, val, distance)
             return y, nnz, distance
@@ -182,13 +191,16 @@ class BFS(ModuleCollection):
         self._push_fused = push_fused
         self._pull_push_fused = pull_push_fused
 
-    def _init_state(self, source: int):
+    def _init_state(self, source: int, as3d: bool = False):
         n = self.matrix_num_rows_
         dtype = self.config.jdtype
         input_ = np.full(n, self.semiring_.zero, dtype)
         distance = np.zeros(n, dtype)
         input_[source] = 1
         distance[source] = 1
+        if as3d:   # tile on HOST: entering the loop pre-tiled is free
+            input_ = input_.reshape(-1, 8, 128)
+            distance = distance.reshape(-1, 8, 128)
         return jnp.asarray(input_), jnp.asarray(distance)
 
     # ---- public API (reference signatures, app/bfs.h) --------------------
@@ -196,28 +208,28 @@ class BFS(ModuleCollection):
         source = self._internal_source(source)
         if chained:
             return self._external(self._pull_chained(source, num_iterations))
-        frontier, distance = self._init_state(source)
+        frontier, distance = self._init_state(source, self._use3d)
         return self._external(np.asarray(self._pull_fused(
             self.SpMV_.device_state(), frontier, distance,
-            jnp.asarray(num_iterations))))
+            jnp.asarray(num_iterations))).reshape(-1))
 
     def push(self, source: int, num_iterations: int, chained: bool = False):
         source = self._internal_source(source)
         if chained:
             return self._external(self._push_chained(source, num_iterations))
-        frontier, distance = self._init_state(source)  # dense frontier
+        frontier, distance = self._init_state(source, self._use3d)
         return self._external(np.asarray(self._push_fused(
             self.SpMSpV_.device_state(), frontier, distance,
-            jnp.asarray(num_iterations))))
+            jnp.asarray(num_iterations))).reshape(-1))
 
     def pull_push(self, source: int, num_iterations: int,
                   threshold: float = 0.05):
         source = self._internal_source(source)
-        frontier, distance = self._init_state(source)  # dense frontier
+        frontier, distance = self._init_state(source, self._use3d)
         return self._external(np.asarray(self._pull_push_fused(
             self.SpMV_.device_state(), self.SpMSpV_.device_state(),
             frontier, distance, jnp.asarray(num_iterations),
-            jnp.asarray(threshold, jnp.float32))))
+            jnp.asarray(threshold, jnp.float32))).reshape(-1))
 
     def pull_push_time_breakdown(self, source: int, num_iterations: int,
                                  threshold: float = 0.05) -> dict:

@@ -81,11 +81,17 @@ class SSSP(ModuleCollection):
         n = self.matrix_num_rows_
         spmv = self.SpMV_.apply
         spmspv = self.SpMSpV_.apply
+        # 3D carries (see BFS._build_fused): skip the per-iteration
+        # 1D<->tiled relayout whenever both modules run pallas engines
+        use3d = (self.SpMV_._pallas is not None
+                 and self.SpMSpV_._pallas is not None)
+        self._use3d = use3d
 
         @jax.jit
         def pull_fused(mstate, distance, num_iterations):
             def body(_i, d):
-                return spmv(d, state=mstate)  # tropical SpMV relaxes distances
+                # tropical SpMV relaxes distances
+                return spmv(d, state=mstate, out_3d=use3d)
             return jax.lax.fori_loop(0, num_iterations, body, distance)
 
         spmspv_dense = self.SpMSpV_.apply_dense
@@ -97,7 +103,7 @@ class SSSP(ModuleCollection):
             distances where they improve; improved entries form the next
             frontier (inactive = tropical INF). Returns (frontier, nnz, dist).
             """
-            y, _ = spmspv_dense(frontier, state=sstate)
+            y, _ = spmspv_dense(frontier, state=sstate, out_3d=use3d)
             improved = y < distance
             distance = jnp.where(improved, y, distance)
             new_frontier = jnp.where(improved, y, inf)
@@ -143,7 +149,7 @@ class SSSP(ModuleCollection):
 
             def pull_body(carry):
                 it2, d = carry
-                return (it2 + 1, spmv(d, state=mstate))
+                return (it2 + 1, spmv(d, state=mstate, out_3d=use3d))
 
             _, dist = jax.lax.while_loop(pull_cond, pull_body, (it, dist))
             return dist
@@ -152,34 +158,41 @@ class SSSP(ModuleCollection):
         self._push_fused = push_fused
         self._pull_push_fused = pull_push_fused
 
-    def _init_distance(self, source: int):
+    def _init_distance(self, source: int, as3d: bool = False):
         d = np.full(self.matrix_num_rows_, self.semiring_.zero,
                     self.config.dtype)
         d[source] = 0
+        if as3d:   # tile on HOST: entering the loop pre-tiled is free
+            d = d.reshape(-1, 8, 128)
         return jnp.asarray(d)
 
     # ---- public API ------------------------------------------------------
     def pull(self, source: int, num_iterations: int):
         source = self._internal_source(source)
         return self._external(np.asarray(self._pull_fused(
-            self.SpMV_.device_state(), self._init_distance(source),
-            jnp.asarray(num_iterations))))
+            self.SpMV_.device_state(),
+            self._init_distance(source, self._use3d),
+            jnp.asarray(num_iterations))).reshape(-1))
 
     def push(self, source: int, num_iterations: int):
         source = self._internal_source(source)
-        frontier = self._init_distance(source)  # dense: INF except source=0
+        # dense frontier: INF except source=0
+        frontier = self._init_distance(source, self._use3d)
         return self._external(np.asarray(self._push_fused(
             self.SpMSpV_.device_state(), frontier,
-            self._init_distance(source), jnp.asarray(num_iterations))))
+            self._init_distance(source, self._use3d),
+            jnp.asarray(num_iterations))).reshape(-1))
 
     def pull_push(self, source: int, num_iterations: int,
                   threshold: float = 0.05):
         source = self._internal_source(source)
-        frontier = self._init_distance(source)  # dense: INF except source=0
+        # dense frontier: INF except source=0
+        frontier = self._init_distance(source, self._use3d)
         return self._external(np.asarray(self._pull_push_fused(
             self.SpMV_.device_state(), self.SpMSpV_.device_state(),
-            frontier, self._init_distance(source),
-            jnp.asarray(num_iterations), jnp.asarray(threshold, jnp.float32))))
+            frontier, self._init_distance(source, self._use3d),
+            jnp.asarray(num_iterations),
+            jnp.asarray(threshold, jnp.float32))).reshape(-1))
 
     def pull_push_time_breakdown(self, source: int, num_iterations: int,
                                  threshold: float = 0.05) -> dict:

@@ -5,6 +5,6 @@ from .formatter import (util_round_csr_matrix_dim,
                         util_normalize_csr_matrix_by_outdegree,
                         util_reorder_rows_ascending_nnz, permute_rows,
                         add_self_edges_for_sssp, pack_csr_chunks,
-                        ChunkedSpMVLayout, FormattedCSC, format_csc)
+                        ChunkedSpMVLayout)
 from .generate import (uniform_csr, dense_csr, conflict_csr, rmat_csr,
                        iccad_standin, ICCAD_GRAPHS)

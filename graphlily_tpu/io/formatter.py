@@ -399,35 +399,3 @@ def estimate_chunk_layout_gb(csr: CSRMatrix) -> float:
     gneed = np.zeros(len(guniq), np.int64)
     np.maximum.at(gneed, ginv, need)
     return float(gneed.sum() * 1024 * 12) / 1e9
-
-
-# --------------------------------------------------------------------------
-# SpMSpV device layout (CSC, statically padded column slices)
-# --------------------------------------------------------------------------
-
-@dataclasses.dataclass
-class FormattedCSC:
-    """CSC shipped to device as flat arrays with per-column extents.
-
-    TPU counterpart of the reference's FormattedCSCMatrix
-    (graphlily/io/data_formatter.h:544-591): instead of packet streams, plain
-    (data, row-index, indptr) arrays consumed by gather/segment kernels.
-    """
-
-    num_rows: int
-    num_cols: int
-    adj_data: np.ndarray     # (nnz,)
-    adj_rows: np.ndarray     # (nnz,) int32
-    adj_indptr: np.ndarray   # (num_cols+1,) int32
-    max_col_nnz: int
-
-
-def format_csc(csc: CSCMatrix, config: EngineConfig = DEFAULT_CONFIG) -> FormattedCSC:
-    counts = np.diff(csc.adj_indptr.astype(np.int64))
-    return FormattedCSC(
-        num_rows=csc.num_rows, num_cols=csc.num_cols,
-        adj_data=csc.adj_data.astype(config.dtype),
-        adj_rows=csc.adj_indices.astype(np.int32),
-        adj_indptr=csc.adj_indptr.astype(np.int32),
-        max_col_nnz=int(counts.max()) if len(counts) else 0,
-    )

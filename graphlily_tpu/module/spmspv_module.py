@@ -167,7 +167,7 @@ class SpMSpVModule(BaseModule):
                 and getattr(self._pallas.layout, "step_touch", None)
                 is not None)
 
-    def _run_engine(self, x, state):
+    def _run_engine(self, x, state, out_3d: bool = False):
         """One dense-frontier product through the engine; work-proportional
         in every pallas flavor (counterpart of the reference's active-column
         bursts, hw/kernel_spmspv_impl.h:55-124):
@@ -189,7 +189,8 @@ class SpMSpVModule(BaseModule):
             sm = jnp.nonzero(step_active, size=nsteps,
                              fill_value=0)[0].astype(jnp.int32)
             na = jnp.sum(step_active).astype(jnp.int32).reshape(1)
-            return self._pallas.call_predicated(x, sm, na, arrays=arrays)
+            return self._pallas.call_predicated(x, sm, na, arrays=arrays,
+                                                out_3d=out_3d)
         from ..ops.router_pallas import PlanarSpMV, RouterSpMV
         from ..ops.tropical_pallas import TropicalSpMV
         if isinstance(self._pallas, (PlanarSpMV, RouterSpMV, TropicalSpMV)):
@@ -197,21 +198,25 @@ class SpMSpVModule(BaseModule):
             act = jnp.any(x.reshape(nct, -1)
                           != jnp.asarray(zero, x.dtype), axis=1)
             return self._pallas(x, None, MaskType.NO_MASK, arrays=state,
-                                tiles_active=act)
-        return self._pallas(x, None, MaskType.NO_MASK, arrays=state)
+                                tiles_active=act, out_3d=out_3d)
+        return self._pallas(x, None, MaskType.NO_MASK, arrays=state,
+                            out_3d=out_3d)
 
-    def apply_dense(self, x, mask=None, state=None):
+    def apply_dense(self, x, mask=None, state=None, out_3d: bool = False):
         """Dense-frontier flavor for fused app loops: takes/returns dense
         vectors (inactive = semiring zero), skipping the per-iteration
         sparse<->dense conversions (XLA scatter/nonzero are ~0.1 G elem/s on
         this hardware). Returns (y_dense, nnz) with nnz an on-device scalar —
         the reference's get_results_nnz readback (spmspv_module.h:239-242)
-        without the host sync."""
+        without the host sync. With `out_3d` (pallas engines only) x/y/mask
+        ride as (n/1024, 8, 128) tiles so fused loops skip the 1D<->tiled
+        relayout each iteration."""
         from ..semiring import apply_mask_sparse_style
         zero = self.semiring_.zero
         if self._pallas is not None:
-            y = self._run_engine(x, state)
+            y = self._run_engine(x, state, out_3d=out_3d)
         else:
+            assert not out_3d, "3D carries need a pallas engine"
             from ..ops.vector import dense_to_sparse
             sv = dense_to_sparse(x, zero, self.capacity)
             _, y = spmspv_coo(state if state is not None else self._coo,

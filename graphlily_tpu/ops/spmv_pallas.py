@@ -488,20 +488,22 @@ class PallasSpMV:
 
     def call_predicated(self, x, sm, na, mask=None,
                         mask_type: MaskType | None = None,
-                        arrays: ChunkArrays | None = None):
+                        arrays: ChunkArrays | None = None,
+                        out_3d: bool = False):
         """Work-proportional variant: execute only the chunk batches listed
         in `sm[:na]` (computed from the frontier's col-tile activity).
         Requires the resident kernel and a chunk_order="col" layout."""
         assert self.resident, "predicated path needs the resident kernel"
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
-        x2 = x.reshape(self.layout.num_col_tiles, S, L)
+        x2 = (x.reshape(self.layout.num_col_tiles, S, L)
+              if x.ndim == 1 else x)
         static = dict(self._static)
         static.setdefault("reduce_mode", self.config.reduce_mode)
         static.pop("fuse_dots", None)
         out = _spmv_resident_predicated_call(
             sm, na, a.code, a.r, a.rows, a.vals, a.inv, x2, **static)
-        return self._epilogue(out, mask, mt)
+        return self._epilogue(out, mask, mt, out_3d)
 
     def _epilogue(self, out, mask, mt, out_3d: bool = False):
         y = (out.reshape(-1, S, L)[:self.num_rows // (S * L)] if out_3d

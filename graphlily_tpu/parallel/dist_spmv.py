@@ -53,6 +53,18 @@ class ShardedSpMVLayout:
     local_cols: int
     local_nct: int
     local_nwgrp: int
+    # cross-device load balance (the mesh analog of analyze_row_balance):
+    # per-shard packed chunk counts BEFORE max-padding. balance = max/avg is
+    # the wall-clock stretch the max-pad scheme pays on skewed graphs — the
+    # known killer on power-law inputs (SURVEY §7 "load imbalance").
+    chunk_counts: Optional[np.ndarray] = None   # (R, C) int64
+
+    @property
+    def shard_balance(self) -> float:
+        if self.chunk_counts is None or self.chunk_counts.size == 0:
+            return 1.0
+        avg = float(self.chunk_counts.mean())
+        return float(self.chunk_counts.max()) / max(avg, 1e-9)
 
 
 def pack_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
@@ -113,6 +125,8 @@ def pack_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
         rows_shards=rows_shards, col_shards=col_shards,
         local_rows=rb, local_cols=cb,
         local_nct=nct_local, local_nwgrp=rb // 1024,
+        chunk_counts=np.array([[l.num_chunks for l in rl]
+                               for rl in layouts], np.int64),
     )
 
 

@@ -61,13 +61,19 @@ def main():
         loops[mode] = make(eng)
 
     x0 = jnp.full((n // 1024, 8, 128), 1.0 / n, jnp.float32)
+    outs = {}
     for mode in ("split", "fused"):
         t0 = time.perf_counter()
-        out = np.asarray(loops[mode](engines[mode].arrays, x0))
-        assert np.isfinite(out).all()
+        outs[mode] = np.asarray(loops[mode](engines[mode].arrays, x0))
+        assert np.isfinite(outs[mode]).all()
         print(f"{mode}: compiled+first in {time.perf_counter()-t0:.1f}s",
               flush=True)
-    floor = measure_floor(jax, jnp)
+    # a fused miscompile (the risk of running >16 MiB scoped VMEM) must not
+    # win the timing on finite-but-wrong numbers
+    np.testing.assert_allclose(outs["fused"], outs["split"],
+                               rtol=1e-2, atol=1e-12)
+    print("fused == split (allclose)", flush=True)
+    floor = measure_floor(jax, jnp)  # min-of-6 (see bench.measure_floor)
     print(f"floor {floor*1e3:.1f} ms", flush=True)
 
     samples = {m: [] for m in loops}

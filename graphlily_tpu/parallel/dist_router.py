@@ -1,0 +1,262 @@
+"""Distributed PLANAR-router SpMV over a 2D device mesh.
+
+Round-2's multi-chip layer wrapped only the chunked kernel — exactly the
+engine that cannot handle the 1M+-vertex graphs, so a second chip's HBM
+never helped where it mattered. This module shards the planar router (the
+engine carrying pokec/products/orkut at full scale):
+
+  * the matrix is block-sharded (R x C blocks); each block is packed by the
+    single-chip planar packer, then PADDED to the mesh-common static
+    geometry (nsteps / dstep / f / dmax / accumulator slots) so ONE compiled
+    kernel serves every shard under shard_map;
+  * x is sharded over 'cols' (each device xperms + gathers only its local
+    tile slice), partial y is psum'd over 'cols', y emerges sharded over
+    'rows' — the same SUMMA dataflow as DistSpMV (dist_spmv.py);
+  * per-shard compute is the UNCHANGED single-chip PlanarSpMV (fused or
+    split auto-selected on the padded geometry).
+
+Padding is pure numpy restriding: deposits stay in slots [0, dstep_c),
+flushes move to [dstep_c, dstep_c + f_c), inactive descriptor words are 0
+and inactive flush ordinals carry c_code = -1 — the kernels already treat
+both as no-ops. `ShardedPlanarLayout.shard_balance` reports the max/avg
+packed-chunk stretch the padding pays on skewed graphs (SURVEY §7 "load
+imbalance").
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..semiring import Semiring, MaskType, OpType, apply_mask
+from ..io.matrix import CSRMatrix
+from ..io.formatter import util_round_csr_matrix_dim
+from ..io.planar_format import (pack_planar, PlanarSpMVLayout,
+                                choose_planar_region_rows)
+from ..ops.router_pallas import PlanarSpMV, PlanarArrays, S, L
+
+from .dist_spmv import _csr_from_sorted_coo
+
+
+@dataclasses.dataclass
+class ShardedPlanarLayout:
+    """Planar stream arrays with leading (R, C) mesh dims + the mesh-common
+    padded geometry (a PlanarSpMVLayout carrying shard (0,0)'s arrays, used
+    to derive the kernel's static dims)."""
+
+    arrays: dict                  # field -> np.ndarray with leading (R, C)
+    proto: PlanarSpMVLayout       # padded shard (0,0): common static dims
+    num_rows: int                 # global padded
+    num_cols: int
+    nnz: int
+    rows_shards: int
+    col_shards: int
+    local_rows: int
+    local_cols: int
+    chunk_counts: Optional[np.ndarray] = None   # (R, C) pre-pad nsteps*cb
+
+    @property
+    def shard_balance(self) -> float:
+        if self.chunk_counts is None or self.chunk_counts.size == 0:
+            return 1.0
+        avg = float(self.chunk_counts.mean())
+        return float(self.chunk_counts.max()) / max(avg, 1e-9)
+
+
+def _pad_planar(l: PlanarSpMVLayout, nsteps: int, dstep: int, f: int,
+                dmax: int, num_slots: int, pad_val: float
+                ) -> PlanarSpMVLayout:
+    """Restride one shard's layout to the mesh-common geometry."""
+    cb = l.cb
+    rstep = dstep + f
+
+    rg = np.zeros((nsteps, rstep, 2), np.int32)
+    rg[:l.nsteps, :l.dstep] = l.rg[:, :l.dstep]
+    rg[:l.nsteps, dstep:dstep + l.f] = l.rg[:, l.dstep:l.rstep]
+
+    planes = np.zeros((nsteps, dmax, S, L), np.int8)
+    planes[:l.nsteps, :l.dmax] = l.planes
+
+    c_code = np.full((nsteps, f), -1, np.int32)
+    c_code[:l.nsteps, :l.f] = l.c_code.reshape(l.nsteps, l.f)
+    c_hi = np.zeros((nsteps, f, S, L), np.int8)
+    c_hi[:l.nsteps, :l.f] = l.c_hi.reshape(l.nsteps, l.f, S, L)
+    c_lo = np.zeros((nsteps, f, S, L), np.int8)
+    c_lo[:l.nsteps, :l.f] = l.c_lo.reshape(l.nsteps, l.f, S, L)
+
+    ncap = nsteps * cb
+    a_r = np.zeros((ncap, S, L), np.int8)
+    a_r[:l.a_r.shape[0]] = l.a_r
+    a_vals = np.full((ncap, S, L), pad_val, np.float32)
+    a_vals[:l.a_vals.shape[0]] = l.a_vals
+    a_page = np.zeros(ncap, np.int32)
+    a_page[:l.a_page.shape[0]] = l.a_page
+
+    return PlanarSpMVLayout(
+        a_r=a_r, xperm=l.xperm, a_vals=a_vals, a_page=a_page, rg=rg,
+        planes=planes, c_code=c_code.reshape(-1), c_hi=c_hi.reshape(-1, S, L),
+        c_lo=c_lo.reshape(-1, S, L),
+        num_rows=l.num_rows, num_cols=l.num_cols, nnz=l.nnz,
+        num_col_tiles=l.num_col_tiles, num_regions=l.num_regions,
+        region_rows=l.region_rows, cb=cb, rstep=rstep, f=f, dmax=dmax,
+        nsteps=nsteps, dstep=dstep, num_slots=num_slots,
+        fill_a=l.fill_a, fill_stream=l.fill_stream, el_slot=None)
+
+
+def pack_planar_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
+                        config: EngineConfig = DEFAULT_CONFIG,
+                        region_rows: int | None = None,
+                        cb: int = 16, pad_val: float = 0.0
+                        ) -> ShardedPlanarLayout:
+    """Split CSR into (R x C) blocks, planar-pack each, pad all to the
+    mesh-common geometry. `cb` and `region_rows` are forced common (the
+    kernel is compiled once for the mesh)."""
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, rows_shards * 1024, col_shards * 1024)
+    nrows, ncols = work.num_rows, work.num_cols
+    rb, cbk = nrows // rows_shards, ncols // col_shards
+    if region_rows is None:
+        region_rows = choose_planar_region_rows(rb, cbk,
+                                                max(work.nnz
+                                                    // (rows_shards
+                                                        * col_shards), 1))
+
+    nnz = work.nnz
+    rows = work.row_ids()
+    cols = work.adj_indices[:nnz].astype(np.int64)
+    vals = work.adj_data[:nnz]
+
+    layouts = []
+    for i in range(rows_shards):
+        row_l = []
+        sel_i = (rows >= i * rb) & (rows < (i + 1) * rb)
+        for j in range(col_shards):
+            sel = sel_i & (cols >= j * cbk) & (cols < (j + 1) * cbk)
+            sub = _csr_from_sorted_coo(rows[sel] - i * rb,
+                                       cols[sel] - j * cbk,
+                                       vals[sel], rb, cbk)
+            row_l.append(pack_planar(sub, config, pad_val=pad_val, cb=cb,
+                                     region_rows=region_rows))
+        layouts.append(row_l)
+
+    flat = [l for rl in layouts for l in rl]
+    nsteps_c = max(l.nsteps for l in flat)
+    dstep_c = max(l.dstep for l in flat)
+    f_c = max(l.f for l in flat)
+    dmax_c = max(l.dmax for l in flat)
+    slots_c = max(l.num_slots for l in flat)
+    padded = [[_pad_planar(l, nsteps_c, dstep_c, f_c, dmax_c, slots_c,
+                           pad_val) for l in rl] for rl in layouts]
+
+    arrays = {}
+    proto0 = padded[0][0]
+    for fld in PlanarArrays.FIELDS:
+        # shape each field exactly as PlanarSpMV ships it single-chip
+        def shaped(l):
+            if fld == "a_page":
+                return l.a_page.reshape(l.nsteps, 1, l.cb)
+            if fld == "a_r":
+                return l.a_r.reshape(l.nsteps, l.cb * S, L)
+            if fld == "a_vals":
+                return l.a_vals.reshape(l.nsteps, l.cb * S, L)
+            if fld == "xperm":
+                return l.xperm
+            if fld == "rg":
+                return l.rg
+            if fld == "planes":
+                return l.planes
+            if fld == "c_code":
+                return l.c_code.reshape(l.nsteps, 1, l.f)
+            if fld == "c_hi":
+                return l.c_hi.reshape(l.nsteps, l.f * S, L)
+            if fld == "c_lo":
+                return l.c_lo.reshape(l.nsteps, l.f * S, L)
+            raise KeyError(fld)
+        arrays[fld] = np.stack([np.stack([shaped(l) for l in rl])
+                                for rl in padded])
+
+    return ShardedPlanarLayout(
+        arrays=arrays, proto=proto0,
+        num_rows=nrows, num_cols=ncols, nnz=nnz,
+        rows_shards=rows_shards, col_shards=col_shards,
+        local_rows=rb, local_cols=cbk,
+        chunk_counts=np.array([[l.nsteps * l.cb for l in rl]
+                               for rl in layouts], np.int64))
+
+
+class DistPlanarSpMV:
+    """y = mask(A (x) x) with the planar router sharded over a 2D mesh.
+
+    Per-shard compute is the single-chip PlanarSpMV compiled on the padded
+    common geometry; cross-shard combine is a psum over 'cols'. Callable
+    inside jitted app loops (arrays are traced shard_map inputs)."""
+
+    def __init__(self, layout: ShardedPlanarLayout, semiring: Semiring,
+                 mesh: Mesh, config: EngineConfig = DEFAULT_CONFIG,
+                 mask_type: MaskType = MaskType.NO_MASK):
+        if semiring.op == OpType.ADDMIN:
+            raise ValueError("planar router is MULADD/ANDOR; tropical rides "
+                             "DistSpMV's chunked path or single-chip")
+        self.layout = layout
+        self.semiring = semiring
+        self.mesh = mesh
+        self.config = config
+        self.mask_type = mask_type
+        self.num_rows = layout.num_rows
+        self.num_cols = layout.num_cols
+
+        # single-chip engine on the padded prototype: supplies the compiled
+        # kernels' static dims + the fused/split auto-select
+        self._eng = PlanarSpMV(layout.proto, semiring, config)
+
+        spec = P("rows", "cols")
+        vdt = (jnp.bfloat16 if config.mxu_precision == "default"
+               else jnp.dtype(config.dtype))
+        put = lambda a, dt=None: jax.device_put(
+            jnp.asarray(a if dt is None else a.astype(dt)),
+            NamedSharding(mesh, spec))
+        arr = layout.arrays
+        self.arrays = PlanarArrays(
+            put(arr["a_page"]), put(arr["a_r"]), put(arr["xperm"]),
+            put(arr["a_vals"], vdt), put(arr["rg"]), put(arr["planes"]),
+            put(arr["c_code"]), put(arr["c_hi"]), put(arr["c_lo"]))
+
+        eng = self._eng
+        local_rows = layout.local_rows
+        op = semiring.op
+
+        def local_fn(a_page, a_r, xperm, a_vals, rg, planes, c_code, c_hi,
+                     c_lo, x_local):
+            sh = PlanarArrays(a_page[0, 0], a_r[0, 0], xperm[0, 0],
+                              a_vals[0, 0], rg[0, 0], planes[0, 0],
+                              c_code[0, 0], c_hi[0, 0], c_lo[0, 0])
+            x3 = x_local.reshape(-1, S, L)
+            y = eng(x3, arrays=sh)[:local_rows]
+            return jax.lax.psum(y, "cols")
+
+        self._sharded_fn = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=tuple([spec] * 9) + (P("cols"),),
+            out_specs=P("rows"),
+            check_vma=False,
+        )
+
+    def __call__(self, x: jax.Array,
+                 mask: jax.Array | None = None) -> jax.Array:
+        y = self._sharded_fn(*(getattr(self.arrays, f)
+                               for f in PlanarArrays.FIELDS), x)
+        if self.semiring.op == OpType.ANDOR:
+            y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))
+        if mask is not None and self.mask_type != MaskType.NO_MASK:
+            y = apply_mask(y, mask, self.mask_type, self.semiring.zero)
+        return y
+
+    def reshard_for_input(self, y: jax.Array) -> jax.Array:
+        """Row-sharded result -> col-sharded input (ICI all-to-all)."""
+        return jax.lax.with_sharding_constraint(
+            y, NamedSharding(self.mesh, P("cols")))

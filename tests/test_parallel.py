@@ -115,3 +115,69 @@ def test_dist_sssp_fused_loop_matches_single_chip():
     app.load_and_format_matrix(csr)
     want = app.compute_reference_results(0, 5)
     np.testing.assert_allclose(got[:len(want)], want, atol=1e-4)
+
+
+def test_dist_planar_matches_single(rng):
+    """Sharded PLANAR router (the scalable engine) vs the COO oracle on a
+    power-law graph over a (2,2) mesh."""
+    from graphlily_tpu.parallel import DistPlanarSpMV, pack_planar_sharded
+    mesh = make_mesh(4, rows=2, cols=2)
+    csr = rmat_csr(6000, 60000, seed=31)
+    lay = pack_planar_sharded(csr, 2, 2, CFG)
+    assert lay.shard_balance >= 1.0
+    eng = DistPlanarSpMV(lay, ArithmeticSemiring, mesh, CFG)
+    x = rng.random(lay.num_cols).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x)))
+    padded = csr.copy()
+    util_round_csr_matrix_dim(padded, lay.num_rows, lay.num_cols)
+    coo = coo_from_csr(padded)
+    want = np.asarray(spmv_coo(coo, jnp.asarray(x), ArithmeticSemiring))
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
+def test_dist_planar_masked_logical(rng):
+    from graphlily_tpu.parallel import DistPlanarSpMV, pack_planar_sharded
+    mesh = make_mesh(8, rows=4, cols=2)
+    csr = rmat_csr(4096, 30000, seed=37)
+    lay = pack_planar_sharded(csr, 4, 2, CFG)
+    eng = DistPlanarSpMV(lay, LogicalSemiring, mesh, CFG,
+                         mask_type=MaskType.WRITE_TO_ZERO)
+    x = (rng.random(lay.num_cols) < 0.3).astype(np.float32)
+    mask = (rng.random(lay.num_rows) < 0.5).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x), jnp.asarray(mask)))
+    padded = csr.copy()
+    util_round_csr_matrix_dim(padded, lay.num_rows, lay.num_cols)
+    coo = coo_from_csr(padded)
+    want = np.asarray(spmv_coo(coo, jnp.asarray(x), LogicalSemiring,
+                               jnp.asarray(mask), MaskType.WRITE_TO_ZERO))
+    np.testing.assert_allclose(y, want, atol=1e-5)
+
+
+def test_dist_planar_pagerank_step(rng):
+    """Distributed planar power iteration inside one jit with the
+    rows->cols reshard (the iterating-app dataflow on the scalable
+    engine)."""
+    from graphlily_tpu.parallel import DistPlanarSpMV, pack_planar_sharded
+    from graphlily_tpu.io.formatter import (
+        util_normalize_csr_matrix_by_outdegree)
+    mesh = make_mesh(4, rows=2, cols=2)
+    csr = rmat_csr(4000, 40000, seed=41)
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 4096, 4096)
+    util_normalize_csr_matrix_by_outdegree(work)
+    work.adj_data = work.adj_data * 0.9
+    lay = pack_planar_sharded(work, 2, 2, CFG)
+    eng = DistPlanarSpMV(lay, ArithmeticSemiring, mesh, CFG)
+    n = lay.num_rows
+    offset = (1 - 0.9) / n
+
+    @jax.jit
+    def step(rank):
+        y = eng(rank) + offset
+        return eng.reshard_for_input(y)
+
+    rank = jnp.full(n, 1.0 / n, jnp.float32)
+    r1 = np.asarray(step(rank))
+    coo = coo_from_csr(work)
+    want = np.asarray(spmv_coo(coo, rank, ArithmeticSemiring)) + offset
+    np.testing.assert_allclose(r1, want, rtol=2e-3, atol=1e-8)

@@ -339,19 +339,19 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
 
 
 def feasible_sssp_scale(name, config):
-    """SSSP now runs FULL scale on the scalable tropical engine (planar
-    scatter of the exact int32 encoding + window split + scan reduce,
-    ops/tropical_pallas.py); the only remaining guard is pack time — the
-    split-schedule builder walks deposits in Python on this 1-core host, so
-    cap the edge count rather than the (no longer binding) chunked-layout
-    memory."""
+    """SSSP runs FULL scale on the scalable tropical engine (planar scatter
+    of the exact int32 encoding + window split + scan reduce,
+    ops/tropical_pallas.py). The round-2 60M-edge cap existed because the
+    app held TWO tropical engines (CSR + CSC twin of the SAME matrix —
+    113M-edge hollywood measured 22.4 GB vs the 15.75 GB chip); the modules
+    now SHARE the one engine (apps/sssp.py reuse_from), leaving layout
+    (~20 B/nnz) + the call's stream transients (~18 B/nnz) + fused-loop
+    slack — ~55 B/nnz total, so a 12 GB budget covers all six graphs at
+    full scale (orkut 213M edges ≈ 11.7 GB)."""
     from graphlily_tpu.io import iccad_standin
     for sc in (1.0, 0.5, 0.25, 0.1):
         g = iccad_standin(name, scale=sc, seed=1)
-        # the SSSP app holds TWO tropical engines (CSR + CSC twin) plus the
-        # fused loop's stream intermediates — ~180 B/nnz of HBM at compile
-        # time; 113M-edge hollywood measured 22.4 GB vs the 15.75 GB chip
-        if g.nnz <= 60_000_000:
+        if g.nnz * 55e-9 <= 12.0:
             return sc, g
     return None, None
 

@@ -80,7 +80,12 @@ class BFS(ModuleCollection):
         csr_matrix.adj_data = np.ones_like(csr_matrix.adj_data)
         csc_matrix = csr2csc(csr_matrix)
         self.SpMV_.load_and_format_matrix(csr_matrix, skip_empty_rows)
-        self.SpMSpV_.load_and_format_matrix(csc_matrix)
+        # the CSC twin's dense-frontier layout is IDENTICAL to the SpMV
+        # module's (csc2csr(csr2csc(A)) == A) for the scalable engines —
+        # share it instead of holding two device copies (halves app HBM
+        # and pack time on the 100M+-edge graphs)
+        self.SpMSpV_.load_and_format_matrix(csc_matrix,
+                                            reuse_from=self.SpMV_)
         self.matrix_num_rows_ = self.SpMV_.get_num_rows()
         self.matrix_num_cols_ = self.SpMV_.get_num_cols()
         assert self.matrix_num_rows_ == self.matrix_num_cols_

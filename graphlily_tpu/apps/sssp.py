@@ -66,7 +66,12 @@ class SSSP(ModuleCollection):
         util_round_csr_matrix_dim(csr_matrix, 1024, 1024)
         csc_matrix = csr2csc(csr_matrix)
         self.SpMV_.load_and_format_matrix(csr_matrix, skip_empty_rows)
-        self.SpMSpV_.load_and_format_matrix(csc_matrix)
+        # share the identical scalable-engine layout with the SpMV module
+        # (see BFS.load_and_format_matrix): SSSP previously held TWO
+        # tropical engines — the reason full-scale SSSP OOMed HBM beyond
+        # 60M edges (bench.py feasible_sssp_scale)
+        self.SpMSpV_.load_and_format_matrix(csc_matrix,
+                                            reuse_from=self.SpMV_)
         self.matrix_num_rows_ = self.SpMV_.get_num_rows()
         self.matrix_num_cols_ = self.SpMV_.get_num_cols()
         assert self.matrix_num_rows_ == self.matrix_num_cols_

@@ -39,7 +39,17 @@ class SpMSpVModule(BaseModule):
         self.num_rows_ = 0
         self.num_cols_ = 0
 
-    def load_and_format_matrix(self, csc_matrix: CSCMatrix) -> None:
+    def load_and_format_matrix(self, csc_matrix: CSCMatrix,
+                               reuse_from=None) -> None:
+        """`reuse_from`: an SpMVModule already formatted with the SAME
+        matrix this CSC is the twin of (the apps build both from one CSR).
+        The dense-frontier SpMSpV path packs csc2csr(csr2csc(A)) == A into
+        the IDENTICAL router/planar/tropical layout the SpMV module holds,
+        so without sharing every app keeps two device copies of the same
+        multi-GB streams (hollywood apps OOMed HBM on exactly this).
+        Sharing is skipped for the chunked engine (SpMSpV wants the
+        chunk_order="col" layout for step predication) and for the XLA
+        fallback."""
         assert self.semiring_ is not None, "set_semiring before formatting"
         self.csc_matrix_ = csc_matrix.copy()
         self.num_rows_ = csc_matrix.num_rows
@@ -47,6 +57,13 @@ class SpMSpVModule(BaseModule):
         engine = self.config.resolve_engine()
         self._pallas = None
         self._coo = None
+        if reuse_from is not None and reuse_from._pallas is not None:
+            from ..ops.router_pallas import PlanarSpMV, RouterSpMV
+            from ..ops.tropical_pallas import TropicalSpMV
+            if isinstance(reuse_from._pallas,
+                          (PlanarSpMV, RouterSpMV, TropicalSpMV)):
+                self._pallas = reuse_from._pallas
+                return
         if (engine in ("pallas", "auto", "router")
                 and csc_matrix.num_rows % 1024 == 0
                 and csc_matrix.num_cols % 1024 == 0):

@@ -82,10 +82,20 @@ def _onehot_place(gch, hi8, lo8, rh: int, precision, ablate: str = ""):
     The values FOLD INTO THE HI FACTOR (ohg = indicator * g) so the lo
     factor is a pure indicator — this removes the (128,128) where-select
     per sublane that the previous (oh_hi, lo-masked-values) formulation
-    paid (~20-25%% of the dominant VPU build cost; same single bf16
+    paid (~20-25% of the dominant VPU build cost; same single bf16
     rounding of g at DEFAULT MXU precision). Both factors stay slot-major
     in lanes (one-hot targets ride the sublane dim), so no transposes
-    appear — Mosaic contracts lane dims natively."""
+    appear — Mosaic contracts lane dims natively.
+
+    Build dtype is f32 END OF STORY on this libtpu: the reduce is
+    VPU-BUILD-bound (tools/reduce_ablate.py: builds-only = 88% of full,
+    dots-only = 51%) and 16-bit one-hot vregs would halve the build
+    volume, but every narrow path is rejected by Mosaic/hardware —
+    bf16 vector compares ("unsupported"), int32-compare->bf16-select
+    (i1 mask relayout (8,128)->(16,128) "Non-singleton logical dimension
+    is replicated in destination but not in source"), int16 iota
+    ("16-bit iota not supported by hardware"), and int16 compares
+    ("Target does not support this comparison")."""
     hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
     lo_t = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     parts = []
@@ -404,9 +414,11 @@ def _predicate_rg(rg, a_page, tiles_active, flavor: str):
     return jnp.stack([w1, jnp.where(dead, 0, w2)], axis=-1)
 
 
-def _make_reduce_kernel(cbc: int, rh: int, precision):
+def _make_reduce_kernel(cbc: int, rh: int, precision, ablate: str = ""):
     """rh = region_rows // 128: the hi one-hot height. Smaller regions cut
-    the MXU MAC count linearly (the dominant reduce cost at rh=128)."""
+    the MXU MAC count linearly (the dominant reduce cost at rh=128).
+    `ablate` ("nobuilds" | "nodots" | "noacc") isolates the VPU one-hot
+    builds, the MXU dots, and the output RMW for phase attribution."""
     def kernel(code_ref,              # (1, 1, cbc) int32 region ids (-1 skip)
                g_ref,                 # (1, cbc, 8, 128) f32 flushed values
                hi_ref,                # (1, cbc*8, 128) int8
@@ -443,9 +455,12 @@ def _make_reduce_kernel(cbc: int, rh: int, precision):
                     acc = _onehot_place(g_ref[0, k],
                                         hi_all[k * S:(k + 1) * S, :],
                                         lo_all[k * S:(k + 1) * S, :],
-                                        rh, precision)
+                                        rh, precision, ablate)
                     acc = jnp.where(c >= 0, acc, 0.0)
-                    o_ref[jnp.maximum(c, 0)] += acc.astype(o_ref.dtype)
+                    if ablate == "noacc":
+                        o_ref[0, 0:1] += acc[0:1].astype(o_ref.dtype)
+                    else:
+                        o_ref[jnp.maximum(c, 0)] += acc.astype(o_ref.dtype)
 
     return kernel
 
@@ -453,15 +468,15 @@ def _make_reduce_kernel(cbc: int, rh: int, precision):
 @functools.partial(
     jax.jit,
     static_argnames=("cbc", "nregions", "rh", "nsteps", "mxu_precision",
-                     "interpret", "dtype"))
+                     "interpret", "dtype", "ablate"))
 def _router_reduce_call(code, g, hi, lo, *, cbc, nregions, rh, nsteps,
-                        mxu_precision, interpret, dtype):
+                        mxu_precision, interpret, dtype, ablate=""):
     """Consumes the scatter output (nsteps, f, 8, 128) DIRECTLY — one reduce
     step per scatter step, no reshape between the kernels (a materialized
     reshape/copy of the stream measured ~4 ms on the googleplus stand-in)."""
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
-    kernel = _make_reduce_kernel(cbc, rh, precision)
+    kernel = _make_reduce_kernel(cbc, rh, precision, ablate)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -1151,7 +1166,7 @@ class PlanarSpMV:
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
                                          **self._static_reduce)
         if out_3d:
-            y = blocks.reshape(-1, S, L)[:self.num_rows // (S * L)]
+            y = _blocks_to_3d(blocks, self.num_rows)
         else:
             y = blocks.reshape(-1)[:self.num_rows]
         if self.semiring.op == OpType.ANDOR:
@@ -1159,6 +1174,16 @@ class PlanarSpMV:
         if mask is not None and mt != MaskType.NO_MASK:
             y = apply_mask(y, mask, mt, self.semiring.zero)
         return y
+
+
+def _blocks_to_3d(blocks, num_rows: int):
+    """(nregions, rh, 128) region blocks -> (num_rows/1024, 8, 128). When the
+    padded region rows are 1024-divisible (every full-scale layout) this is a
+    free view; small layouts pad region_rows to an odd sublane count (e.g.
+    5248) and must flatten + prefix-slice first (row-aligned, still cheap)."""
+    if blocks.size % (S * L) == 0:
+        return blocks.reshape(-1, S, L)[:num_rows // (S * L)]
+    return blocks.reshape(-1)[:num_rows].reshape(-1, S, L)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -1296,7 +1321,7 @@ class RouterSpMV:
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
                                          **self._static_reduce)
         if out_3d:
-            y = blocks.reshape(-1, S, L)[:self.num_rows // (S * L)]
+            y = _blocks_to_3d(blocks, self.num_rows)
         else:
             y = blocks.reshape(-1)[:self.num_rows]
         if self.semiring.op == OpType.ANDOR:

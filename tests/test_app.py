@@ -114,6 +114,26 @@ def test_apps_with_degree_sort_relabeling(graph):
                                rtol=2e-3, atol=1e-7)
 
 
+def test_apps_share_scalable_engine(graph):
+    """BFS/SSSP pass reuse_from= so the SpMSpV module shares the SpMV
+    module's scalable-engine object (csc2csr(csr2csc(A)) == A ⇒ identical
+    layout; one device copy per app instead of two — the round-2 full-scale
+    SSSP OOM). Both pull and push phases must still match the oracle."""
+    cfg = EngineConfig(interpret=True, engine="router")
+    app = BFS(cfg)
+    app.load_and_format_matrix(graph)
+    assert app.SpMSpV_._pallas is app.SpMV_._pallas
+    got = app.pull_push(0, NUM_ITER, threshold=0.1)
+    np.testing.assert_allclose(
+        got, app.compute_reference_results(0, NUM_ITER), atol=1e-4)
+    s = SSSP(cfg)
+    s.load_and_format_matrix(graph)
+    assert s.SpMSpV_._pallas is s.SpMV_._pallas
+    got = s.pull_push(0, NUM_ITER, threshold=0.1)
+    np.testing.assert_allclose(
+        got, s.compute_reference_results(0, NUM_ITER), atol=1e-4)
+
+
 def test_bfs_time_breakdown_matches_fused(graph):
     """Instrumented pull_push (reference app/bfs.h:222-347 counterpart):
     same distances as the fused loop, phases and iteration counts recorded."""

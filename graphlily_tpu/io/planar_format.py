@@ -50,7 +50,10 @@ class PlanarSpMVLayout:
     a_r: np.ndarray        # (NSTEPS*CB, 8, 128) int8 : x2 lane of the col
     xperm: np.ndarray      # (NTILES, 8, 8, 128) int8 : x-shuffle planes;
                            #   [t, s_src, d, l] < 0 -> x2[t,d,l] takes source
-                           #   lane (v & 127) of x[t, s_src]
+                           #   lane (v & 127) of x[t, s_src].
+                           #   deal="free" layouts: EMPTY (0,8,8,128) — x2 is
+                           #   the natural x.reshape(nct,8,128) and a_sub
+                           #   carries the chained-gather sublane table
     a_vals: np.ndarray     # (NSTEPS*CB, 8, 128) f32  : values (pad 0)
     a_page: np.ndarray     # (NSTEPS*CB,) int32       : 1024-col tile id
     rg: np.ndarray         # (NSTEPS, RSTEP, 2) int32 : descriptors
@@ -90,6 +93,13 @@ class PlanarSpMVLayout:
                                          # flush-stream slot (numpy path with
                                          # keep_el_stream=True only; feeds
                                          # the tropical split-pass builder)
+    a_sub: np.ndarray | None = None      # deal="free" only: (NSTEPS*CB, 8,
+                                         # 128) int8 chained-gather table —
+                                         # a_sub[k, s, rho] = source sublane
+                                         # of the class-rho column whose
+                                         # elements sit in dest sublane s
+                                         # (composed-gather rule: one source
+                                         # sublane per (chunk, s, rho))
 
     @property
     def mem_bytes(self) -> int:
@@ -139,6 +149,152 @@ def simulate_cursors(dc, dr, dl, nkeys: int):
         cyc1=d_cyc1, cyc2=d_cyc2, split=d_split, C=C, cycle=cycle)
 
 
+def _largest_remainder_quotas(M):
+    """Per (chunk, class): partition the 8 dest sublanes among the class's
+    (<=8) source columns by D'Hondt allocation — every active column gets 1,
+    then each remaining sublane goes to the column with the largest m/q —
+    which minimizes the max per-sublane load for the class. M is (nc, 128,
+    8) int counts; returns q (same shape, int64, sum over sigma == 8
+    wherever the class is nonempty)."""
+    act = M > 0
+    q = act.astype(np.int64)
+    navail = 8 - q.sum(axis=2)
+    navail[q.sum(axis=2) == 0] = 0
+    for _ in range(7):
+        take = navail > 0
+        if not take.any():
+            break
+        score = np.where(act, M / np.maximum(q, 1), -1.0)
+        pick = np.argmax(score, axis=2)
+        np.put_along_axis(q, pick[:, :, None],
+                          np.take_along_axis(q, pick[:, :, None], 2)
+                          + take[:, :, None], 2)
+        navail -= take
+    return q
+
+
+def _deal_free(rr, cc, vv, order, nnz, ntiles, region_rows):
+    """deal="free" front-end: chained-gather chunk/sublane/lane assignment.
+
+    Elements sorted (tile, row, col); chunks = 1024-element windows per
+    tile. Dest sublanes are dealt by class quotas (_largest_remainder_quotas)
+    rotated per (class, chunk), so a hub column's elements spread across all
+    8 sublanes — the fix for the 0.485 flush fill of the bucket-bound deal
+    (a hub column's elements were pinned to its snake sublane, skewing the
+    per-(region, sublane) cursors; measured p10 fill 0.125 on pokec).
+    Composed-gather consistency (CLAUDE.md: sub is indexed by the SOURCE
+    lane) holds because the quota sets partition the sublanes per (chunk,
+    class): one source sublane per (chunk, dest sublane, class).
+
+    Returns (rr, cc, vv, order, a_chunk, dest_sub, lane, chunk_tile, nca)
+    with elements re-sorted to (chunk, dest_sub, lane) order."""
+    tile = cc >> 10
+    sig = (cc >> 7) & 7
+    rho = cc & 127
+    tcount = np.bincount(tile, minlength=ntiles)
+    cpt0 = (tcount + CHUNK - 1) // CHUNK
+    chunk_of = np.zeros(nnz, np.int64)
+    sub_of = np.zeros(nnz, np.int64)
+    chunk_round = np.zeros(nnz, np.int64)
+    # per-round chunk allocation (round 0: rank windows; later rounds: one
+    # spill chunk per tile with spilled elements)
+    extra_rounds = []
+    pend = np.arange(nnz)  # elements to deal this round (row-ordered ids)
+    local_chunk = (np.arange(nnz)
+                   - np.repeat(np.concatenate([[0], np.cumsum(tcount)[:-1]]),
+                               tcount)) // CHUNK if nnz else np.zeros(0,
+                                                                      np.int64)
+    round_no = 0
+    while len(pend):
+        assert round_no < 16, "free-deal spill recursion exceeded 16 rounds"
+        # chunk ids within this round: (tile, local chunk) for round 0,
+        # one extra chunk per tile per spill round
+        if round_no == 0:
+            rc = local_chunk[pend]
+            rcpt = cpt0
+        else:
+            # spilled elements re-dealt into fresh rank-window chunks of
+            # their tile (pend is tile-then-row ordered: a stable subset of
+            # the original sort)
+            tcnt = np.bincount(tile[pend], minlength=ntiles)
+            rcpt = (tcnt + CHUNK - 1) // CHUNK
+            tstart = np.concatenate([[0], np.cumsum(tcnt)[:-1]])
+            rc = (np.arange(len(pend)) - tstart[tile[pend]]) // CHUNK
+        rbase = np.concatenate([[0], np.cumsum(rcpt)])
+        ch = rbase[tile[pend]] + rc
+        ncr = max(int(rbase[-1]), 1)
+        key = (ch * L + rho[pend]) * 8 + sig[pend]
+        M = np.bincount(key, minlength=ncr * L * 8).reshape(ncr, L, 8)
+        q = _largest_remainder_quotas(M)
+        cum = np.cumsum(q, axis=2) - q          # exclusive per class
+        # element sequence number within (chunk, class, col), row order
+        ord2 = np.argsort(key, kind="stable")
+        kk = np.empty(len(pend), np.int64)
+        ks = key[ord2]
+        newk = np.ones(len(pend), bool)
+        if len(pend):
+            newk[1:] = ks[1:] != ks[:-1]
+        gs = np.nonzero(newk)[0]
+        kk[ord2] = np.arange(len(pend)) - np.repeat(
+            gs, np.diff(np.concatenate([gs, [len(pend)]])))
+        qe = q[ch, rho[pend], sig[pend]]
+        start = (5 * rho[pend] + 3 * ch) % 8
+        s = (start + cum[ch, rho[pend], sig[pend]] + kk % np.maximum(qe, 1)
+             ) % 8
+        # sublane capacity: row-tail overflow spills to the next round
+        ord3 = np.argsort(ch * 8 + s, kind="stable")
+        ks3 = (ch * 8 + s)[ord3]
+        newk3 = np.ones(len(pend), bool)
+        if len(pend):
+            newk3[1:] = ks3[1:] != ks3[:-1]
+        gs3 = np.nonzero(newk3)[0]
+        lane_r = np.empty(len(pend), np.int64)
+        lane_r[ord3] = np.arange(len(pend)) - np.repeat(
+            gs3, np.diff(np.concatenate([gs3, [len(pend)]])))
+        over = lane_r >= L
+        keep = ~over
+        chunk_of[pend[keep]] = ch[keep]    # round-local; renumbered below
+        sub_of[pend[keep]] = s[keep]
+        chunk_round[pend[keep]] = round_no
+        extra_rounds.append(rcpt)
+        pend = pend[over]
+        round_no += 1
+    # global chunk renumbering: per tile, round-0 chunks then spill chunks
+    cpt_all = (np.stack(extra_rounds, axis=0) if extra_rounds
+               else np.zeros((1, ntiles), np.int64))
+    cpt_final = cpt_all.sum(axis=0)
+    tile_base = np.concatenate([[0], np.cumsum(cpt_final)])
+    # offset of round r's chunks within the tile
+    roff = np.cumsum(cpt_all, axis=0) - cpt_all   # (rounds, ntiles)
+    rb0 = [np.concatenate([[0], np.cumsum(c)]) for c in cpt_all]
+    a_chunk = np.zeros(nnz, np.int64)
+    for rno in range(len(extra_rounds)):
+        m = chunk_round == rno
+        if not m.any():
+            continue
+        # chunk_of holds the round-local id (rbase[tile] + rc): convert to
+        # tile-local then to the global id
+        loc = chunk_of[m] - rb0[rno][tile[m]]
+        a_chunk[m] = tile_base[tile[m]] + roff[rno, tile[m]] + loc
+    nca = max(int(tile_base[-1]), 1)
+    chunk_tile = np.repeat(np.arange(ntiles), cpt_final).astype(np.int32)
+    # final element order: (chunk, dest sublane, row) -> lanes 0..count-1
+    ordf = np.lexsort((rr, sub_of, a_chunk))
+    rr, cc, vv = rr[ordf], cc[ordf], vv[ordf]
+    order = order[ordf]
+    a_chunk, dest_sub = a_chunk[ordf], sub_of[ordf]
+    ks4 = a_chunk * 8 + dest_sub
+    newk4 = np.ones(nnz, bool)
+    if nnz:
+        newk4[1:] = ks4[1:] != ks4[:-1]
+    gs4 = np.nonzero(newk4)[0] if nnz else np.zeros(0, np.int64)
+    lane = (np.arange(nnz) - np.repeat(
+        gs4, np.diff(np.concatenate([gs4, [nnz]])))) if nnz else \
+        np.zeros(0, np.int64)
+    assert not nnz or lane.max() < L
+    return rr, cc, vv, order, a_chunk, dest_sub, lane, chunk_tile, nca
+
+
 def choose_planar_region_rows(nrows: int, ncols: int, nnz: int) -> int:
     """Deposits scale as ntiles*nrows/R; the phase-C reduce costs R MACs/nnz
     plus (R/128 + 128) one-hot compare rows per flushed slot-row. The
@@ -158,7 +314,7 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                 region_rows: int | None = None,
                 native: bool = True,
                 keep_el_stream: bool = False,
-                hi_pad: int = 0) -> PlanarSpMVLayout:
+                hi_pad: int = 0, deal: str = "bucket") -> PlanarSpMVLayout:
     """`hi_pad`: fill value for unoccupied c_hi slots. The ADD reduce wants 0
     (inert: one-hot adds the zero value at row 0); the tropical split-pass
     builder wants -1 so padding slots are identifiable.
@@ -167,7 +323,12 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     MULADD/ANDOR, FLOAT_INF for the tropical engine's raw-value stream).
     The flush stream's zero-at-flush discipline is independent of it — the
     tropical encoding maps its INF products to the max-identity 0
-    (io/tropical_format.py)."""
+    (io/tropical_format.py).
+
+    `deal`: "bucket" = the v3 layout (sublane = snake col bucket, single
+    phase-A gather through the xperm pre-pass); "free" = the v4 layout
+    (chained phase-A gather via a_sub, dest sublanes quota-dealt per class
+    — see _deal_free; no xperm)."""
     work = csr.copy()
     util_round_csr_matrix_dim(work, 1024, 1024)
     nrows, ncols = work.num_rows, work.num_cols
@@ -183,7 +344,7 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     rr = work.row_ids().astype(np.int64)
     cc = work.adj_indices[:nnz].astype(np.int64)
     vv = work.adj_data[:nnz].astype(np.float32)
-    if native and nnz and not keep_el_stream:
+    if native and nnz and not keep_el_stream and deal == "bucket":
         # the C++ schedule builder produces bit-identical arrays ~20x faster
         # on this 1-vCPU host (tests/test_native_pack.py verifies equality);
         # it returns None when unavailable -> fall through to numpy
@@ -198,6 +359,18 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                 fill_a=nnz / max(nca * CHUNK, 1),
                 fill_stream=nnz / max(nat["nsteps"] * nat["f"] * CHUNK, 1),
                 **nat)
+    if deal == "free":
+        ntiles_pad = ncols // 1024
+        order0 = np.lexsort((cc, rr, cc >> 10))
+        (rr, cc, vv, order, a_chunk, bucket, lane, chunk_tile,
+         nca) = _deal_free(rr[order0], cc[order0], vv[order0], order0,
+                           nnz, ntiles_pad, region_rows)
+        xperm = np.zeros((0, S, S, L), np.int8)
+        a_r_val = (cc & 127).astype(np.int8)
+        return _pack_planar_tail(
+            rr, cc, vv, order, a_chunk, bucket, lane, chunk_tile, nca,
+            xperm, a_r_val, nrows, ncols, nnz, region_rows, nregions,
+            cb, hi_pad, pad_val, keep_el_stream, with_sub=True)
     tile = cc >> 10
 
     # ---- per-tile column re-layout: balance bucket loads ------------------
@@ -261,7 +434,22 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     a_chunk = tile_base[tile] + cit
     chunk_tile = (np.repeat(np.arange(ntiles_pad), cpt).astype(np.int32)
                   if nca > 1 or cpt.sum() else np.zeros(nca, np.int32))
+    return _pack_planar_tail(
+        rr, cc, vv, order, a_chunk, bucket, lane, chunk_tile, nca,
+        xperm, col_lane[cc].astype(np.int8), nrows, ncols, nnz,
+        region_rows, nregions, cb, hi_pad, pad_val, keep_el_stream,
+        with_sub=False)
 
+
+def _pack_planar_tail(rr, cc, vv, order, a_chunk, bucket, lane, chunk_tile,
+                      nca, xperm, a_r_val, nrows, ncols, nnz, region_rows,
+                      nregions, cb, hi_pad, pad_val, keep_el_stream,
+                      with_sub):
+    """Shared back half of pack_planar: subruns -> deposits -> cursor sim ->
+    step balancing -> descriptor/plane/phase-C streams. `bucket` is the
+    element's DEST sublane (col bucket for deal="bucket", quota-dealt for
+    deal="free"); `a_r_val` the per-element phase-A lane index; `with_sub`
+    additionally emits the chained-gather a_sub table from cc."""
     # ---- subruns: contiguous (chunk, sublane, region) ranges -------------
     region = rr // region_rows
     if nnz:
@@ -522,9 +710,17 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     a_r = np.zeros((ncap, S, L), np.int8)
     a_vals = np.full((ncap, S, L), pad_val, np.float32)
     a_page = np.zeros(ncap, np.int32)
-    a_r[a_chunk, bucket, lane] = col_lane[cc].astype(np.int8)
+    a_r[a_chunk, bucket, lane] = a_r_val
     a_vals[a_chunk, bucket, lane] = vv
     a_page[:len(chunk_tile)] = chunk_tile
+    a_sub = None
+    if with_sub:
+        # chained-gather sublane table: indexed by the SOURCE lane (the
+        # composed-gather rule — xp[s, r[s,l]] reads sub at r[s,l]); the
+        # quota partition guarantees one source sublane per (chunk, dest
+        # sublane, class), so the scatter never writes conflicting values
+        a_sub = np.zeros((ncap, S, L), np.int8)
+        a_sub[a_chunk, bucket, cc & 127] = ((cc >> 7) & 7).astype(np.int8)
     el_slot = np.empty(nnz, np.int64)
     el_slot[order] = (a_chunk * CHUNK + bucket * L + lane)
 
@@ -540,4 +736,5 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         fill_stream=nnz / max(nsteps * f * CHUNK, 1),
         el_slot=el_slot,
         el_stream=(el_stream_orig if keep_el_stream and nnz else None),
+        a_sub=a_sub,
     )

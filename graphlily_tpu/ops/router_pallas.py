@@ -600,30 +600,46 @@ def _xperm_call_padded(planes, x2, act, *, nct, interpret, dtype, tb):
 def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                         fuse: bool = False, rh: int = 0, precision=None,
                         fnum: int = 0, banks2: bool = True,
-                        dstep: int = 0):
+                        dstep: int = 0, chained: bool = False):
     """Planar-deposit kernel (see io/planar_format.py): bucket-binned tile
     chunks make phase A a single ax1 dynamic_gather, and each deposit ships
     a static (8,128) int8 plane — entry < 0 routes source lane (v & 127) of
     the same sublane into the region accumulator, else the accumulator is
     kept. Accumulators are zeroed at flush, so flushed chunks carry zeros in
-    unused slots and the phase-C reduce needs no cursor mask."""
+    unused slots and the phase-C reduce needs no cursor mask.
+
+    `chained` (layout deal="free"): phase A is the composed 2D gather
+    t[sub[s, r[s,l]], r[s,l]] through an extra a_sub stream, freeing the
+    dest sublane from the column bucket so the packer can quota-deal hub
+    columns across sublanes (flush fill 0.485 -> ~0.9, see _deal_free)."""
     def kernel(*refs):
         if fuse:
-            (page_ref,            # (1, 1, cb) int32 SMEM : tile ids
-             r_ref,               # (1, cb*8, 128) int8 : lane = col & 127
-             v_ref,               # (1, cb*8, 128) f32|bf16
-             rg_ref,              # (1, rstep, 2) int32 SMEM
-             pl_ref,              # (1, dmax, 8, 128) int8 deposit planes
-             code_ref,            # (1, 1, f) int32 SMEM
-             hi_ref,              # (1, f*8, 128) int8
-             lo_ref,              # (1, f*8, 128) int8
-             x_ref,               # (nct, 8, 128) resident
-             o_ref,               # (nregions, rh, 128) resident output
-             g_buf, acc_ref, acc2_ref, ring_ref) = refs
+            if chained:
+                (page_ref, r_ref, sub_ref, v_ref, rg_ref, pl_ref,
+                 code_ref, hi_ref, lo_ref, x_ref, o_ref,
+                 g_buf, acc_ref, acc2_ref, ring_ref) = refs
+            else:
+                (page_ref,        # (1, 1, cb) int32 SMEM : tile ids
+                 r_ref,           # (1, cb*8, 128) int8 : lane = col & 127
+                 v_ref,           # (1, cb*8, 128) f32|bf16
+                 rg_ref,          # (1, rstep, 2) int32 SMEM
+                 pl_ref,          # (1, dmax, 8, 128) int8 deposit planes
+                 code_ref,        # (1, 1, f) int32 SMEM
+                 hi_ref,          # (1, f*8, 128) int8
+                 lo_ref,          # (1, f*8, 128) int8
+                 x_ref,           # (nct, 8, 128) resident
+                 o_ref,           # (nregions, rh, 128) resident output
+                 g_buf, acc_ref, acc2_ref, ring_ref) = refs
+                sub_ref = None
         else:
-            (page_ref, r_ref, v_ref, rg_ref, pl_ref, x_ref,
-             o_ref,               # (1, f, 8, 128) flush stream block
-             g_buf, acc_ref, acc2_ref) = refs
+            if chained:
+                (page_ref, r_ref, sub_ref, v_ref, rg_ref, pl_ref, x_ref,
+                 o_ref, g_buf, acc_ref, acc2_ref) = refs
+            else:
+                (page_ref, r_ref, v_ref, rg_ref, pl_ref, x_ref,
+                 o_ref,           # (1, f, 8, 128) flush stream block
+                 g_buf, acc_ref, acc2_ref) = refs
+                sub_ref = None
 
         step = pl.program_id(0)
 
@@ -635,11 +651,17 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
             if fuse:
                 o_ref[...] = jnp.zeros_like(o_ref)
 
-        # ---- phase A: one ax1 gather per chunk (sublane == col bucket) ----
+        # ---- phase A: one ax1 gather per chunk (sublane == col bucket),
+        # or the chained 2D gather when the layout deals sublanes freely ----
         r_all = r_ref[0].astype(jnp.int32)
+        sub_all = sub_ref[0].astype(jnp.int32) if chained else None
         for k in range(cb):
             t = x_ref[page_ref[0, 0, k]]                    # (8, 128) tile
-            g = jnp.take_along_axis(t, r_all[k * S:(k + 1) * S, :], axis=1)
+            rk = r_all[k * S:(k + 1) * S, :]
+            if chained:
+                t = jnp.take_along_axis(t, sub_all[k * S:(k + 1) * S, :],
+                                        axis=0)
+            g = jnp.take_along_axis(t, rk, axis=1)
             vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
             if op == OpType.MULADD:
                 g = g * vals
@@ -729,7 +751,7 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                                fuse: bool = False, rh: int = 0,
                                precision=None, fnum: int = 0,
                                unroll: int = 16, banks2: bool = True,
-                               dstep: int = 0):
+                               dstep: int = 0, chained: bool = False):
     """Partially-unrolled phase B: a lax.fori_loop over descriptor slots,
     `unroll` bodies per iteration. The fully-unrolled kernel compiles in
     ~35 min at pokec scale (rstep=195, f=47 fused) — far beyond the bench
@@ -741,12 +763,23 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
     accumulator slot), so nothing else is lost."""
     def kernel(*refs):
         if fuse:
-            (page_ref, r_ref, v_ref, rg_ref, pl_ref,
-             code_ref, hi_ref, lo_ref, x_ref, o_ref,
-             g_buf, acc_ref, acc2_ref, ring_ref) = refs
+            if chained:
+                (page_ref, r_ref, sub_ref, v_ref, rg_ref, pl_ref,
+                 code_ref, hi_ref, lo_ref, x_ref, o_ref,
+                 g_buf, acc_ref, acc2_ref, ring_ref) = refs
+            else:
+                (page_ref, r_ref, v_ref, rg_ref, pl_ref,
+                 code_ref, hi_ref, lo_ref, x_ref, o_ref,
+                 g_buf, acc_ref, acc2_ref, ring_ref) = refs
+                sub_ref = None
         else:
-            (page_ref, r_ref, v_ref, rg_ref, pl_ref, x_ref,
-             o_ref, g_buf, acc_ref, acc2_ref) = refs
+            if chained:
+                (page_ref, r_ref, sub_ref, v_ref, rg_ref, pl_ref, x_ref,
+                 o_ref, g_buf, acc_ref, acc2_ref) = refs
+            else:
+                (page_ref, r_ref, v_ref, rg_ref, pl_ref, x_ref,
+                 o_ref, g_buf, acc_ref, acc2_ref) = refs
+                sub_ref = None
 
         step = pl.program_id(0)
 
@@ -760,8 +793,12 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
 
         # ---- phase A: identical to the unrolled kernel --------------------
         r_all = r_ref[0].astype(jnp.int32)
+        sub_all = sub_ref[0].astype(jnp.int32) if chained else None
         for k in range(cb):
             t = x_ref[page_ref[0, 0, k]]
+            if chained:
+                t = jnp.take_along_axis(t, sub_all[k * S:(k + 1) * S, :],
+                                        axis=0)
             g = jnp.take_along_axis(t, r_all[k * S:(k + 1) * S, :], axis=1)
             vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
             if op == OpType.MULADD:
@@ -859,56 +896,27 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "nct",
                      "nsteps", "interpret", "dtype", "gdtype", "looped",
                      "dstep", "banks2"))
-def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
-                         dmax, nreg, nct, nsteps, interpret, dtype,
+def _planar_scatter_call(page, r, vals, rg, planes, x2, sub=None, *, op, cb,
+                         rstep, f, dmax, nreg, nct, nsteps, interpret, dtype,
                          gdtype=None, looped=False, dstep=0, banks2=True):
     # tropical rides the exact int32 bit encoding end-to-end (see
     # _tropical_encode); deposits/flushes are dtype-agnostic bit movers
     sdt = jnp.int32 if op == OpType.ADDMIN else jnp.dtype(dtype)
     use2 = banks2 and not interpret
-    if looped:
-        kernel = _make_planar_kernel_looped(op, cb, rstep, nreg,
-                                            banks2=use2,
-                                            dstep=dstep)
-        stream = lambda i: (i, 0, 0)
-        fn = pl.pallas_call(
-            kernel,
-            grid=(nsteps,),
-            in_specs=[
-                pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, cb * S, L), stream,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cb * S, L), stream,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, rstep, 2), stream,
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
-            ],
-            out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L),
-                                           jnp.dtype(gdtype or dtype)),
-            scratch_shapes=[
-                pltpu.VMEM((cb, S, L), sdt),
-                pltpu.VMEM((nreg, S, L), sdt),
-                pltpu.VMEM((nreg if use2 else 1, S, L), sdt),
-            ],
-            interpret=interpret,
-            compiler_params=_cparams(interpret),
-        )
-        return fn(page, r, vals, rg, planes, x2)
-    kernel = _make_planar_kernel(op, cb, rstep, nreg,
-                                 banks2=use2, dstep=dstep)
+    chained = sub is not None
+    make = _make_planar_kernel_looped if looped else _make_planar_kernel
+    kernel = make(op, cb, rstep, nreg, banks2=use2, dstep=dstep,
+                  chained=chained)
     stream = lambda i: (i, 0, 0)
+    ab_spec = pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM)
     fn = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+            ab_spec,
+            *([ab_spec] if chained else []),
+            ab_spec,
             pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -926,6 +934,8 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
         interpret=interpret,
         compiler_params=_cparams(interpret),
     )
+    if chained:
+        return fn(page, r, sub, vals, rg, planes, x2)
     return fn(page, r, vals, rg, planes, x2)
 
 
@@ -934,71 +944,43 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, *, op, cb, rstep, f,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "rh",
                      "nregions", "nct", "nsteps", "mxu_precision",
                      "interpret", "dtype", "looped", "dstep", "banks2"))
-def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
-                       cb, rstep, f, dmax, nreg, rh, nregions, nct, nsteps,
-                       mxu_precision, interpret, dtype, looped=False,
-                       dstep=0, banks2=True):
+def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2,
+                       sub=None, *, op, cb, rstep, f, dmax, nreg, rh,
+                       nregions, nct, nsteps, mxu_precision, interpret,
+                       dtype, looped=False, dstep=0, banks2=True):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     use2 = banks2 and not interpret
-    if looped:
-        kernel = _make_planar_kernel_looped(op, cb, rstep, nreg, fuse=True,
-                                            rh=rh, precision=precision,
-                                            fnum=f, banks2=use2,
-                                            dstep=dstep)
-        stream = lambda i: (i, 0, 0)
-        fn = pl.pallas_call(
-            kernel,
-            grid=(nsteps,),
-            in_specs=[
-                pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, cb * S, L), stream,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cb * S, L), stream,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, rstep, 2), stream,
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nregions, rh, L),
-                                           jnp.dtype(dtype)),
-            scratch_shapes=[
-                pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
-                pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
-                pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
-                pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
-            ],
-            interpret=interpret,
-            compiler_params=_cparams(interpret),
-        )
-        return fn(page, r, vals, rg, planes, code,
-                  hi.reshape(nsteps, f, S, L), lo.reshape(nsteps, f, S, L),
-                  x2)
-    kernel = _make_planar_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
-                                 precision=precision, fnum=f,
-                                 banks2=use2, dstep=dstep)
+    chained = sub is not None
+    make = _make_planar_kernel_looped if looped else _make_planar_kernel
+    kernel = make(op, cb, rstep, nreg, fuse=True, rh=rh,
+                  precision=precision, fnum=f, banks2=use2, dstep=dstep,
+                  chained=chained)
     stream = lambda i: (i, 0, 0)
+    ab_spec = pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM)
+    # the looped kernel indexes hi/lo by dynamic flush ordinal, so they ride
+    # 4D (vreg-tile granularity); the unrolled kernel slices them statically
+    hilo_spec = (pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM) if looped
+                 else pl.BlockSpec((1, f * S, L), stream,
+                                   memory_space=pltpu.VMEM))
+    if looped:
+        hi = hi.reshape(nsteps, f, S, L)
+        lo = lo.reshape(nsteps, f, S, L)
     fn = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+            ab_spec,
+            *([ab_spec] if chained else []),
+            ab_spec,
             pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
+            hilo_spec,
+            hilo_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1012,15 +994,19 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2, *, op,
         interpret=interpret,
         compiler_params=_cparams(interpret),
     )
+    if chained:
+        return fn(page, r, sub, vals, rg, planes, code, hi, lo, x2)
     return fn(page, r, vals, rg, planes, code, hi, lo, x2)
 
 
 @jax.tree_util.register_pytree_node_class
 class PlanarArrays:
-    """Device-resident planar streams as a jit-argument pytree."""
+    """Device-resident planar streams as a jit-argument pytree. `a_sub` is
+    None for deal="bucket" layouts (single-gather phase A through xperm) and
+    the chained-gather sublane table for deal="free" ones (xperm empty)."""
 
     FIELDS = ("a_page", "a_r", "xperm", "a_vals", "rg", "planes",
-              "c_code", "c_hi", "c_lo")
+              "c_code", "c_hi", "c_lo", "a_sub")
 
     def __init__(self, *children):
         for name, c in zip(self.FIELDS, children):
@@ -1054,6 +1040,8 @@ class PlanarSpMV:
         lay = layout
         vdt = (jnp.bfloat16 if config.mxu_precision == "default"
                else jnp.dtype(config.dtype))
+        a_sub = getattr(lay, "a_sub", None)
+        self.chained = a_sub is not None
         self.arrays = PlanarArrays(
             jnp.asarray(lay.a_page.reshape(lay.nsteps, 1, lay.cb)),
             jnp.asarray(lay.a_r.reshape(lay.nsteps, lay.cb * S, L)),
@@ -1065,6 +1053,8 @@ class PlanarSpMV:
             jnp.asarray(lay.c_code.reshape(lay.nsteps, 1, lay.f)),
             jnp.asarray(lay.c_hi.reshape(lay.nsteps, lay.f * S, L)),
             jnp.asarray(lay.c_lo.reshape(lay.nsteps, lay.f * S, L)),
+            (jnp.asarray(a_sub.reshape(lay.nsteps, lay.cb * S, L))
+             if self.chained else None),
         )
         rh = lay.region_rows // 128
         # FUSED mode: partially-unrolled descriptor loop for big steps —
@@ -1104,7 +1094,8 @@ class PlanarSpMV:
         base = (lay.num_col_tiles * 4096
                 + lay.num_regions * rh * L * 4
                 + (lay.cb + lay.f) * 4096          # g_buf + flush ring
-                + 2 * (lay.cb * S * L * (1 + vbytes)
+                + 2 * (lay.cb * S * L
+                       * (1 + (1 if self.chained else 0) + vbytes)
                        + lay.dmax * S * L + 2 * lay.f * S * L
                        + lay.rstep * 8 + lay.cb * 4))
         # Two banks only with comfortable headroom (14.5 MB); the fused
@@ -1126,9 +1117,13 @@ class PlanarSpMV:
         Accepts x as (ncols,) or pre-tiled (nct, 8, 128) — the 1D form pays
         a ~2.3 GB/s 1D->tiled relayout (measured 5.6 ms on full pokec), so
         iterating callers should stay in 3D (see __call__ out_3d).
-        `tiles_active` skips inactive 16-tile blocks (SpMSpV floor)."""
+        `tiles_active` skips inactive 16-tile blocks (SpMSpV floor).
+        deal="free" layouts need no re-layout (the chained phase-A gather
+        reaches any (sublane, lane) of the natural tile)."""
         nct = self.layout.num_col_tiles
         x3 = x.reshape(nct, S, L) if x.ndim == 1 else x
+        if self.chained:
+            return x3
         return _xperm_call(a.xperm, x3, nct=nct,
                            interpret=self.config.resolve_interpret(),
                            dtype=x3.dtype, act=tiles_active)
@@ -1139,7 +1134,8 @@ class PlanarSpMV:
         rg = (a.rg if tiles_active is None
               else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
         return _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg,
-                                    a.planes, x2, **self._static_scatter)
+                                    a.planes, x2, a.a_sub,
+                                    **self._static_scatter)
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
                  arrays=None, out_3d: bool = False, tiles_active=None):
@@ -1158,7 +1154,7 @@ class PlanarSpMV:
                   else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
             blocks = _planar_fused_call(a.a_page, a.a_r, a.a_vals, rg,
                                         a.planes, a.c_code, a.c_hi, a.c_lo,
-                                        x2, looped=self._looped,
+                                        x2, a.a_sub, looped=self._looped,
                                         banks2=self.banks2,
                                         **self._static_fused)
         else:

@@ -96,6 +96,10 @@ def _pad_planar(l: PlanarSpMVLayout, nsteps: int, dstep: int, f: int,
     a_vals[:l.a_vals.shape[0]] = l.a_vals
     a_page = np.zeros(ncap, np.int32)
     a_page[:l.a_page.shape[0]] = l.a_page
+    a_sub = None
+    if getattr(l, "a_sub", None) is not None:
+        a_sub = np.zeros((ncap, S, L), np.int8)
+        a_sub[:l.a_sub.shape[0]] = l.a_sub
 
     return PlanarSpMVLayout(
         a_r=a_r, xperm=l.xperm, a_vals=a_vals, a_page=a_page, rg=rg,
@@ -105,7 +109,8 @@ def _pad_planar(l: PlanarSpMVLayout, nsteps: int, dstep: int, f: int,
         num_col_tiles=l.num_col_tiles, num_regions=l.num_regions,
         region_rows=l.region_rows, cb=cb, rstep=rstep, f=f, dmax=dmax,
         nsteps=nsteps, dstep=dstep, num_slots=num_slots,
-        fill_a=l.fill_a, fill_stream=l.fill_stream, el_slot=None)
+        fill_a=l.fill_a, fill_stream=l.fill_stream, el_slot=None,
+        a_sub=a_sub)
 
 
 def pack_planar_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
@@ -176,7 +181,13 @@ def pack_planar_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
                 return l.c_hi.reshape(l.nsteps, l.f * S, L)
             if fld == "c_lo":
                 return l.c_lo.reshape(l.nsteps, l.f * S, L)
+            if fld == "a_sub":
+                return (l.a_sub.reshape(l.nsteps, l.cb * S, L)
+                        if l.a_sub is not None else None)
             raise KeyError(fld)
+        if fld == "a_sub" and proto0.a_sub is None:
+            arrays[fld] = None
+            continue
         arrays[fld] = np.stack([np.stack([shaped(l) for l in rl])
                                 for rl in padded])
 
@@ -221,35 +232,40 @@ class DistPlanarSpMV:
             jnp.asarray(a if dt is None else a.astype(dt)),
             NamedSharding(mesh, spec))
         arr = layout.arrays
+        has_sub = arr.get("a_sub") is not None
         self.arrays = PlanarArrays(
             put(arr["a_page"]), put(arr["a_r"]), put(arr["xperm"]),
             put(arr["a_vals"], vdt), put(arr["rg"]), put(arr["planes"]),
-            put(arr["c_code"]), put(arr["c_hi"]), put(arr["c_lo"]))
+            put(arr["c_code"]), put(arr["c_hi"]), put(arr["c_lo"]),
+            put(arr["a_sub"]) if has_sub else None)
 
         eng = self._eng
         local_rows = layout.local_rows
         op = semiring.op
+        # a_sub rides as the optional 10th stream (deal="free" shards)
+        self._fields = [f for f in PlanarArrays.FIELDS
+                        if f != "a_sub" or has_sub]
 
-        def local_fn(a_page, a_r, xperm, a_vals, rg, planes, c_code, c_hi,
-                     c_lo, x_local):
-            sh = PlanarArrays(a_page[0, 0], a_r[0, 0], xperm[0, 0],
-                              a_vals[0, 0], rg[0, 0], planes[0, 0],
-                              c_code[0, 0], c_hi[0, 0], c_lo[0, 0])
+        def local_fn(x_local, *streams):
+            vals = [s[0, 0] for s in streams]
+            if not has_sub:
+                vals.append(None)
+            sh = PlanarArrays(*vals)
             x3 = x_local.reshape(-1, S, L)
             y = eng(x3, arrays=sh)[:local_rows]
             return jax.lax.psum(y, "cols")
 
         self._sharded_fn = jax.shard_map(
             local_fn, mesh=mesh,
-            in_specs=tuple([spec] * 9) + (P("cols"),),
+            in_specs=(P("cols"),) + tuple([spec] * len(self._fields)),
             out_specs=P("rows"),
             check_vma=False,
         )
 
     def __call__(self, x: jax.Array,
                  mask: jax.Array | None = None) -> jax.Array:
-        y = self._sharded_fn(*(getattr(self.arrays, f)
-                               for f in PlanarArrays.FIELDS), x)
+        y = self._sharded_fn(x, *(getattr(self.arrays, f)
+                                  for f in self._fields))
         if self.semiring.op == OpType.ANDOR:
             y = jnp.where(y != 0, jnp.ones_like(y), jnp.zeros_like(y))
         if mask is not None and self.mask_type != MaskType.NO_MASK:

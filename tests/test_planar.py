@@ -140,3 +140,64 @@ def test_planar_fill_balanced():
     csr2 = uniform_csr(20000, 20000, 10, seed=9)
     lay2 = pack_planar(csr2, CFG)
     assert lay2.fill_a > 0.8, lay2.fill_a
+
+
+# ---- deal="free" (v4: chained phase-A gather + quota-dealt sublanes) -------
+
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "split"])
+@pytest.mark.parametrize("semiring", [ArithmeticSemiring, LogicalSemiring],
+                         ids=lambda s: s.name)
+def test_planar_free_deal_semirings(semiring, fused, rng):
+    csr = rmat_csr(num_rows=9000, nnz=60000, seed=3)
+    lay = pack_planar(csr, CFG, deal="free")
+    assert lay.a_sub is not None and lay.xperm.shape[0] == 0
+    eng = PlanarSpMV(lay, semiring, CFG)
+    eng.fused = fused
+    x = rng.random(lay.num_cols).astype(np.float32)
+    if semiring is LogicalSemiring:
+        x = (x < 0.3).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x)))
+    want = oracle(csr, x, logical=semiring is LogicalSemiring)
+    np.testing.assert_allclose(y[:csr.num_rows], want[:csr.num_rows],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_planar_free_deal_hub_columns(rng):
+    """Hub columns (the motivation for the free deal: a bucket-bound hub
+    pins its elements to one sublane, collapsing flush fill to ~0.5) spread
+    across sublanes and still reduce exactly."""
+    n = 4096
+    csr = rmat_csr(num_rows=n, nnz=30000, seed=11)
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, 1024, 1024)
+    # graft two mega-columns: every row points at cols 7 and 1300
+    rows = np.arange(0, n, 2, dtype=np.int64)
+    import graphlily_tpu.io.matrix as m
+    coo_r = np.concatenate([work.row_ids(), rows, rows])
+    coo_c = np.concatenate([work.adj_indices[:work.nnz],
+                            np.full(len(rows), 7), np.full(len(rows), 1300)])
+    coo_v = np.concatenate([work.adj_data[:work.nnz],
+                            rng.random(len(rows)).astype(np.float32),
+                            rng.random(len(rows)).astype(np.float32)])
+    hub = m.csr_from_coo(coo_r, coo_c, coo_v, work.num_rows, work.num_cols)
+    lay = pack_planar(hub, CFG, deal="free")
+    nf = int((lay.rg[..., 1] < 0).sum())
+    assert hub.nnz / (nf * 1024) > 0.7, "free deal should keep flushes full"
+    eng = PlanarSpMV(lay, ArithmeticSemiring, CFG)
+    x = rng.random(lay.num_cols).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x)))
+    np.testing.assert_allclose(y, oracle(hub, x), rtol=2e-3, atol=2e-3)
+
+
+def test_planar_free_deal_predicated(rng):
+    csr = rmat_csr(num_rows=5000, nnz=40000, seed=5)
+    lay = pack_planar(csr, CFG, deal="free")
+    eng = PlanarSpMV(lay, ArithmeticSemiring, CFG)
+    nct = lay.num_cols // 1024
+    act = (rng.random(nct) < 0.3)
+    x = rng.random(lay.num_cols).astype(np.float32)
+    x = x * np.repeat(act, 1024).astype(np.float32)
+    y = np.asarray(eng(jnp.asarray(x),
+                       tiles_active=jnp.asarray(act.astype(np.int32))))
+    np.testing.assert_allclose(y[:csr.num_rows], oracle(csr, x)[:csr.num_rows],
+                               rtol=2e-3, atol=2e-3)

@@ -344,13 +344,14 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     rr = work.row_ids().astype(np.int64)
     cc = work.adj_indices[:nnz].astype(np.int64)
     vv = work.adj_data[:nnz].astype(np.float32)
-    if native and nnz and not keep_el_stream and deal == "bucket":
+    if native and nnz and not keep_el_stream:
         # the C++ schedule builder produces bit-identical arrays ~20x faster
         # on this 1-vCPU host (tests/test_native_pack.py verifies equality);
         # it returns None when unavailable -> fall through to numpy
         from ..native import planar_pack_native
         nat = planar_pack_native(rr, cc, vv, nrows, ncols, region_rows,
-                                 cb or 0, hi_pad=hi_pad, pad_val=pad_val)
+                                 cb or 0, hi_pad=hi_pad, pad_val=pad_val,
+                                 deal=deal)
         if nat is not None:
             nca = nat.pop("nca")
             return PlanarSpMVLayout(

@@ -56,11 +56,11 @@ def lib():
     L.glt_planar_plan.restype = ctypes.c_int64
     L.glt_planar_plan.argtypes = [
         _i64p, _i64p, _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int64, _i64p]
+        ctypes.c_int64, ctypes.c_int64, _i64p, ctypes.c_int64]
     L.glt_planar_emit.restype = None
     L.glt_planar_emit.argtypes = [
         ctypes.c_int64, _i8p, _i8p, _f32p, _i32p, _i32p, _i8p, _i32p,
-        _i8p, _i8p, _i64p]
+        _i8p, _i8p, _i64p, _i8p]
     L.glt_planar_abort.restype = None
     L.glt_planar_abort.argtypes = [ctypes.c_int64]
     L.glt_router_plan.restype = ctypes.c_int64
@@ -137,14 +137,16 @@ def pack_assign(rows: np.ndarray, cols: np.ndarray, nct: int):
 
 
 def planar_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb, hi_pad=0,
-                       pad_val=0.0):
+                       pad_val=0.0, deal="bucket"):
     """Native planar schedule build. Returns a dict of layout arrays + dims,
     or None (unavailable / unsupported shape -> numpy fallback). Arrays are
     bit-identical to io/planar_format.pack_planar's
-    (tests/test_native_pack.py)."""
+    (tests/test_native_pack.py). `deal="free"` builds the chained-gather
+    layout (a_sub table, empty xperm)."""
     L = lib()
     if L is None:
         return None
+    free = deal == "free"
     rr = np.ascontiguousarray(rr, np.int64)
     cc = np.ascontiguousarray(cc, np.int64)
     vv = np.ascontiguousarray(vv, np.float32)
@@ -155,14 +157,15 @@ def planar_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb, hi_pad=0,
         rr.ctypes.data_as(i64p), cc.ctypes.data_as(i64p),
         vv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         nnz, nrows, ncols, region_rows, cb if cb else -1,
-        dims.ctypes.data_as(i64p))
+        dims.ctypes.data_as(i64p), 1 if free else 0)
     if h == 0:
         return None
     (nsteps, cbv, rstep, f, dmax, nregions, nca, ntiles, ncap,
      nca2, dstep, num_slots) = (int(v) for v in dims[:12])
     try:
         a_r = np.zeros((ncap, 8, 128), np.int8)
-        xperm = np.zeros((ntiles, 8, 8, 128), np.int8)
+        xperm = np.zeros((0 if free else ntiles, 8, 8, 128), np.int8)
+        a_sub = np.zeros((ncap, 8, 128), np.int8) if free else None
         a_vals = np.full((ncap, 8, 128), pad_val, np.float32)
         a_page = np.zeros(ncap, np.int32)
         rg = np.zeros((nsteps, rstep, 2), np.int32)
@@ -182,11 +185,12 @@ def planar_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb, hi_pad=0,
         a_page.ctypes.data_as(i32p), rg.ctypes.data_as(i32p),
         planes.ctypes.data_as(i8p), c_code.ctypes.data_as(i32p),
         c_hi.ctypes.data_as(i8p), c_lo.ctypes.data_as(i8p),
-        el_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        el_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        a_sub.ctypes.data_as(i8p) if free else None)
     return dict(a_r=a_r, xperm=xperm, a_vals=a_vals, a_page=a_page, rg=rg,
                 planes=planes, c_code=c_code, c_hi=c_hi, c_lo=c_lo,
-                el_slot=el_slot, nsteps=nsteps, cb=cbv, rstep=rstep, f=f,
-                dmax=dmax, num_regions=nregions, nca=nca,
+                el_slot=el_slot, a_sub=a_sub, nsteps=nsteps, cb=cbv,
+                rstep=rstep, f=f, dmax=dmax, num_regions=nregions, nca=nca,
                 dstep=dstep, num_slots=num_slots)
 
 

@@ -43,6 +43,10 @@ struct PlanarPlan {
     int64_t nnz = 0, ntiles = 0, nregions = 0, region_rows = 0;
     int64_t cb = 0, nsteps = 0, rstep = 0, f = 0, dmax = 0;
     int64_t nca = 0, nca2 = 0, ncap = 0;
+    bool deal_free = false;
+    // deal="free": per-element a_sub scatter (chained-gather table)
+    std::vector<int64_t> e_subidx;
+    std::vector<int8_t> e_subval;
     // xperm scatter: one entry per column
     std::vector<int64_t> xp_off;
     std::vector<int8_t> xp_val;
@@ -161,141 +165,17 @@ int64_t next_handle() {
     return ++h;
 }
 
-}  // namespace
-
-extern "C" {
-
-int64_t glt_planar_plan(const int64_t* rr_in, const int64_t* cc_in,
-                        const float* vv_in, int64_t nnz, int64_t nrows,
-                        int64_t ncols, int64_t region_rows, int64_t cb_in,
-                        int64_t* dims_out) {
-    if (nnz <= 0 || nrows % 1024 || ncols % 1024 || region_rows % 128)
-        return 0;
-    const int64_t ntiles = ncols / 1024;
-    const int64_t nregions = (nrows + region_rows - 1) / region_rows;
-
-    auto* P = new PlanarPlan();
+int64_t planar_plan_tail(PlanarPlan* P, std::vector<int64_t>& rr_s,
+                         std::vector<int64_t>& cc_s,
+                         std::vector<int64_t>& e_chunk,
+                         std::vector<int16_t>& e_lane,
+                         std::vector<int8_t>& e_bsub,
+                         std::vector<int32_t>& chunk_tile0,
+                         const int8_t* col_lane, int64_t cb_in,
+                         int64_t* dims_out) {
     PlanarPlan& p = *P;
-    p.nnz = nnz;
-    p.ntiles = ntiles;
-    p.nregions = nregions;
-    p.region_rows = region_rows;
-
-    // ---- per-tile column re-layout (degree snake deal) + xperm -----------
-    std::vector<int32_t> deg(ncols, 0);
-    for (int64_t i = 0; i < nnz; ++i) deg[cc_in[i]]++;
-    std::vector<int8_t> col_sub(ncols), col_lane(ncols);
-    {
-        std::vector<int32_t> idx(1024), pos(1024);
-        p.xp_off.resize(ncols);
-        p.xp_val.resize(ncols);
-        for (int64_t t = 0; t < ntiles; ++t) {
-            const int32_t* d = deg.data() + t * 1024;
-            for (int32_t k = 0; k < 1024; ++k) idx[k] = k;
-            std::sort(idx.begin(), idx.end(), [&](int32_t a, int32_t b) {
-                if (d[a] != d[b]) return d[a] > d[b];
-                return a < b;   // == numpy stable argsort of -deg
-            });
-            for (int32_t k = 0; k < 1024; ++k) pos[idx[k]] = k;
-            for (int32_t k = 0; k < 1024; ++k) {
-                const int32_t rnd = pos[k] / 8, i8 = pos[k] % 8;
-                const int8_t sub = (rnd % 2 == 0) ? (int8_t)i8
-                                                  : (int8_t)(7 - i8);
-                const int8_t lane = (int8_t)rnd;
-                const int64_t col = t * 1024 + k;
-                col_sub[col] = sub;
-                col_lane[col] = lane;
-                const int64_t ssub = k >> 7, slane = k & 127;
-                p.xp_off[col] = (((t * S + ssub) * S + sub) * L + lane);
-                p.xp_val[col] = (int8_t)(slane - 128);
-            }
-        }
-    }
-
-    // ---- stable sort elements by (tile, bucket, rr, cc) -------------------
-    // counting sort on (tile*8 + bucket) is stable; the input is CSR order
-    // (sorted by (row, col) for canonical matrices), which makes each
-    // segment already (rr, cc)-sorted — verified, re-sorted only if not.
-    const int64_t ngrp = ntiles * 8;
-    std::vector<int64_t> gcnt(ngrp + 1, 0);
-    std::vector<int32_t> ebucket(nnz);
-    for (int64_t i = 0; i < nnz; ++i) {
-        const int64_t tile = cc_in[i] >> 10;
-        const int32_t b = col_sub[cc_in[i]];
-        ebucket[i] = (int32_t)(tile * 8 + b);
-        gcnt[ebucket[i] + 1]++;
-    }
-    for (int64_t g = 0; g < ngrp; ++g) gcnt[g + 1] += gcnt[g];
-    p.e_orig.resize(nnz);
-    {
-        std::vector<int64_t> cur(gcnt.begin(), gcnt.end() - 1);
-        for (int64_t i = 0; i < nnz; ++i) p.e_orig[cur[ebucket[i]]++] = i;
-    }
-    std::vector<int64_t> rr_s(nnz), cc_s(nnz);
-    p.e_val.resize(nnz);
-    for (int64_t i = 0; i < nnz; ++i) {
-        const int64_t o = p.e_orig[i];
-        rr_s[i] = rr_in[o];
-        cc_s[i] = cc_in[o];
-        p.e_val[i] = vv_in[o];
-    }
-    for (int64_t g = 0; g < ngrp; ++g) {
-        const int64_t lo = gcnt[g], hi = gcnt[g + 1];
-        bool sorted = true;
-        for (int64_t i = lo + 1; i < hi; ++i)
-            if (rr_s[i] < rr_s[i - 1] ||
-                (rr_s[i] == rr_s[i - 1] && cc_s[i] < cc_s[i - 1])) {
-                sorted = false;
-                break;
-            }
-        if (sorted) continue;
-        std::vector<int64_t> seg(hi - lo);
-        for (int64_t i = 0; i < hi - lo; ++i) seg[i] = i;
-        std::stable_sort(seg.begin(), seg.end(), [&](int64_t a, int64_t b) {
-            if (rr_s[lo + a] != rr_s[lo + b]) return rr_s[lo + a] < rr_s[lo + b];
-            return cc_s[lo + a] < cc_s[lo + b];
-        });
-        std::vector<int64_t> t64(hi - lo);
-        std::vector<float> tf(hi - lo);
-        auto perm64 = [&](std::vector<int64_t>& a) {
-            for (int64_t i = 0; i < hi - lo; ++i) t64[i] = a[lo + seg[i]];
-            std::copy(t64.begin(), t64.end(), a.begin() + lo);
-        };
-        perm64(rr_s);
-        perm64(cc_s);
-        perm64(p.e_orig);
-        for (int64_t i = 0; i < hi - lo; ++i) tf[i] = p.e_val[lo + seg[i]];
-        std::copy(tf.begin(), tf.end(), p.e_val.begin() + lo);
-    }
-
-    // ---- chunk/lane assignment ------------------------------------------
-    std::vector<int64_t> cpt(ntiles, 0);
-    for (int64_t g = 0; g < ngrp; ++g) {
-        const int64_t cnt = gcnt[g + 1] - gcnt[g];
-        if (cnt)
-            cpt[g / 8] = std::max(cpt[g / 8], (cnt + L - 1) / L);
-    }
-    std::vector<int64_t> tile_base(ntiles + 1, 0);
-    for (int64_t t = 0; t < ntiles; ++t)
-        tile_base[t + 1] = tile_base[t] + cpt[t];
-    const int64_t nca = std::max<int64_t>(tile_base[ntiles], 1);
-    p.nca = nca;
-    std::vector<int64_t> e_chunk(nnz);   // pre-balance A-chunk per element
-    std::vector<int16_t> e_lane(nnz);
-    for (int64_t g = 0; g < ngrp; ++g) {
-        const int64_t lo = gcnt[g], hi = gcnt[g + 1];
-        const int64_t base = tile_base[g / 8];
-        for (int64_t i = lo; i < hi; ++i) {
-            const int64_t rank = i - lo;
-            e_chunk[i] = base + rank / L;
-            e_lane[i] = (int16_t)(rank % L);
-        }
-    }
-    std::vector<int32_t> chunk_tile0(nca, 0);
-    for (int64_t t = 0; t < ntiles; ++t)
-        for (int64_t k = tile_base[t]; k < tile_base[t + 1]; ++k)
-            chunk_tile0[k] = (int32_t)t;
-
+    const int64_t nnz = p.nnz, ntiles = p.ntiles, nregions = p.nregions;
+    const int64_t region_rows = p.region_rows, nca = p.nca;
     // ---- subruns: contiguous (chunk, sublane, region) ranges -------------
     std::vector<int64_t> s_start, s_chunk, s_region;
     std::vector<int16_t> s_len, s_sub, s_lane0;
@@ -304,7 +184,7 @@ int64_t glt_planar_plan(const int64_t* rr_in, const int64_t* cc_in,
         int32_t prev_b = -1;
         for (int64_t i = 0; i < nnz; ++i) {
             const int64_t reg = rr_s[i] / region_rows;
-            const int32_t bk = col_sub[cc_s[i]];
+            const int32_t bk = e_bsub[i];
             if (e_chunk[i] != prev_c || bk != prev_b || reg != prev_r) {
                 s_start.push_back(i);
                 s_chunk.push_back(e_chunk[i]);
@@ -604,11 +484,21 @@ int64_t glt_planar_plan(const int64_t* rr_in, const int64_t* cc_in,
     p.e_slot.resize(nnz);
     p.e_ar.resize(nnz);
     for (int64_t i = 0; i < nnz; ++i) {
-        const int32_t bk = col_sub[cc_s[i]];
+        const int32_t bk = e_bsub[i];
         p.e_slot[i] = e_chunk[i] * CHUNK + (int64_t)bk * L + e_lane[i];
-        p.e_ar[i] = col_lane[cc_s[i]];
+        p.e_ar[i] = col_lane ? col_lane[cc_s[i]]
+                             : (int8_t)(cc_s[i] & 127);
     }
 
+    if (p.deal_free) {
+        p.e_subidx.resize(nnz);
+        p.e_subval.resize(nnz);
+        for (int64_t i = 0; i < nnz; ++i) {
+            p.e_subidx[i] = e_chunk[i] * CHUNK + (int64_t)e_bsub[i] * L
+                            + (cc_s[i] & 127);
+            p.e_subval[i] = (int8_t)((cc_s[i] >> 7) & 7);
+        }
+    }
     dims_out[0] = nsteps;
     dims_out[1] = cb;
     dims_out[2] = rstep;
@@ -626,15 +516,380 @@ int64_t glt_planar_plan(const int64_t* rr_in, const int64_t* cc_in,
     return h;
 }
 
+}  // namespace
+
+extern "C" {
+
+int64_t glt_planar_plan(const int64_t* rr_in, const int64_t* cc_in,
+                        const float* vv_in, int64_t nnz, int64_t nrows,
+                        int64_t ncols, int64_t region_rows, int64_t cb_in,
+                        int64_t* dims_out, int64_t deal_free) {
+    if (nnz <= 0 || nrows % 1024 || ncols % 1024 || region_rows % 128)
+        return 0;
+    const int64_t ntiles = ncols / 1024;
+    const int64_t nregions = (nrows + region_rows - 1) / region_rows;
+
+    auto* P = new PlanarPlan();
+    PlanarPlan& p = *P;
+    p.nnz = nnz;
+    p.ntiles = ntiles;
+    p.nregions = nregions;
+    p.region_rows = region_rows;
+    p.deal_free = deal_free != 0;
+
+    if (deal_free) {
+        // ---- deal="free" front-end (port of planar_format._deal_free):
+        // elements sorted (tile, row, col); dest sublanes quota-dealt per
+        // (chunk, class) by D'Hondt with per-(class, chunk) rotation;
+        // sublane overflow spills into fresh per-tile chunks ---------------
+        // counting sort by tile (CSR order is (row, col)-sorted, so within
+        // each tile segment the order is already (row, col))
+        std::vector<int64_t> tcnt(ntiles + 1, 0);
+        for (int64_t i = 0; i < nnz; ++i) tcnt[(cc_in[i] >> 10) + 1]++;
+        for (int64_t t = 0; t < ntiles; ++t) tcnt[t + 1] += tcnt[t];
+        p.e_orig.resize(nnz);
+        {
+            std::vector<int64_t> cur(tcnt.begin(), tcnt.end() - 1);
+            for (int64_t i = 0; i < nnz; ++i)
+                p.e_orig[cur[cc_in[i] >> 10]++] = i;
+        }
+        std::vector<int64_t> rr_s(nnz), cc_s(nnz);
+        p.e_val.resize(nnz);
+        for (int64_t i = 0; i < nnz; ++i) {
+            const int64_t o = p.e_orig[i];
+            rr_s[i] = rr_in[o];
+            cc_s[i] = cc_in[o];
+            p.e_val[i] = vv_in[o];
+        }
+        for (int64_t t = 0; t < ntiles; ++t) {     // re-sort if non-CSR input
+            const int64_t lo = tcnt[t], hi = tcnt[t + 1];
+            bool ok = true;
+            for (int64_t i = lo + 1; i < hi; ++i)
+                if (rr_s[i] < rr_s[i - 1] ||
+                    (rr_s[i] == rr_s[i - 1] && cc_s[i] < cc_s[i - 1])) {
+                    ok = false;
+                    break;
+                }
+            if (ok) continue;
+            std::vector<int64_t> seg(hi - lo);
+            for (int64_t i = 0; i < hi - lo; ++i) seg[i] = lo + i;
+            std::stable_sort(seg.begin(), seg.end(),
+                             [&](int64_t a, int64_t b) {
+                                 if (rr_s[a] != rr_s[b])
+                                     return rr_s[a] < rr_s[b];
+                                 return cc_s[a] < cc_s[b];
+                             });
+            std::vector<int64_t> t64(hi - lo);
+            std::vector<float> tf(hi - lo);
+            auto perm = [&](std::vector<int64_t>& a) {
+                for (int64_t i = 0; i < hi - lo; ++i) t64[i] = a[seg[i]];
+                std::copy(t64.begin(), t64.end(), a.begin() + lo);
+            };
+            perm(rr_s);
+            perm(cc_s);
+            perm(p.e_orig);
+            for (int64_t i = 0; i < hi - lo; ++i) tf[i] = p.e_val[seg[i]];
+            std::copy(tf.begin(), tf.end(), p.e_val.begin() + lo);
+        }
+
+        // ---- spill rounds ------------------------------------------------
+        std::vector<int64_t> e_rchunk(nnz);    // round-local chunk id
+        std::vector<int8_t> e_sub(nnz);
+        std::vector<int32_t> e_round(nnz, 0);
+        std::vector<std::vector<int64_t>> round_cpt;   // per round, per tile
+        std::vector<int64_t> pend(nnz);
+        for (int64_t i = 0; i < nnz; ++i) pend[i] = i;
+        int round_no = 0;
+        while (!pend.empty()) {
+            if (round_no >= 16) { delete P; return 0; }
+            const int64_t np_ = (int64_t)pend.size();
+            // chunks: rank windows per tile over pend
+            std::vector<int64_t> rcpt(ntiles, 0), rtc(ntiles, 0);
+            for (int64_t j = 0; j < np_; ++j) rtc[cc_s[pend[j]] >> 10]++;
+            for (int64_t t = 0; t < ntiles; ++t)
+                rcpt[t] = (rtc[t] + CHUNK - 1) / CHUNK;
+            std::vector<int64_t> rbase(ntiles + 1, 0);
+            for (int64_t t = 0; t < ntiles; ++t)
+                rbase[t + 1] = rbase[t] + rcpt[t];
+            const int64_t ncr = std::max<int64_t>(rbase[ntiles], 1);
+            std::vector<int64_t> ch(np_);
+            {
+                std::vector<int64_t> seen(ntiles, 0);
+                for (int64_t j = 0; j < np_; ++j) {
+                    const int64_t t = cc_s[pend[j]] >> 10;
+                    ch[j] = rbase[t] + seen[t]++ / CHUNK;
+                }
+            }
+            // counts per (chunk, class, sigma) + D'Hondt quotas
+            std::vector<int16_t> M(ncr * L * 8, 0);
+            for (int64_t j = 0; j < np_; ++j) {
+                const int64_t c = cc_s[pend[j]];
+                M[(ch[j] * L + (c & 127)) * 8 + ((c >> 7) & 7)]++;
+            }
+            std::vector<int8_t> q(ncr * L * 8, 0), cum(ncr * L * 8, 0);
+            for (int64_t cell = 0; cell < ncr * L; ++cell) {
+                const int16_t* m = &M[cell * 8];
+                int8_t* qq = &q[cell * 8];
+                int navail = 8;
+                bool any = false;
+                for (int s = 0; s < 8; ++s)
+                    if (m[s]) { qq[s] = 1; navail--; any = true; }
+                if (!any) continue;
+                for (int it = 0; it < 7 && navail > 0; ++it) {
+                    int best = 0;
+                    double bscore = -1.0;
+                    for (int s = 0; s < 8; ++s) {
+                        const double sc =
+                            m[s] ? (double)m[s] / (double)qq[s] : -1.0;
+                        if (sc > bscore) { bscore = sc; best = s; }
+                    }
+                    qq[best]++;
+                    navail--;
+                }
+                int8_t acc = 0;
+                for (int s = 0; s < 8; ++s) {
+                    cum[cell * 8 + s] = acc;
+                    acc += qq[s];
+                }
+            }
+            // deal + per-(chunk, sublane) capacity check
+            std::vector<int32_t> kk(ncr * L * 8, 0);
+            std::vector<int16_t> load(ncr * 8, 0);
+            std::vector<int64_t> spill;
+            for (int64_t j = 0; j < np_; ++j) {
+                const int64_t e = pend[j];
+                const int64_t c = cc_s[e];
+                const int64_t rho = c & 127, sig = (c >> 7) & 7;
+                const int64_t cell = ch[j] * L + rho;
+                const int32_t k = kk[cell * 8 + sig]++;
+                const int8_t qe = q[cell * 8 + sig];
+                const int64_t s = (5 * rho + 3 * ch[j]
+                                   + cum[cell * 8 + sig]
+                                   + k % (qe > 0 ? qe : 1)) % 8;
+                if (load[ch[j] * 8 + s] >= L) {
+                    spill.push_back(e);
+                    continue;
+                }
+                load[ch[j] * 8 + s]++;
+                e_rchunk[e] = ch[j];
+                e_sub[e] = (int8_t)s;
+                e_round[e] = round_no;
+            }
+            round_cpt.push_back(std::move(rcpt));
+            pend = std::move(spill);
+            round_no++;
+        }
+        // ---- global chunk renumbering (per tile: rounds in order) --------
+        const int nrounds = (int)round_cpt.size();
+        std::vector<int64_t> cpt(ntiles, 0);
+        for (int r = 0; r < nrounds; ++r)
+            for (int64_t t = 0; t < ntiles; ++t) cpt[t] += round_cpt[r][t];
+        std::vector<int64_t> tile_base(ntiles + 1, 0);
+        for (int64_t t = 0; t < ntiles; ++t)
+            tile_base[t + 1] = tile_base[t] + cpt[t];
+        const int64_t nca = std::max<int64_t>(tile_base[ntiles], 1);
+        // round-local bases + per-(round, tile) offsets within the tile
+        std::vector<std::vector<int64_t>> rb0(nrounds), roff(nrounds);
+        {
+            std::vector<int64_t> run(ntiles, 0);
+            for (int r = 0; r < nrounds; ++r) {
+                rb0[r].assign(ntiles + 1, 0);
+                roff[r].assign(ntiles, 0);
+                for (int64_t t = 0; t < ntiles; ++t) {
+                    rb0[r][t + 1] = rb0[r][t] + round_cpt[r][t];
+                    roff[r][t] = run[t];
+                    run[t] += round_cpt[r][t];
+                }
+            }
+        }
+        std::vector<int64_t> e_chunk(nnz);
+        for (int64_t i = 0; i < nnz; ++i) {
+            const int64_t t = cc_s[i] >> 10;
+            const int r = e_round[i];
+            e_chunk[i] = tile_base[t] + roff[r][t]
+                         + (e_rchunk[i] - rb0[r][t]);
+        }
+        // ---- final element order: (chunk, dest sublane, row, prior) ------
+        std::vector<int64_t> ordf(nnz);
+        for (int64_t i = 0; i < nnz; ++i) ordf[i] = i;
+        std::stable_sort(ordf.begin(), ordf.end(),
+                         [&](int64_t a, int64_t b) {
+                             if (e_chunk[a] != e_chunk[b])
+                                 return e_chunk[a] < e_chunk[b];
+                             if (e_sub[a] != e_sub[b])
+                                 return e_sub[a] < e_sub[b];
+                             return rr_s[a] < rr_s[b];
+                         });
+        {   // apply ordf to every per-element array
+            std::vector<int64_t> t64(nnz);
+            auto perm = [&](std::vector<int64_t>& a) {
+                for (int64_t i = 0; i < nnz; ++i) t64[i] = a[ordf[i]];
+                a.swap(t64);
+            };
+            perm(rr_s);
+            perm(cc_s);
+            perm(p.e_orig);
+            perm(e_chunk);
+            std::vector<float> tf(nnz);
+            for (int64_t i = 0; i < nnz; ++i) tf[i] = p.e_val[ordf[i]];
+            p.e_val.swap(tf);
+            std::vector<int8_t> t8(nnz);
+            for (int64_t i = 0; i < nnz; ++i) t8[i] = e_sub[ordf[i]];
+            e_sub.swap(t8);
+        }
+        std::vector<int16_t> e_lane(nnz);
+        {
+            int64_t prev = -1;
+            int16_t run = 0;
+            for (int64_t i = 0; i < nnz; ++i) {
+                const int64_t key = e_chunk[i] * 8 + e_sub[i];
+                run = (key == prev) ? (int16_t)(run + 1) : (int16_t)0;
+                e_lane[i] = run;
+                prev = key;
+            }
+        }
+        std::vector<int32_t> chunk_tile0(nca, 0);
+        for (int64_t t = 0; t < ntiles; ++t)
+            for (int64_t k = tile_base[t]; k < tile_base[t + 1]; ++k)
+                chunk_tile0[k] = (int32_t)t;
+        p.nca = nca;
+        return planar_plan_tail(P, rr_s, cc_s, e_chunk, e_lane, e_sub,
+                                chunk_tile0, nullptr, cb_in, dims_out);
+    }
+
+    // ---- per-tile column re-layout (degree snake deal) + xperm -----------
+    std::vector<int32_t> deg(ncols, 0);
+    for (int64_t i = 0; i < nnz; ++i) deg[cc_in[i]]++;
+    std::vector<int8_t> col_sub(ncols), col_lane(ncols);
+    {
+        std::vector<int32_t> idx(1024), pos(1024);
+        p.xp_off.resize(ncols);
+        p.xp_val.resize(ncols);
+        for (int64_t t = 0; t < ntiles; ++t) {
+            const int32_t* d = deg.data() + t * 1024;
+            for (int32_t k = 0; k < 1024; ++k) idx[k] = k;
+            std::sort(idx.begin(), idx.end(), [&](int32_t a, int32_t b) {
+                if (d[a] != d[b]) return d[a] > d[b];
+                return a < b;   // == numpy stable argsort of -deg
+            });
+            for (int32_t k = 0; k < 1024; ++k) pos[idx[k]] = k;
+            for (int32_t k = 0; k < 1024; ++k) {
+                const int32_t rnd = pos[k] / 8, i8 = pos[k] % 8;
+                const int8_t sub = (rnd % 2 == 0) ? (int8_t)i8
+                                                  : (int8_t)(7 - i8);
+                const int8_t lane = (int8_t)rnd;
+                const int64_t col = t * 1024 + k;
+                col_sub[col] = sub;
+                col_lane[col] = lane;
+                const int64_t ssub = k >> 7, slane = k & 127;
+                p.xp_off[col] = (((t * S + ssub) * S + sub) * L + lane);
+                p.xp_val[col] = (int8_t)(slane - 128);
+            }
+        }
+    }
+
+    // ---- stable sort elements by (tile, bucket, rr, cc) -------------------
+    // counting sort on (tile*8 + bucket) is stable; the input is CSR order
+    // (sorted by (row, col) for canonical matrices), which makes each
+    // segment already (rr, cc)-sorted — verified, re-sorted only if not.
+    const int64_t ngrp = ntiles * 8;
+    std::vector<int64_t> gcnt(ngrp + 1, 0);
+    std::vector<int32_t> ebucket(nnz);
+    for (int64_t i = 0; i < nnz; ++i) {
+        const int64_t tile = cc_in[i] >> 10;
+        const int32_t b = col_sub[cc_in[i]];
+        ebucket[i] = (int32_t)(tile * 8 + b);
+        gcnt[ebucket[i] + 1]++;
+    }
+    for (int64_t g = 0; g < ngrp; ++g) gcnt[g + 1] += gcnt[g];
+    p.e_orig.resize(nnz);
+    {
+        std::vector<int64_t> cur(gcnt.begin(), gcnt.end() - 1);
+        for (int64_t i = 0; i < nnz; ++i) p.e_orig[cur[ebucket[i]]++] = i;
+    }
+    std::vector<int64_t> rr_s(nnz), cc_s(nnz);
+    p.e_val.resize(nnz);
+    for (int64_t i = 0; i < nnz; ++i) {
+        const int64_t o = p.e_orig[i];
+        rr_s[i] = rr_in[o];
+        cc_s[i] = cc_in[o];
+        p.e_val[i] = vv_in[o];
+    }
+    for (int64_t g = 0; g < ngrp; ++g) {
+        const int64_t lo = gcnt[g], hi = gcnt[g + 1];
+        bool sorted = true;
+        for (int64_t i = lo + 1; i < hi; ++i)
+            if (rr_s[i] < rr_s[i - 1] ||
+                (rr_s[i] == rr_s[i - 1] && cc_s[i] < cc_s[i - 1])) {
+                sorted = false;
+                break;
+            }
+        if (sorted) continue;
+        std::vector<int64_t> seg(hi - lo);
+        for (int64_t i = 0; i < hi - lo; ++i) seg[i] = i;
+        std::stable_sort(seg.begin(), seg.end(), [&](int64_t a, int64_t b) {
+            if (rr_s[lo + a] != rr_s[lo + b]) return rr_s[lo + a] < rr_s[lo + b];
+            return cc_s[lo + a] < cc_s[lo + b];
+        });
+        std::vector<int64_t> t64(hi - lo);
+        std::vector<float> tf(hi - lo);
+        auto perm64 = [&](std::vector<int64_t>& a) {
+            for (int64_t i = 0; i < hi - lo; ++i) t64[i] = a[lo + seg[i]];
+            std::copy(t64.begin(), t64.end(), a.begin() + lo);
+        };
+        perm64(rr_s);
+        perm64(cc_s);
+        perm64(p.e_orig);
+        for (int64_t i = 0; i < hi - lo; ++i) tf[i] = p.e_val[lo + seg[i]];
+        std::copy(tf.begin(), tf.end(), p.e_val.begin() + lo);
+    }
+
+    // ---- chunk/lane assignment ------------------------------------------
+    std::vector<int64_t> cpt(ntiles, 0);
+    for (int64_t g = 0; g < ngrp; ++g) {
+        const int64_t cnt = gcnt[g + 1] - gcnt[g];
+        if (cnt)
+            cpt[g / 8] = std::max(cpt[g / 8], (cnt + L - 1) / L);
+    }
+    std::vector<int64_t> tile_base(ntiles + 1, 0);
+    for (int64_t t = 0; t < ntiles; ++t)
+        tile_base[t + 1] = tile_base[t] + cpt[t];
+    const int64_t nca = std::max<int64_t>(tile_base[ntiles], 1);
+    p.nca = nca;
+    std::vector<int64_t> e_chunk(nnz);   // pre-balance A-chunk per element
+    std::vector<int16_t> e_lane(nnz);
+    for (int64_t g = 0; g < ngrp; ++g) {
+        const int64_t lo = gcnt[g], hi = gcnt[g + 1];
+        const int64_t base = tile_base[g / 8];
+        for (int64_t i = lo; i < hi; ++i) {
+            const int64_t rank = i - lo;
+            e_chunk[i] = base + rank / L;
+            e_lane[i] = (int16_t)(rank % L);
+        }
+    }
+    std::vector<int32_t> chunk_tile0(nca, 0);
+    for (int64_t t = 0; t < ntiles; ++t)
+        for (int64_t k = tile_base[t]; k < tile_base[t + 1]; ++k)
+            chunk_tile0[k] = (int32_t)t;
+
+    std::vector<int8_t> e_bsub(nnz);
+    for (int64_t i = 0; i < nnz; ++i) e_bsub[i] = col_sub[cc_s[i]];
+    return planar_plan_tail(P, rr_s, cc_s, e_chunk, e_lane, e_bsub,
+                            chunk_tile0, col_lane.data(), cb_in, dims_out);
+}
+
 void glt_planar_emit(int64_t handle, int8_t* a_r, int8_t* xperm,
                      float* a_vals, int32_t* a_page, int32_t* rg,
                      int8_t* planes, int32_t* c_code, int8_t* c_hi,
-                     int8_t* c_lo, int64_t* el_slot) {
+                     int8_t* c_lo, int64_t* el_slot, int8_t* a_sub) {
     auto it = registry().find(handle);
     if (it == registry().end()) return;
     PlanarPlan& p = *it->second;
     for (size_t c = 0; c < p.xp_off.size(); ++c)
         xperm[p.xp_off[c]] = p.xp_val[c];
+    if (a_sub != nullptr)
+        for (int64_t i = 0; i < (int64_t)p.e_subidx.size(); ++i)
+            a_sub[p.e_subidx[i]] = p.e_subval[i];
     for (int64_t i = 0; i < p.nnz; ++i) {
         const int64_t slot = p.e_slot[i];
         a_r[slot] = p.e_ar[i];

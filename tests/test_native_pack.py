@@ -59,6 +59,22 @@ def test_planar_native_small_region_rows():
 
 
 @pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
+def test_planar_native_free_deal_matches_numpy(name, make):
+    csr = make()
+    nat = pack_planar(csr, native=True, deal="free")
+    ref = pack_planar(csr, native=False, deal="free")
+    assert nat.a_sub is not None
+    assert_layouts_equal(nat, ref)
+
+
+def test_planar_native_free_deal_small_region_rows():
+    csr = rmat_csr(num_rows=5000, nnz=60000, seed=17)
+    nat = pack_planar(csr, region_rows=1024, cb=8, native=True, deal="free")
+    ref = pack_planar(csr, region_rows=1024, cb=8, native=False, deal="free")
+    assert_layouts_equal(nat, ref)
+
+
+@pytest.mark.parametrize("name,make", CASES, ids=[c[0] for c in CASES])
 def test_router_native_matches_numpy(name, make):
     from graphlily_tpu.io.router_format import pack_router
     csr = make()

@@ -52,6 +52,10 @@ class EngineConfig:
                                  # auto: chunked pallas kernel when its layout
                                  # is feasible, else the router engine
                                  # (tropical always uses the chunked kernel)
+    planar_deal: str = "free"    # planar layout deal: "free" (chained
+                                 # phase-A gather, quota-dealt sublanes —
+                                 # flush fill ~0.98) | "bucket" (v3: snake
+                                 # col buckets + xperm pre-pass)
     interpret: Optional[bool] = None  # pallas interpret mode; None = auto (CPU->True)
     resident_kernel: Optional[bool] = None  # None = auto by VMEM footprint
     reduce_mode: str = "mxu"     # resident-kernel row reduce: "mxu" | "vpu"

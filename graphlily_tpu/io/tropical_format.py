@@ -383,7 +383,8 @@ def pack_tropical(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         region_rows = choose_tropical_region_rows(
             -(-csr.num_rows // 1024) * 1024)
     lay = pack_planar(work, config, region_rows=region_rows, hi_pad=-1,
-                      pad_val=float(FLOAT_INF), native=native)
+                      pad_val=float(FLOAT_INF), native=native,
+                      deal=config.planar_deal)
     parts = build_split_schedule(lay, kb=kb, native=native)
     return TropicalSpMVLayout(
         planar=lay, num_rows=lay.num_rows, num_cols=lay.num_cols,

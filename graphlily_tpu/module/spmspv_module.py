@@ -114,7 +114,8 @@ class SpMSpVModule(BaseModule):
                 else:
                     from ..ops.router_pallas import PlanarSpMV
                     lay = pack_cached("planar", csr_twin, self.config,
-                                      cache_dir=self.config.layout_cache)
+                                      cache_dir=self.config.layout_cache,
+                                      deal=self.config.planar_deal)
                     self._pallas = PlanarSpMV(lay, self.semiring_,
                                               self.config, MaskType.NO_MASK)
         else:

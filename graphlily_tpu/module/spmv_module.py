@@ -136,7 +136,8 @@ class SpMVModule(BaseModule):
             from ..io.layout_cache import pack_cached
             from ..ops.router_pallas import PlanarSpMV
             lay = pack_cached("planar", csr_matrix, self.config,
-                              cache_dir=self.config.layout_cache)
+                              cache_dir=self.config.layout_cache,
+                              deal=self.config.planar_deal)
             self._pallas = PlanarSpMV(lay, self.semiring_, self.config,
                                       self.mask_type_)
             self.num_rows_, self.num_cols_ = lay.num_rows, lay.num_cols

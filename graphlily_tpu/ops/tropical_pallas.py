@@ -212,7 +212,7 @@ class TropicalArrays:
 
     FIELDS = ("a_page", "a_r", "xperm", "a_vals", "rg", "planes",
               "in_order", "rg2", "planes2", "c_win", "sort2", "rowids",
-              "inv2")
+              "inv2", "a_sub")
 
     def __init__(self, *children):
         for name, c in zip(self.FIELDS, children):
@@ -244,6 +244,7 @@ class TropicalSpMV:
         self.num_rows = layout.num_rows
         self.num_cols = layout.num_cols
         p = layout.planar
+        self.chained = getattr(p, "a_sub", None) is not None
         self.arrays = TropicalArrays(
             jnp.asarray(p.a_page.reshape(p.nsteps, 1, p.cb)),
             jnp.asarray(p.a_r.reshape(p.nsteps, p.cb * S, L)),
@@ -261,6 +262,8 @@ class TropicalSpMV:
                                               layout.f2 * S, L)),
             jnp.asarray(layout.inv2.reshape(layout.nsteps2,
                                             layout.f2 * S, L)),
+            (jnp.asarray(p.a_sub.reshape(p.nsteps, p.cb * S, L))
+             if self.chained else None),
         )
         self._static_scatter = dict(
             op=OpType.ADDMIN, cb=p.cb, rstep=p.rstep, f=p.f, dmax=p.dmax,
@@ -292,13 +295,16 @@ class TropicalSpMV:
         p = lay.planar
         nct = p.num_col_tiles
         x3 = x.reshape(nct, S, L) if x.ndim == 1 else x
-        x2 = _xperm_call(a.xperm, x3, nct=nct,
-                         interpret=self.config.resolve_interpret(),
-                         dtype=x3.dtype, act=tiles_active)
+        # deal="free" layouts need no xperm re-layout (chained phase-A
+        # gather reaches any (sublane, lane) of the natural tile)
+        x2 = (x3 if self.chained else
+              _xperm_call(a.xperm, x3, nct=nct,
+                          interpret=self.config.resolve_interpret(),
+                          dtype=x3.dtype, act=tiles_active))
         rg = (a.rg if tiles_active is None
               else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
         g1 = _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg, a.planes,
-                                  x2, **self._static_scatter)
+                                  x2, a.a_sub, **self._static_scatter)
         g1 = g1.reshape(p.nsteps * p.f, S, L)
         gm = jnp.take(g1, a.in_order.reshape(-1), axis=0).reshape(
             lay.nsteps2, lay.kb, S, L)

@@ -146,7 +146,8 @@ def pack_planar_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
                                        cols[sel] - j * cbk,
                                        vals[sel], rb, cbk)
             row_l.append(pack_planar(sub, config, pad_val=pad_val, cb=cb,
-                                     region_rows=region_rows))
+                                     region_rows=region_rows,
+                                     deal=config.planar_deal))
         layouts.append(row_l)
 
     flat = [l for rl in layouts for l in rl]

@@ -44,8 +44,9 @@ def main():
             # on the primary graph) -----------------------------------------
             work = _prep(g, config, degree_sort=True)
             flavor = resolve_router_flavor(work)
+            kw = ({"deal": config.planar_deal} if flavor == "planar" else {})
             pack_cached(flavor if flavor != "roll" else "router", work,
-                        config, log=log)
+                        config, log=log, **kw)
             if name == "googleplus":
                 pack_cached("chunked", work, config, log=log, pad_val=0.0)
             log(f"{name} spmv layout done ({time.perf_counter()-t0:.0f}s)")

@@ -124,6 +124,12 @@ def tpu_correctness_gate(config):
     for sem in (ArithmeticSemiring, LogicalSemiring):
         cases.append((f"router/{sem.name}", RouterSpMV(lay_r, sem, config),
                       sem))
+    from graphlily_tpu.io.planar_format import pack_planar
+    from graphlily_tpu.ops.router_pallas import PlanarSpMV
+    lay_p = pack_planar(work, config, deal=config.planar_deal)
+    for sem in (ArithmeticSemiring, LogicalSemiring):
+        cases.append((f"planar-{config.planar_deal}/{sem.name}",
+                      PlanarSpMV(lay_p, sem, config), sem))
     from graphlily_tpu.io.tropical_format import pack_tropical
     from graphlily_tpu.ops.tropical_pallas import TropicalSpMV
     lay_tr = pack_tropical(work, config)
@@ -182,13 +188,18 @@ def bench_spmv(csr, config, iters=100, engine="router"):
         else:
             from graphlily_tpu.ops.router_pallas import PlanarSpMV
             lay = pack_cached("planar", work, config,
-                              cache_dir=config.layout_cache, log=log)
+                              cache_dir=config.layout_cache, log=log,
+                              deal=config.planar_deal)
             eng = PlanarSpMV(lay, ArithmeticSemiring, config)
         stats = {"fill": lay.fill_a, "fill_stream": lay.fill_stream,
                  "mem_bytes": lay.mem_bytes, "region_rows": lay.region_rows,
                  "nsteps": lay.nsteps, "rstep": lay.rstep,
                  "fused": eng.fused, "flavor": flavor,
                  "slots": lay.nsteps * lay.cb * 1024}
+        if flavor == "planar":
+            stats["deal"] = config.planar_deal
+            nf = int((lay.rg[..., 1] < 0).sum())
+            stats["flush_fill"] = lay.nnz / max(nf * 1024, 1)
     stats["pack_s"] = time.perf_counter() - t0
     stats["engine"] = engine
     n = lay.num_rows

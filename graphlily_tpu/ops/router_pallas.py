@@ -75,6 +75,16 @@ def _tropical_encode(vals, g):
     return INF_BITS - jax.lax.bitcast_convert_type(p, jnp.int32)
 
 
+def _stream_map(pred: bool, ndim: int = 3):
+    """Per-step stream index map; with `pred`, grid step i is remapped to
+    layout step sm[i] through the scalar-prefetch arrays (step compaction:
+    repeated tail indices skip the DMA entirely)."""
+    zeros = (0,) * (ndim - 1)
+    if pred:
+        return lambda i, sm, na: (sm[i],) + zeros
+    return lambda i: (i,) + zeros
+
+
 def _onehot_place(gch, hi8, lo8, rh: int, precision, ablate: str = ""):
     """One-hot MXU placement of a flushed (8,128) chunk into (rh, 128)
     region rows: out[h, v] = sum_m [hi_m==h] * g_m * [lo_m==v].
@@ -124,13 +134,19 @@ def _onehot_place(gch, hi8, lo8, rh: int, precision, ablate: str = ""):
 def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                          fuse: bool = False, rh: int = 0, precision=None,
                          fnum: int = 0, ablate: str = "",
-                         banks2: bool = True, dstep: int = 0):
+                         banks2: bool = True, dstep: int = 0,
+                         predicated: bool = False):
     """Phases A+B (gather -> radix deposit). With `fuse`, phase C (the
     one-hot MXU region reduce) runs INLINE at each flush — the value stream
     never round-trips HBM (the split pipeline pays ~124 MB read+write on the
     googleplus stand-in against a measured ~95 GB/s streaming ceiling) and
-    the reduce's MXU dots overlap the deposits' VPU rolls."""
+    the reduce's MXU dots overlap the deposits' VPU rolls.
+
+    `predicated`: scalar-prefetch sm/na step compaction for SpMSpV — see
+    _make_planar_kernel."""
     def kernel(*refs):
+        if predicated:
+            sm_ref, na_ref, *refs = refs
         if fuse:
             (page_ref,            # (1, 1, cb) int32 SMEM : 1024-col tile ids
              r_ref,               # (1, cb*8, 128) int8 : lane = col & 127
@@ -163,146 +179,152 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
             if fuse:
                 o_ref[...] = jnp.zeros_like(o_ref)
 
-        # ---- phase A: chained ax0+ax1 dynamic gather for cb chunks --------
-        # full 1024-col tile reach: xp[s,l] = t[sub[s,l], l], then
-        # g[s,l] = xp[s, lane[s,l]] -- both gather forms measured fast
-        # (79 / 35 G elem/s) on this chip
-        r_all = r_ref[0].astype(jnp.int32)
-        sub_all = sub_ref[0].astype(jnp.int32)
-        for k in range(cb):
-            t = x_ref[page_ref[0, 0, k]]                    # (8, 128) tile
-            xp = jnp.take_along_axis(
-                t, sub_all[k * S:(k + 1) * S, :], axis=0)
-            g = jnp.take_along_axis(xp, r_all[k * S:(k + 1) * S, :], axis=1)
-            vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
-            if op == OpType.MULADD:
-                g = g * vals
-            elif op == OpType.ANDOR:
-                g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
-            else:
-                raise ValueError(op)
-            g_buf[k] = g
+        def _bigbody():
+            # ---- phase A: chained ax0+ax1 dynamic gather for cb chunks --------
+            # full 1024-col tile reach: xp[s,l] = t[sub[s,l], l], then
+            # g[s,l] = xp[s, lane[s,l]] -- both gather forms measured fast
+            # (79 / 35 G elem/s) on this chip
+            r_all = r_ref[0].astype(jnp.int32)
+            sub_all = sub_ref[0].astype(jnp.int32)
+            for k in range(cb):
+                t = x_ref[page_ref[0, 0, k]]                    # (8, 128) tile
+                xp = jnp.take_along_axis(
+                    t, sub_all[k * S:(k + 1) * S, :], axis=0)
+                g = jnp.take_along_axis(xp, r_all[k * S:(k + 1) * S, :], axis=1)
+                vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
+                if op == OpType.MULADD:
+                    g = g * vals
+                elif op == OpType.ANDOR:
+                    g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
+                else:
+                    raise ValueError(op)
+                g_buf[k] = g
 
-        # ---- phase B: deposits + inline flushes ----------------------------
-        # descriptors arrive through SMEM (scalar memory): per-descriptor
-        # reads are ~2 cycles vs ~100 for VMEM scalar loads, and the pl.when
-        # guard lets Mosaic skip the (dominant) dynamic rolls on inactive
-        # slots — measured 18.5 -> 4.7 ms on the googleplus stand-in
-        # (tools/router_ab.py).
-        #
-        # BANKS: every deposit RMWs the accumulator at a DYNAMIC slot, so
-        # the compiler must serialize all of them against each other. Two
-        # scratch banks picked by STATIC descriptor parity split that into
-        # two independent chains (deposits of one region cycle write
-        # disjoint ranges on a zero background, so the where-merges
-        # distribute across banks and the flush sums them).
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
-        flat_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) * L + lane_i
+            # ---- phase B: deposits + inline flushes ----------------------------
+            # descriptors arrive through SMEM (scalar memory): per-descriptor
+            # reads are ~2 cycles vs ~100 for VMEM scalar loads, and the pl.when
+            # guard lets Mosaic skip the (dominant) dynamic rolls on inactive
+            # slots — measured 18.5 -> 4.7 ms on the googleplus stand-in
+            # (tools/router_ab.py).
+            #
+            # BANKS: every deposit RMWs the accumulator at a DYNAMIC slot, so
+            # the compiler must serialize all of them against each other. Two
+            # scratch banks picked by STATIC descriptor parity split that into
+            # two independent chains (deposits of one region cycle write
+            # disjoint ranges on a zero background, so the where-merges
+            # distribute across banks and the flush sums them).
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+            flat_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0) * L + lane_i
 
-        def _fused_tail():
-            # ---- inline phase C, AFTER the descriptor loop: one reduce per
-            # flush ordinal (code stream: region id, -1 = no flush this
-            # step). Batched CG to a shared any-active guard like the
-            # deposits — a pl.when per ordinal is a scheduling barrier that
-            # serializes the builds' and dots' latency chains; inactive
-            # members are masked to zero before the output RMW.
-            if ablate == "noC":
-                return
-            hi_all = hi_ref[0].astype(jnp.int32)
-            lo_all = lo_ref[0].astype(jnp.int32)
-            CG = 4
-            for q0 in range(0, fnum, CG):
-                n = min(CG, fnum - q0)
-                cs = [code_ref[0, 0, q0 + u] for u in range(n)]
-                anyact = cs[0]
+            def _fused_tail():
+                # ---- inline phase C, AFTER the descriptor loop: one reduce per
+                # flush ordinal (code stream: region id, -1 = no flush this
+                # step). Batched CG to a shared any-active guard like the
+                # deposits — a pl.when per ordinal is a scheduling barrier that
+                # serializes the builds' and dots' latency chains; inactive
+                # members are masked to zero before the output RMW.
+                if ablate == "noC":
+                    return
+                hi_all = hi_ref[0].astype(jnp.int32)
+                lo_all = lo_ref[0].astype(jnp.int32)
+                CG = 4
+                for q0 in range(0, fnum, CG):
+                    n = min(CG, fnum - q0)
+                    cs = [code_ref[0, 0, q0 + u] for u in range(n)]
+                    anyact = cs[0]
+                    for u in range(1, n):
+                        anyact = jnp.maximum(anyact, cs[u])
+
+                    @pl.when(anyact >= 0)
+                    def _():
+                        for u in range(n):
+                            qq = q0 + u
+                            c = cs[u]
+                            accd = _onehot_place(ring_ref[qq],
+                                                 hi_all[qq * S:(qq + 1) * S, :],
+                                                 lo_all[qq * S:(qq + 1) * S, :],
+                                                 rh, precision, ablate)
+                            accd = jnp.where(c >= 0, accd, 0.0)
+                            safe = jnp.maximum(c, 0)
+                            if ablate == "noacc":   # tiny static RMW
+                                o_ref[0, 0:1] += accd[0:1].astype(o_ref.dtype)
+                            else:
+                                o_ref[safe] += accd.astype(o_ref.dtype)
+
+            def dep_body(w1, w2, bank):
+                """One deposit; no-op when w2 is not a deposit word (ln<=0)."""
+                ln = w2 >> 16
+                dst = w1 & 0x3FF
+                dl = (w1 >> 10) & 0x7F
+                ds = (w1 >> 17) & 0x7
+                k = w1 >> 20
+                g = g_buf[k]
+                r1 = pltpu.roll(g, dl, 1)
+                t = pltpu.roll(r1, ds, 0)
+                y = jnp.where(lane_i >= dl, t, pltpu.roll(t, 1, 0))
+                m = jnp.logical_and(flat_i >= dst, flat_i < dst + ln)
+                bank[slot_of(w2)] = jnp.where(m, y, bank[slot_of(w2)])
+
+            def slot_of(w2):
+                return w2 & 0xFFF
+
+            # ---- phase-ordered stream (layout v3): the step's deposit slots
+            # [0, dstep) run FIRST, batched DG to a shared any-active guard —
+            # one pl.when per descriptor serializes the bodies' ~55-cycle roll
+            # chains (measured 2.2 ms of the googleplus scatter; batch-4 guards
+            # recovered 1.3 ms). Safe because the pack rotates each region's
+            # cycles through K accumulator slots, so no slot is flushed and
+            # re-deposited within one step. Flushes occupy [dstep, rstep).
+            DG = 8
+            for j0 in range(0, dstep, DG):
+                n = min(DG, dstep - j0)
+                ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
+                      for u in range(n)]
+                anyact = ws[0][1]
                 for u in range(1, n):
-                    anyact = jnp.maximum(anyact, cs[u])
+                    anyact = jnp.maximum(anyact, ws[u][1])
 
-                @pl.when(anyact >= 0)
+                @pl.when(anyact > 0)
                 def _():
                     for u in range(n):
-                        qq = q0 + u
-                        c = cs[u]
-                        accd = _onehot_place(ring_ref[qq],
-                                             hi_all[qq * S:(qq + 1) * S, :],
-                                             lo_all[qq * S:(qq + 1) * S, :],
-                                             rh, precision, ablate)
-                        accd = jnp.where(c >= 0, accd, 0.0)
-                        safe = jnp.maximum(c, 0)
-                        if ablate == "noacc":   # tiny static RMW
-                            o_ref[0, 0:1] += accd[0:1].astype(o_ref.dtype)
-                        else:
-                            o_ref[safe] += accd.astype(o_ref.dtype)
+                        bank = acc2_ref if (banks2 and u % 2) else acc_ref
+                        dep_body(ws[u][0], ws[u][1], bank)
 
-        def dep_body(w1, w2, bank):
-            """One deposit; no-op when w2 is not a deposit word (ln<=0)."""
-            ln = w2 >> 16
-            dst = w1 & 0x3FF
-            dl = (w1 >> 10) & 0x7F
-            ds = (w1 >> 17) & 0x7
-            k = w1 >> 20
-            g = g_buf[k]
-            r1 = pltpu.roll(g, dl, 1)
-            t = pltpu.roll(r1, ds, 0)
-            y = jnp.where(lane_i >= dl, t, pltpu.roll(t, 1, 0))
-            m = jnp.logical_and(flat_i >= dst, flat_i < dst + ln)
-            bank[slot_of(w2)] = jnp.where(m, y, bank[slot_of(w2)])
+            for j in range(dstep, rstep):
+                w1 = rg_ref[0, j, 0]
+                w2 = rg_ref[0, j, 1]
+                slot = w2 & 0xFFF
 
-        def slot_of(w2):
-            return w2 & 0xFFF
+                @pl.when(w2 < 0)   # flush: slot12 | q8<<16 | 1<<31
+                def _():
+                    q = (w2 >> 16) & 0xFF
+                    cur = w1
+                    both = (acc_ref[slot] + acc2_ref[slot] if banks2
+                            else acc_ref[slot])
+                    gch = jnp.where(flat_i < cur, both, 0.0)
+                    if not fuse:
+                        # HBM flush stream may ride narrower than the f32
+                        # accumulator (bf16 when the reduce dot rounds to bf16
+                        # anyway at DEFAULT precision: halves the round-trip)
+                        o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
+                    else:
+                        ring_ref[pl.ds(q, 1)] = gch[None]
+                    # zero after drain: a deposit SKIPPED by SpMSpV predication
+                    # (descriptor masked to w2=0, see _predicate_rg) then leaves
+                    # true zeros in its range instead of stale previous-cycle
+                    # values; the cursor mask above keeps dense semantics exact
+                    acc_ref[slot] = jnp.zeros_like(acc_ref[slot])
+                    if banks2:
+                        acc2_ref[slot] = jnp.zeros_like(acc2_ref[slot])
 
-        # ---- phase-ordered stream (layout v3): the step's deposit slots
-        # [0, dstep) run FIRST, batched DG to a shared any-active guard —
-        # one pl.when per descriptor serializes the bodies' ~55-cycle roll
-        # chains (measured 2.2 ms of the googleplus scatter; batch-4 guards
-        # recovered 1.3 ms). Safe because the pack rotates each region's
-        # cycles through K accumulator slots, so no slot is flushed and
-        # re-deposited within one step. Flushes occupy [dstep, rstep).
-        DG = 8
-        for j0 in range(0, dstep, DG):
-            n = min(DG, dstep - j0)
-            ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
-                  for u in range(n)]
-            anyact = ws[0][1]
-            for u in range(1, n):
-                anyact = jnp.maximum(anyact, ws[u][1])
+            if not fuse:
+                return
+            _fused_tail()
 
-            @pl.when(anyact > 0)
-            def _():
-                for u in range(n):
-                    bank = acc2_ref if (banks2 and u % 2) else acc_ref
-                    dep_body(ws[u][0], ws[u][1], bank)
-
-        for j in range(dstep, rstep):
-            w1 = rg_ref[0, j, 0]
-            w2 = rg_ref[0, j, 1]
-            slot = w2 & 0xFFF
-
-            @pl.when(w2 < 0)   # flush: slot12 | q8<<16 | 1<<31
-            def _():
-                q = (w2 >> 16) & 0xFF
-                cur = w1
-                both = (acc_ref[slot] + acc2_ref[slot] if banks2
-                        else acc_ref[slot])
-                gch = jnp.where(flat_i < cur, both, 0.0)
-                if not fuse:
-                    # HBM flush stream may ride narrower than the f32
-                    # accumulator (bf16 when the reduce dot rounds to bf16
-                    # anyway at DEFAULT precision: halves the round-trip)
-                    o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
-                else:
-                    ring_ref[pl.ds(q, 1)] = gch[None]
-                # zero after drain: a deposit SKIPPED by SpMSpV predication
-                # (descriptor masked to w2=0, see _predicate_rg) then leaves
-                # true zeros in its range instead of stale previous-cycle
-                # values; the cursor mask above keeps dense semantics exact
-                acc_ref[slot] = jnp.zeros_like(acc_ref[slot])
-                if banks2:
-                    acc2_ref[slot] = jnp.zeros_like(acc2_ref[slot])
-
-        if not fuse:
-            return
-        _fused_tail()
+        if predicated:
+            pl.when(pl.program_id(0) < na_ref[0])(_bigbody)
+        else:
+            _bigbody()
 
     return kernel
 
@@ -311,38 +333,49 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "nreg", "nct", "nsteps",
                      "interpret", "dtype", "gdtype", "dstep", "banks2"))
-def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
-                         nreg, nct, nsteps, interpret, dtype, gdtype=None,
-                         dstep=0, banks2=True):
+def _router_scatter_call(page, r, sub, vals, rg, x2, sm=None, na=None, *,
+                         op, cb, rstep, f, nreg, nct, nsteps, interpret,
+                         dtype, gdtype=None, dstep=0, banks2=True):
     use2 = banks2 and not interpret
+    pred = sm is not None
     kernel = _make_scatter_kernel(op, cb, rstep, nreg,
-                                  banks2=use2, dstep=dstep)
-    stream = lambda i: (i, 0, 0)
+                                  banks2=use2, dstep=dstep, predicated=pred)
+    stream = _stream_map(pred)
+    in_specs = [
+        pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+    ]
+    # predicated: the out stream rides the SAME sm remap — kept steps write
+    # blocks g[sm[i]]; padding steps repeat the last kept block (the kernel
+    # body is skipped, so the revisited buffer still holds its data) and the
+    # reduce reads back through the same remap
+    out_specs = pl.BlockSpec((1, f, S, L), _stream_map(pred, ndim=4),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nsteps, f, S, L),
+                                     jnp.dtype(gdtype or dtype))
+    scratch_shapes = [
+        pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
+        pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+        # odd-parity bank (1-slot dummy when single-banked: the kernel
+        # never touches it with banks2=False)
+        pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
+    ]
     fn = pl.pallas_call(
         kernel,
-        grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
-        ],
-        out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L),
-                                       jnp.dtype(gdtype or dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
-            # odd-parity bank (1-slot dummy when single-banked: the kernel
-            # never touches it with banks2=False)
-            pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2 if pred else 0,
+            grid=(nsteps,), in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=scratch_shapes),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=_cparams(interpret),
     )
+    if pred:
+        return fn(sm, na, page, r, sub, vals, rg, x2)
     return fn(page, r, sub, vals, rg, x2)
 
 
@@ -351,43 +384,93 @@ def _router_scatter_call(page, r, sub, vals, rg, x2, *, op, cb, rstep, f,
     static_argnames=("op", "cb", "rstep", "f", "nreg", "rh", "nregions",
                      "nct", "nsteps", "mxu_precision", "interpret", "dtype",
                      "ablate", "dstep", "banks2"))
-def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2, *, op, cb,
+def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2,
+                       sm=None, na=None, *, op, cb,
                        rstep, f, nreg, rh, nregions, nct, nsteps,
                        mxu_precision, interpret, dtype, ablate="",
                        dstep=0, banks2=True):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     use2 = banks2 and not interpret
+    pred = sm is not None
     kernel = _make_scatter_kernel(op, cb, rstep, nreg, fuse=True, rh=rh,
                                   precision=precision, fnum=f, ablate=ablate,
-                                  banks2=use2, dstep=dstep)
-    stream = lambda i: (i, 0, 0)
+                                  banks2=use2, dstep=dstep, predicated=pred)
+    stream = _stream_map(pred)
+    in_specs = [
+        pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+    ]
     fn = pl.pallas_call(
         kernel,
-        grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),   # resident output
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2 if pred else 0,
+            grid=(nsteps,), in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # resident out
+            scratch_shapes=[
+                pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
+            ]),
         out_shape=jax.ShapeDtypeStruct((nregions, rh, L), jnp.dtype(dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
-        ],
         interpret=interpret,
         compiler_params=_cparams(interpret),
     )
+    if pred:
+        return fn(sm, na, page, r, sub, vals, rg, code, hi, lo, x2)
     return fn(page, r, sub, vals, rg, code, hi, lo, x2)
+
+
+def _flush_minw(rg, dstep: int):
+    """Host-side (engine-init) flush live-window for step compaction:
+    minw[t] = the earliest step whose deposits the flushes at step t could
+    drain = min over flushes at t of (previous flush step of that slot + 1).
+    Phase ordering (deposits [0,dstep) before flushes) makes each slot
+    cycle's window exactly [prev_flush_step+1, flush_step]."""
+    rg = np.asarray(rg)
+    nsteps = rg.shape[0]
+    w2 = rg[:, dstep:, 1]
+    minw = np.arange(nsteps, dtype=np.int32)
+    prev = np.full(4096, -1, np.int64)    # slot -> last flush step
+    for t in range(nsteps):
+        fl = w2[t]
+        slots = fl[fl < 0] & 0xFFF
+        if slots.size:
+            minw[t] = min(minw[t], int(prev[slots].min()) + 1)
+            prev[slots] = t
+    return minw
+
+
+def _steps_sm_na(a_page, minw, tiles_active):
+    """Device-side step-compaction schedule for SpMSpV (the router/planar
+    analog of the chunked engine's sm/na remap): a step is KEPT iff any
+    step in its flush live-window [minw[t], t] has a frontier-active chunk.
+    This keeps (a) every step with active deposits and (b) every flush
+    that could drain one; a SKIPPED flush's slot is provably zero — its
+    whole window was inactive, so no deposit ever executed into it, and
+    the previous kept flush zeroed it. Returns (sm, na): grid step i runs
+    layout step sm[i]; steps >= na repeat the last kept block (no DMA)
+    and skip the kernel body."""
+    nsteps = a_page.shape[0]
+    act = jnp.take(tiles_active.astype(jnp.int32), a_page[:, 0, :],
+                   axis=0, mode="clip")              # (nsteps, cb)
+    act_step = jnp.max(act, axis=1)
+    iota = jnp.arange(nsteps, dtype=jnp.int32)
+    last_act = jax.lax.cummax(jnp.where(act_step > 0, iota, -1))
+    kept = last_act >= minw
+    sm = jnp.nonzero(kept, size=nsteps, fill_value=0)[0].astype(jnp.int32)
+    na = jnp.sum(kept).astype(jnp.int32)
+    last_kept = sm[jnp.maximum(na - 1, 0)]
+    sm = jnp.where(iota < na, sm, last_kept)
+    return sm, na.reshape(1)
 
 
 def _predicate_rg(rg, a_page, tiles_active, flavor: str):
@@ -414,53 +497,64 @@ def _predicate_rg(rg, a_page, tiles_active, flavor: str):
     return jnp.stack([w1, jnp.where(dead, 0, w2)], axis=-1)
 
 
-def _make_reduce_kernel(cbc: int, rh: int, precision, ablate: str = ""):
+def _make_reduce_kernel(cbc: int, rh: int, precision, ablate: str = "",
+                        predicated: bool = False):
     """rh = region_rows // 128: the hi one-hot height. Smaller regions cut
     the MXU MAC count linearly (the dominant reduce cost at rh=128).
     `ablate` ("nobuilds" | "nodots" | "noacc") isolates the VPU one-hot
     builds, the MXU dots, and the output RMW for phase attribution."""
-    def kernel(code_ref,              # (1, 1, cbc) int32 region ids (-1 skip)
-               g_ref,                 # (1, cbc, 8, 128) f32 flushed values
-               hi_ref,                # (1, cbc*8, 128) int8
-               lo_ref,                # (1, cbc*8, 128) int8
-               o_ref):                # (nregions, rh, 128) resident output
+    def kernel(*refs):
+        if predicated:
+            sm_ref, na_ref, *refs = refs
+        (code_ref,              # (1, 1, cbc) int32 region ids (-1 skip)
+         g_ref,                 # (1, cbc, 8, 128) f32 flushed values
+         hi_ref,                # (1, cbc*8, 128) int8
+         lo_ref,                # (1, cbc*8, 128) int8
+         o_ref) = refs          # (nregions, rh, 128) resident output
         step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _():
             o_ref[...] = jnp.zeros_like(o_ref)
 
-        # (bf16 one-hot builds would halve the VPU cost, but this libtpu
-        # rejects bf16 vector compares: "Target does not support this
-        # comparison" — builds stay f32. The g upcast from a bf16 stream
-        # happens inside _onehot_place.)
-        # Reduces run batched under shared any-active guards: one pl.when
-        # per chunk is a scheduling barrier that serializes the builds'
-        # and dots' latency chains (see the fused tail).
-        hi_all = hi_ref[0].astype(jnp.int32)
-        lo_all = lo_ref[0].astype(jnp.int32)
-        CG = 4
-        for k0 in range(0, cbc, CG):
-            n = min(CG, cbc - k0)
-            cs = [code_ref[0, 0, k0 + u] for u in range(n)]
-            anyact = cs[0]
-            for u in range(1, n):
-                anyact = jnp.maximum(anyact, cs[u])
+        def _body():
+            # (bf16 one-hot builds would halve the VPU cost, but this
+            # libtpu rejects bf16 vector compares: "Target does not support
+            # this comparison" — builds stay f32. The g upcast from a bf16
+            # stream happens inside _onehot_place.)
+            # Reduces run batched under shared any-active guards: one
+            # pl.when per chunk is a scheduling barrier that serializes the
+            # builds' and dots' latency chains (see the fused tail).
+            hi_all = hi_ref[0].astype(jnp.int32)
+            lo_all = lo_ref[0].astype(jnp.int32)
+            CG = 4
+            for k0 in range(0, cbc, CG):
+                n = min(CG, cbc - k0)
+                cs = [code_ref[0, 0, k0 + u] for u in range(n)]
+                anyact = cs[0]
+                for u in range(1, n):
+                    anyact = jnp.maximum(anyact, cs[u])
 
-            @pl.when(anyact >= 0)
-            def _():
-                for u in range(n):
-                    k = k0 + u
-                    c = cs[u]
-                    acc = _onehot_place(g_ref[0, k],
-                                        hi_all[k * S:(k + 1) * S, :],
-                                        lo_all[k * S:(k + 1) * S, :],
-                                        rh, precision, ablate)
-                    acc = jnp.where(c >= 0, acc, 0.0)
-                    if ablate == "noacc":
-                        o_ref[0, 0:1] += acc[0:1].astype(o_ref.dtype)
-                    else:
-                        o_ref[jnp.maximum(c, 0)] += acc.astype(o_ref.dtype)
+                @pl.when(anyact >= 0)
+                def _():
+                    for u in range(n):
+                        k = k0 + u
+                        c = cs[u]
+                        acc = _onehot_place(g_ref[0, k],
+                                            hi_all[k * S:(k + 1) * S, :],
+                                            lo_all[k * S:(k + 1) * S, :],
+                                            rh, precision, ablate)
+                        acc = jnp.where(c >= 0, acc, 0.0)
+                        if ablate == "noacc":
+                            o_ref[0, 0:1] += acc[0:1].astype(o_ref.dtype)
+                        else:
+                            o_ref[jnp.maximum(c, 0)] += acc.astype(
+                                o_ref.dtype)
+
+        if predicated:
+            pl.when(step < na_ref[0])(_body)
+        else:
+            _body()
 
     return kernel
 
@@ -469,30 +563,38 @@ def _make_reduce_kernel(cbc: int, rh: int, precision, ablate: str = ""):
     jax.jit,
     static_argnames=("cbc", "nregions", "rh", "nsteps", "mxu_precision",
                      "interpret", "dtype", "ablate"))
-def _router_reduce_call(code, g, hi, lo, *, cbc, nregions, rh, nsteps,
-                        mxu_precision, interpret, dtype, ablate=""):
+def _router_reduce_call(code, g, hi, lo, sm=None, na=None, *, cbc, nregions,
+                        rh, nsteps, mxu_precision, interpret, dtype,
+                        ablate=""):
     """Consumes the scatter output (nsteps, f, 8, 128) DIRECTLY — one reduce
     step per scatter step, no reshape between the kernels (a materialized
-    reshape/copy of the stream measured ~4 ms on the googleplus stand-in)."""
+    reshape/copy of the stream measured ~4 ms on the googleplus stand-in).
+    With sm/na (step compaction) the same remap the scatter wrote through is
+    read back, so only kept steps' blocks are touched."""
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
-    kernel = _make_reduce_kernel(cbc, rh, precision, ablate)
-    stream = lambda i: (i, 0, 0)
+    pred = sm is not None
+    kernel = _make_reduce_kernel(cbc, rh, precision, ablate, predicated=pred)
+    stream = _stream_map(pred)
+    stream4 = _stream_map(pred, ndim=4)
+    in_specs = [
+        pl.BlockSpec((1, 1, cbc), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, cbc, S, L), stream4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
+    ]
     fn = pl.pallas_call(
         kernel,
-        grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, 1, cbc), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cbc, S, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),   # whole out
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2 if pred else 0,
+            grid=(nsteps,), in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)),  # whole out
         out_shape=jax.ShapeDtypeStruct((nregions, rh, L), jnp.dtype(dtype)),
         interpret=interpret,
         compiler_params=_cparams(interpret),
     )
+    if pred:
+        return fn(sm, na, code, g, hi, lo)
     return fn(code, g, hi, lo)
 
 
@@ -600,7 +702,8 @@ def _xperm_call_padded(planes, x2, act, *, nct, interpret, dtype, tb):
 def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                         fuse: bool = False, rh: int = 0, precision=None,
                         fnum: int = 0, banks2: bool = True,
-                        dstep: int = 0, chained: bool = False):
+                        dstep: int = 0, chained: bool = False,
+                        predicated: bool = False):
     """Planar-deposit kernel (see io/planar_format.py): bucket-binned tile
     chunks make phase A a single ax1 dynamic_gather, and each deposit ships
     a static (8,128) int8 plane — entry < 0 routes source lane (v & 127) of
@@ -611,8 +714,18 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
     `chained` (layout deal="free"): phase A is the composed 2D gather
     t[sub[s, r[s,l]], r[s,l]] through an extra a_sub stream, freeing the
     dest sublane from the column bucket so the packer can quota-deal hub
-    columns across sublanes (flush fill 0.485 -> ~0.9, see _deal_free)."""
+    columns across sublanes (flush fill 0.485 -> ~0.9, see _deal_free).
+
+    `predicated` (work-proportional SpMSpV, the step-compaction analog of
+    the chunked engine's path — reference hw/kernel_spmspv_impl.h:55-124):
+    two scalar-prefetch arrays remap grid step i to layout step sm[i];
+    steps >= na repeat the last kept block (no DMA) and skip the body.
+    Correctness of skipping whole steps rests on the flush live-window
+    closure computed in _steps_sm_na: every flush draining an active
+    deposit is kept, and a skipped flush's slot is provably zero."""
     def kernel(*refs):
+        if predicated:
+            sm_ref, na_ref, *refs = refs
         if fuse:
             if chained:
                 (page_ref, r_ref, sub_ref, v_ref, rg_ref, pl_ref,
@@ -651,98 +764,105 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
             if fuse:
                 o_ref[...] = jnp.zeros_like(o_ref)
 
-        # ---- phase A: one ax1 gather per chunk (sublane == col bucket),
-        # or the chained 2D gather when the layout deals sublanes freely ----
-        r_all = r_ref[0].astype(jnp.int32)
-        sub_all = sub_ref[0].astype(jnp.int32) if chained else None
-        for k in range(cb):
-            t = x_ref[page_ref[0, 0, k]]                    # (8, 128) tile
-            rk = r_all[k * S:(k + 1) * S, :]
-            if chained:
-                t = jnp.take_along_axis(t, sub_all[k * S:(k + 1) * S, :],
-                                        axis=0)
-            g = jnp.take_along_axis(t, rk, axis=1)
-            vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
-            if op == OpType.MULADD:
-                g = g * vals
-            elif op == OpType.ANDOR:
-                g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
-            elif op == OpType.ADDMIN:
-                g = _tropical_encode(vals, g)
-            else:
-                raise ValueError(op)
-            g_buf[k] = g
-
-        # ---- phase B (phase-ordered stream): batched deposits, then
-        # flushes — see the roll kernel / io/planar_format.py layout notes.
-        # A deposit body no-ops via the w2-driven threshold when its slot
-        # is padding or SpMSpV-predicated (w2 == 0): the plane compare
-        # never takes. Banks by in-group parity.
-        def dep_body(w1, w2, bank):
-            pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
-            idx = pv & 127
-            g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
-            thr = jnp.where(w2 > 0, 0, -256)
-            slot = w2 & 0xFFF
-            bank[slot] = jnp.where(pv < thr, g, bank[slot])
-
-        DG = 8
-        for j0 in range(0, dstep, DG):
-            n = min(DG, dstep - j0)
-            ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
-                  for u in range(n)]
-            anyact = ws[0][1]
-            for u in range(1, n):
-                anyact = jnp.maximum(anyact, ws[u][1])
-
-            @pl.when(anyact > 0)
-            def _():
-                for u in range(n):
-                    bank = acc2_ref if (banks2 and u % 2) else acc_ref
-                    dep_body(ws[u][0], ws[u][1], bank)
-
-        for j in range(dstep, rstep):
-            w2 = rg_ref[0, j, 1]
-            slot = w2 & 0xFFF
-
-            @pl.when(w2 < 0)   # flush: copy + zero
-            def _():
-                q = (w2 >> 16) & 0xFF
-                gch = (acc_ref[slot] + acc2_ref[slot] if banks2
-                       else acc_ref[slot])
-                if fuse:
-                    ring_ref[pl.ds(q, 1)] = gch[None]
+        def _body():
+            # ---- phase A: one ax1 gather per chunk (sublane == col
+            # bucket), or the chained 2D gather when the layout deals
+            # sublanes freely --------------------------------------------
+            r_all = r_ref[0].astype(jnp.int32)
+            sub_all = sub_ref[0].astype(jnp.int32) if chained else None
+            for k in range(cb):
+                t = x_ref[page_ref[0, 0, k]]                # (8, 128) tile
+                rk = r_all[k * S:(k + 1) * S, :]
+                if chained:
+                    t = jnp.take_along_axis(t, sub_all[k * S:(k + 1) * S, :],
+                                            axis=0)
+                g = jnp.take_along_axis(t, rk, axis=1)
+                vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
+                if op == OpType.MULADD:
+                    g = g * vals
+                elif op == OpType.ANDOR:
+                    g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
+                elif op == OpType.ADDMIN:
+                    g = _tropical_encode(vals, g)
                 else:
-                    o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
-                acc_ref[slot] = jnp.zeros_like(gch)
-                if banks2:
-                    acc2_ref[slot] = jnp.zeros_like(gch)
+                    raise ValueError(op)
+                g_buf[k] = g
 
-        if not fuse:
-            return
+            # ---- phase B (phase-ordered stream): batched deposits, then
+            # flushes — see the roll kernel / io/planar_format.py layout
+            # notes. A deposit body no-ops via the w2-driven threshold when
+            # its slot is padding or SpMSpV-predicated (w2 == 0): the plane
+            # compare never takes. Banks by in-group parity.
+            def dep_body(w1, w2, bank):
+                pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
+                idx = pv & 127
+                g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
+                thr = jnp.where(w2 > 0, 0, -256)
+                slot = w2 & 0xFFF
+                bank[slot] = jnp.where(pv < thr, g, bank[slot])
 
-        # ---- inline phase C: batched reduces (see the roll fused tail) ----
-        hi_all = hi_ref[0].astype(jnp.int32)
-        lo_all = lo_ref[0].astype(jnp.int32)
-        CG = 4
-        for q0 in range(0, fnum, CG):
-            n = min(CG, fnum - q0)
-            cs = [code_ref[0, 0, q0 + u] for u in range(n)]
-            anyact = cs[0]
-            for u in range(1, n):
-                anyact = jnp.maximum(anyact, cs[u])
+            DG = 8
+            for j0 in range(0, dstep, DG):
+                n = min(DG, dstep - j0)
+                ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
+                      for u in range(n)]
+                anyact = ws[0][1]
+                for u in range(1, n):
+                    anyact = jnp.maximum(anyact, ws[u][1])
 
-            @pl.when(anyact >= 0)
-            def _():
-                for u in range(n):
-                    qq = q0 + u
-                    c = cs[u]
-                    accd = _onehot_place(ring_ref[qq],
-                                         hi_all[qq * S:(qq + 1) * S, :],
-                                         lo_all[qq * S:(qq + 1) * S, :],
-                                         rh, precision)
-                    accd = jnp.where(c >= 0, accd, 0.0)
-                    o_ref[jnp.maximum(c, 0)] += accd.astype(o_ref.dtype)
+                @pl.when(anyact > 0)
+                def _():
+                    for u in range(n):
+                        bank = acc2_ref if (banks2 and u % 2) else acc_ref
+                        dep_body(ws[u][0], ws[u][1], bank)
+
+            for j in range(dstep, rstep):
+                w2 = rg_ref[0, j, 1]
+                slot = w2 & 0xFFF
+
+                @pl.when(w2 < 0)   # flush: copy + zero
+                def _():
+                    q = (w2 >> 16) & 0xFF
+                    gch = (acc_ref[slot] + acc2_ref[slot] if banks2
+                           else acc_ref[slot])
+                    if fuse:
+                        ring_ref[pl.ds(q, 1)] = gch[None]
+                    else:
+                        o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
+                    acc_ref[slot] = jnp.zeros_like(gch)
+                    if banks2:
+                        acc2_ref[slot] = jnp.zeros_like(gch)
+
+            if not fuse:
+                return
+
+            # ---- inline phase C: batched reduces (see the roll tail) ----
+            hi_all = hi_ref[0].astype(jnp.int32)
+            lo_all = lo_ref[0].astype(jnp.int32)
+            CG = 4
+            for q0 in range(0, fnum, CG):
+                n = min(CG, fnum - q0)
+                cs = [code_ref[0, 0, q0 + u] for u in range(n)]
+                anyact = cs[0]
+                for u in range(1, n):
+                    anyact = jnp.maximum(anyact, cs[u])
+
+                @pl.when(anyact >= 0)
+                def _():
+                    for u in range(n):
+                        qq = q0 + u
+                        c = cs[u]
+                        accd = _onehot_place(ring_ref[qq],
+                                             hi_all[qq * S:(qq + 1) * S, :],
+                                             lo_all[qq * S:(qq + 1) * S, :],
+                                             rh, precision)
+                        accd = jnp.where(c >= 0, accd, 0.0)
+                        o_ref[jnp.maximum(c, 0)] += accd.astype(o_ref.dtype)
+
+        if predicated:
+            pl.when(step < na_ref[0])(_body)
+        else:
+            _body()
 
     return kernel
 
@@ -751,7 +871,8 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                                fuse: bool = False, rh: int = 0,
                                precision=None, fnum: int = 0,
                                unroll: int = 16, banks2: bool = True,
-                               dstep: int = 0, chained: bool = False):
+                               dstep: int = 0, chained: bool = False,
+                               predicated: bool = False):
     """Partially-unrolled phase B: a lax.fori_loop over descriptor slots,
     `unroll` bodies per iteration. The fully-unrolled kernel compiles in
     ~35 min at pokec scale (rstep=195, f=47 fused) — far beyond the bench
@@ -762,6 +883,8 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
     the body uses is already dynamic (plane ordinal, source chunk,
     accumulator slot), so nothing else is lost."""
     def kernel(*refs):
+        if predicated:
+            sm_ref, na_ref, *refs = refs
         if fuse:
             if chained:
                 (page_ref, r_ref, sub_ref, v_ref, rg_ref, pl_ref,
@@ -791,102 +914,110 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
             if fuse:
                 o_ref[...] = jnp.zeros_like(o_ref)
 
-        # ---- phase A: identical to the unrolled kernel --------------------
-        r_all = r_ref[0].astype(jnp.int32)
-        sub_all = sub_ref[0].astype(jnp.int32) if chained else None
-        for k in range(cb):
-            t = x_ref[page_ref[0, 0, k]]
-            if chained:
-                t = jnp.take_along_axis(t, sub_all[k * S:(k + 1) * S, :],
-                                        axis=0)
-            g = jnp.take_along_axis(t, r_all[k * S:(k + 1) * S, :], axis=1)
-            vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
-            if op == OpType.MULADD:
-                g = g * vals
-            elif op == OpType.ANDOR:
-                g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
-            elif op == OpType.ADDMIN:
-                g = _tropical_encode(vals, g)
-            else:
-                raise ValueError(op)
-            g_buf[k] = g
-
-        # ---- phase B: block-unrolled deposit loop (phase-ordered stream) --
-        # Mosaic's pallas fori_loop lowering supports only unroll=1 or full
-        # unroll, so the partial unroll is MANUAL: a dynamic outer loop over
-        # blocks of `unroll` statically-inlined bodies. Bodies run
-        # UNCONDITIONALLY with the w2-driven threshold no-op (padding /
-        # SpMSpV-predicated slots route nothing) — batching replaces the
-        # per-descriptor pl.when barrier that serialized the bodies.
-        def dep_body(j, parity):
-            w1 = rg_ref[0, j, 0]
-            w2 = rg_ref[0, j, 1]
-            slot = w2 & 0xFFF
-            bank = acc2_ref if (banks2 and parity) else acc_ref
-            pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
-            idx = pv & 127
-            g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
-            thr = jnp.where(w2 > 0, 0, -256)
-            bank[slot] = jnp.where(pv < thr, g, bank[slot])
-
-        nb = dstep // unroll
-
-        def body(b, carry):
-            base = b * unroll
-            for u in range(unroll):
-                dep_body(base + u, u % 2)
-            return carry
-
-        if nb:
-            jax.lax.fori_loop(0, nb, body, 0, unroll=1)
-        for j in range(nb * unroll, dstep):   # static tail
-            dep_body(j, j % 2)
-
-        for j in range(dstep, rstep):         # flushes (few; static loop)
-            w2 = rg_ref[0, j, 1]
-            slot = w2 & 0xFFF
-
-            @pl.when(w2 < 0)   # flush: copy + zero
-            def _():
-                q = (w2 >> 16) & 0xFF
-                gch = (acc_ref[slot] + acc2_ref[slot] if banks2
-                       else acc_ref[slot])
-                if fuse:
-                    ring_ref[pl.ds(q, 1)] = gch[None]
+        def _bigbody():
+            # ---- phase A: identical to the unrolled kernel ----------------
+            r_all = r_ref[0].astype(jnp.int32)
+            sub_all = sub_ref[0].astype(jnp.int32) if chained else None
+            for k in range(cb):
+                t = x_ref[page_ref[0, 0, k]]
+                if chained:
+                    t = jnp.take_along_axis(t, sub_all[k * S:(k + 1) * S, :],
+                                            axis=0)
+                g = jnp.take_along_axis(t, r_all[k * S:(k + 1) * S, :],
+                                        axis=1)
+                vals = v_ref[0, k * S:(k + 1) * S, :].astype(g.dtype)
+                if op == OpType.MULADD:
+                    g = g * vals
+                elif op == OpType.ANDOR:
+                    g = jnp.logical_and(vals != 0, g != 0).astype(g.dtype)
+                elif op == OpType.ADDMIN:
+                    g = _tropical_encode(vals, g)
                 else:
-                    o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
-                acc_ref[slot] = jnp.zeros_like(gch)
-                if banks2:
-                    acc2_ref[slot] = jnp.zeros_like(gch)
+                    raise ValueError(op)
+                g_buf[k] = g
 
-        if not fuse:
-            return
+            # ---- phase B: block-unrolled deposit loop (phase-ordered
+            # stream). Mosaic's pallas fori_loop lowering supports only
+            # unroll=1 or full unroll, so the partial unroll is MANUAL: a
+            # dynamic outer loop over blocks of `unroll` statically-inlined
+            # bodies. Bodies run UNCONDITIONALLY with the w2-driven
+            # threshold no-op (padding / SpMSpV-predicated slots route
+            # nothing) — batching replaces the per-descriptor pl.when
+            # barrier that serialized the bodies.
+            def dep_body(j, parity):
+                w1 = rg_ref[0, j, 0]
+                w2 = rg_ref[0, j, 1]
+                slot = w2 & 0xFFF
+                bank = acc2_ref if (banks2 and parity) else acc_ref
+                pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
+                idx = pv & 127
+                g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
+                thr = jnp.where(w2 > 0, 0, -256)
+                bank[slot] = jnp.where(pv < thr, g, bank[slot])
 
-        # ---- phase C: blocked reduce loop over flush ordinals -------------
-        # masked-unconditional bodies in blocks of CG (same ILP argument);
-        # hi/lo ride 4D (1, f, 8, 128) so the dynamic flush-ordinal index
-        # stays at vreg-tile granularity
-        def cred(qq):
-            c = code_ref[0, 0, qq]
-            accd = _onehot_place(ring_ref[qq],
-                                 hi_ref[0, qq].astype(jnp.int32),
-                                 lo_ref[0, qq].astype(jnp.int32),
-                                 rh, precision)
-            accd = jnp.where(c >= 0, accd, 0.0)
-            o_ref[jnp.maximum(c, 0)] += accd.astype(o_ref.dtype)
+            nb = dstep // unroll
 
-        CG = 4
-        ncb = fnum // CG
+            def body(b, carry):
+                base = b * unroll
+                for u in range(unroll):
+                    dep_body(base + u, u % 2)
+                return carry
 
-        def cbody(b, carry):
-            for u in range(CG):
-                cred(b * CG + u)
-            return carry
+            if nb:
+                jax.lax.fori_loop(0, nb, body, 0, unroll=1)
+            for j in range(nb * unroll, dstep):   # static tail
+                dep_body(j, j % 2)
 
-        if ncb:
-            jax.lax.fori_loop(0, ncb, cbody, 0, unroll=1)
-        for qq in range(ncb * CG, fnum):
-            cred(qq)
+            for j in range(dstep, rstep):         # flushes (few; static)
+                w2 = rg_ref[0, j, 1]
+                slot = w2 & 0xFFF
+
+                @pl.when(w2 < 0)   # flush: copy + zero
+                def _():
+                    q = (w2 >> 16) & 0xFF
+                    gch = (acc_ref[slot] + acc2_ref[slot] if banks2
+                           else acc_ref[slot])
+                    if fuse:
+                        ring_ref[pl.ds(q, 1)] = gch[None]
+                    else:
+                        o_ref[0, pl.ds(q, 1)] = gch[None].astype(o_ref.dtype)
+                    acc_ref[slot] = jnp.zeros_like(gch)
+                    if banks2:
+                        acc2_ref[slot] = jnp.zeros_like(gch)
+
+            if not fuse:
+                return
+
+            # ---- phase C: blocked reduce loop over flush ordinals ---------
+            # masked-unconditional bodies in blocks of CG (same ILP
+            # argument); hi/lo ride 4D (1, f, 8, 128) so the dynamic
+            # flush-ordinal index stays at vreg-tile granularity
+            def cred(qq):
+                c = code_ref[0, 0, qq]
+                accd = _onehot_place(ring_ref[qq],
+                                     hi_ref[0, qq].astype(jnp.int32),
+                                     lo_ref[0, qq].astype(jnp.int32),
+                                     rh, precision)
+                accd = jnp.where(c >= 0, accd, 0.0)
+                o_ref[jnp.maximum(c, 0)] += accd.astype(o_ref.dtype)
+
+            CG = 4
+            ncb = fnum // CG
+
+            def cbody(b, carry):
+                for u in range(CG):
+                    cred(b * CG + u)
+                return carry
+
+            if ncb:
+                jax.lax.fori_loop(0, ncb, cbody, 0, unroll=1)
+            for qq in range(ncb * CG, fnum):
+                cred(qq)
+
+        if predicated:
+            pl.when(step < na_ref[0])(_bigbody)
+        else:
+            _bigbody()
 
     return kernel
 
@@ -896,7 +1027,8 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "nct",
                      "nsteps", "interpret", "dtype", "gdtype", "looped",
                      "dstep", "banks2"))
-def _planar_scatter_call(page, r, vals, rg, planes, x2, sub=None, *, op, cb,
+def _planar_scatter_call(page, r, vals, rg, planes, x2, sub=None,
+                         sm=None, na=None, *, op, cb,
                          rstep, f, dmax, nreg, nct, nsteps, interpret, dtype,
                          gdtype=None, looped=False, dstep=0, banks2=True):
     # tropical rides the exact int32 bit encoding end-to-end (see
@@ -904,39 +1036,44 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, sub=None, *, op, cb,
     sdt = jnp.int32 if op == OpType.ADDMIN else jnp.dtype(dtype)
     use2 = banks2 and not interpret
     chained = sub is not None
+    pred = sm is not None
     make = _make_planar_kernel_looped if looped else _make_planar_kernel
     kernel = make(op, cb, rstep, nreg, banks2=use2, dstep=dstep,
-                  chained=chained)
-    stream = lambda i: (i, 0, 0)
+                  chained=chained, predicated=pred)
+    stream = _stream_map(pred)
+    stream4 = _stream_map(pred, ndim=4)
     ab_spec = pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
+        ab_spec,
+        *([ab_spec] if chained else []),
+        ab_spec,
+        pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, dmax, S, L), stream4, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+    ]
     fn = pl.pallas_call(
         kernel,
-        grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
-            ab_spec,
-            *([ab_spec] if chained else []),
-            ab_spec,
-            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
-        ],
-        out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2 if pred else 0,
+            grid=(nsteps,), in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, f, S, L), stream4,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((cb, S, L), sdt),
+                pltpu.VMEM((nreg, S, L), sdt),
+                pltpu.VMEM((nreg if use2 else 1, S, L), sdt),
+            ]),
         out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L),
                                        jnp.dtype(gdtype or dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((cb, S, L), sdt),
-            pltpu.VMEM((nreg, S, L), sdt),
-            pltpu.VMEM((nreg if use2 else 1, S, L), sdt),
-        ],
         interpret=interpret,
         compiler_params=_cparams(interpret),
     )
-    if chained:
-        return fn(page, r, sub, vals, rg, planes, x2)
-    return fn(page, r, vals, rg, planes, x2)
+    args = (page, r, sub, vals, rg, planes, x2) if chained else \
+        (page, r, vals, rg, planes, x2)
+    if pred:
+        return fn(sm, na, *args)
+    return fn(*args)
 
 
 @functools.partial(
@@ -945,58 +1082,64 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, sub=None, *, op, cb,
                      "nregions", "nct", "nsteps", "mxu_precision",
                      "interpret", "dtype", "looped", "dstep", "banks2"))
 def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2,
-                       sub=None, *, op, cb, rstep, f, dmax, nreg, rh,
+                       sub=None, sm=None, na=None, *, op, cb, rstep, f,
+                       dmax, nreg, rh,
                        nregions, nct, nsteps, mxu_precision, interpret,
                        dtype, looped=False, dstep=0, banks2=True):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     use2 = banks2 and not interpret
     chained = sub is not None
+    pred = sm is not None
     make = _make_planar_kernel_looped if looped else _make_planar_kernel
     kernel = make(op, cb, rstep, nreg, fuse=True, rh=rh,
                   precision=precision, fnum=f, banks2=use2, dstep=dstep,
-                  chained=chained)
-    stream = lambda i: (i, 0, 0)
+                  chained=chained, predicated=pred)
+    stream = _stream_map(pred)
+    stream4 = _stream_map(pred, ndim=4)
     ab_spec = pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM)
     # the looped kernel indexes hi/lo by dynamic flush ordinal, so they ride
     # 4D (vreg-tile granularity); the unrolled kernel slices them statically
-    hilo_spec = (pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
+    hilo_spec = (pl.BlockSpec((1, f, S, L), stream4,
                               memory_space=pltpu.VMEM) if looped
                  else pl.BlockSpec((1, f * S, L), stream,
                                    memory_space=pltpu.VMEM))
     if looped:
         hi = hi.reshape(nsteps, f, S, L)
         lo = lo.reshape(nsteps, f, S, L)
+    in_specs = [
+        pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
+        ab_spec,
+        *([ab_spec] if chained else []),
+        ab_spec,
+        pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, dmax, S, L), stream4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
+        hilo_spec,
+        hilo_spec,
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
+    ]
     fn = pl.pallas_call(
         kernel,
-        grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
-            ab_spec,
-            *([ab_spec] if chained else []),
-            ab_spec,
-            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
-            hilo_spec,
-            hilo_spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2 if pred else 0,
+            grid=(nsteps,), in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
+                pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
+            ]),
         out_shape=jax.ShapeDtypeStruct((nregions, rh, L), jnp.dtype(dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((cb, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
-            pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
-        ],
         interpret=interpret,
         compiler_params=_cparams(interpret),
     )
-    if chained:
-        return fn(page, r, sub, vals, rg, planes, code, hi, lo, x2)
-    return fn(page, r, vals, rg, planes, code, hi, lo, x2)
+    args = ((page, r, sub, vals, rg, planes, code, hi, lo, x2) if chained
+            else (page, r, vals, rg, planes, code, hi, lo, x2))
+    if pred:
+        return fn(sm, na, *args)
+    return fn(*args)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -1111,6 +1254,12 @@ class PlanarSpMV:
         self.banks2 = base + 2 * lay.num_slots * 4096 <= 14.5e6
         self.fused = (base + (2 if self.banks2 else 1)
                       * lay.num_slots * 4096 <= 17.5e6)
+        # step-compaction live window (SpMSpV): small enough to ride as a
+        # jit closure constant (nsteps int32)
+        self._minw = jnp.asarray(_flush_minw(lay.rg, lay.dstep))
+
+    def _sm_na(self, a, tiles_active):
+        return _steps_sm_na(a.a_page, self._minw, tiles_active)
 
     def _x2(self, x, a, tiles_active=None):
         """Static per-tile column re-layout of x (bucket balancing).
@@ -1128,13 +1277,13 @@ class PlanarSpMV:
                            interpret=self.config.resolve_interpret(),
                            dtype=x3.dtype, act=tiles_active)
 
-    def scatter(self, x, arrays=None, tiles_active=None):
+    def scatter(self, x, arrays=None, tiles_active=None, sm=None, na=None):
         a = self.arrays if arrays is None else arrays
         x2 = self._x2(x, a, tiles_active)
         rg = (a.rg if tiles_active is None
               else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
         return _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg,
-                                    a.planes, x2, a.a_sub,
+                                    a.planes, x2, a.a_sub, sm, na,
                                     **self._static_scatter)
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
@@ -1144,23 +1293,30 @@ class PlanarSpMV:
         row tiling matches the vector tiling exactly), so 3D-iterating
         loops never pay the 1D<->tiled relayout. A 3D `mask` is required
         with out_3d. `tiles_active` (num_col_tiles,) predicates deposits for
-        SpMSpV (see _predicate_rg)."""
+        SpMSpV (see _predicate_rg) AND step-compacts the grid to the
+        frontier's flush-closed step footprint (see _steps_sm_na), so
+        HBM stream traffic and compute scale with the frontier."""
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
+        sm = na = None
+        if tiles_active is not None:
+            sm, na = self._sm_na(a, tiles_active)
         if self.fused:
             x2 = self._x2(x, a, tiles_active)
             rg = (a.rg if tiles_active is None
                   else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
             blocks = _planar_fused_call(a.a_page, a.a_r, a.a_vals, rg,
                                         a.planes, a.c_code, a.c_hi, a.c_lo,
-                                        x2, a.a_sub, looped=self._looped,
+                                        x2, a.a_sub, sm, na,
+                                        looped=self._looped,
                                         banks2=self.banks2,
                                         **self._static_fused)
         else:
-            g = self.scatter(x, arrays=a, tiles_active=tiles_active)
+            g = self.scatter(x, arrays=a, tiles_active=tiles_active,
+                             sm=sm, na=na)
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
-                                         **self._static_reduce)
+                                         sm, na, **self._static_reduce)
         if out_3d:
             y = _blocks_to_3d(blocks, self.num_rows)
         else:
@@ -1281,9 +1437,13 @@ class RouterSpMV:
         self.banks2 = base + 2 * lay.num_slots * 4096 <= 12e6
         self.fused = (base + (2 if self.banks2 else 1)
                       * lay.num_slots * 4096 <= 12e6)
+        self._minw = jnp.asarray(_flush_minw(lay.rg, lay.dstep))
+
+    def _sm_na(self, a, tiles_active):
+        return _steps_sm_na(a.a_page, self._minw, tiles_active)
 
     def scatter(self, x, arrays: RouterArrays | None = None,
-                tiles_active=None):
+                tiles_active=None, sm=None, na=None):
         """Run phases A+B only: returns the flush-ordered value stream
         (exposed for tests against the formatter simulation)."""
         a = self.arrays if arrays is None else arrays
@@ -1292,7 +1452,7 @@ class RouterSpMV:
         rg = (a.rg if tiles_active is None
               else _predicate_rg(a.rg, a.a_page, tiles_active, "roll"))
         return _router_scatter_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
-                                    rg, x2, **self._static_scatter)
+                                    rg, x2, sm, na, **self._static_scatter)
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
                  arrays: RouterArrays | None = None, out_3d: bool = False,
@@ -1300,22 +1460,27 @@ class RouterSpMV:
         """One SpMV; x as (ncols,) or (nct, 8, 128). `out_3d=True` returns
         (num_rows/1024, 8, 128) — a free view of the region blocks — so
         3D-iterating loops skip the ~2.3 GB/s 1D<->tiled relayout.
-        `tiles_active` (num_col_tiles,) predicates deposits for SpMSpV."""
+        `tiles_active` (num_col_tiles,) predicates deposits for SpMSpV and
+        step-compacts the grid (see _steps_sm_na)."""
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
+        sm = na = None
+        if tiles_active is not None:
+            sm, na = self._sm_na(a, tiles_active)
         if self.fused:
             x2 = x.reshape(lay.num_col_tiles, S, L) if x.ndim == 1 else x
             rg = (a.rg if tiles_active is None
                   else _predicate_rg(a.rg, a.a_page, tiles_active, "roll"))
             blocks = _router_fused_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
                                         rg, a.c_code, a.c_hi, a.c_lo, x2,
-                                        banks2=self.banks2,
+                                        sm, na, banks2=self.banks2,
                                         **self._static_fused)
         else:
-            g = self.scatter(x, arrays=a, tiles_active=tiles_active)
+            g = self.scatter(x, arrays=a, tiles_active=tiles_active,
+                             sm=sm, na=na)
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
-                                         **self._static_reduce)
+                                         sm, na, **self._static_reduce)
         if out_3d:
             y = _blocks_to_3d(blocks, self.num_rows)
         else:

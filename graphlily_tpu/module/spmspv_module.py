@@ -213,7 +213,11 @@ class SpMSpVModule(BaseModule):
         from ..ops.tropical_pallas import TropicalSpMV
         if isinstance(self._pallas, (PlanarSpMV, RouterSpMV, TropicalSpMV)):
             nct = self._pallas.layout.num_col_tiles
-            act = jnp.any(x.reshape(nct, -1)
+            # roll engines predicate at 128-col PAGE granularity (each roll
+            # A-chunk is page-local) — 8x finer than the col tile; planar/
+            # tropical reduce the page activity back to tiles internally
+            unit = nct * 8 if isinstance(self._pallas, RouterSpMV) else nct
+            act = jnp.any(x.reshape(unit, -1)
                           != jnp.asarray(zero, x.dtype), axis=1)
             return self._pallas(x, None, MaskType.NO_MASK, arrays=state,
                                 tiles_active=act, out_3d=out_3d)

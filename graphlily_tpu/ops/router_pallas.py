@@ -449,7 +449,21 @@ def _flush_minw(rg, dstep: int):
     return minw
 
 
-def _steps_sm_na(a_page, minw, tiles_active):
+def _chunk_activity(a_page, a_sub, active, num_col_tiles: int):
+    """Per-chunk frontier activity (nsteps, cb). `active` is either
+    (num_col_tiles,) tile-granular or (num_col_tiles*8,) PAGE-granular
+    (128 columns — the roll flavor's natural unit: each roll A-chunk holds
+    one page, whose sublane rides chunk-constant in a_sub, so no extra
+    layout stream is needed). Page granularity is 8x finer than the tile
+    predication VERDICT r2 flagged as too coarse for push to ever win."""
+    tiles = a_page[:, 0, :]
+    if active.shape[0] == num_col_tiles * 8 and a_sub is not None:
+        page = tiles * 8 + a_sub[:, 0::S, 0].astype(jnp.int32)
+        return jnp.take(active.astype(jnp.int32), page, axis=0, mode="clip")
+    return jnp.take(active.astype(jnp.int32), tiles, axis=0, mode="clip")
+
+
+def _steps_sm_na(act_chunk, minw):
     """Device-side step-compaction schedule for SpMSpV (the router/planar
     analog of the chunked engine's sm/na remap): a step is KEPT iff any
     step in its flush live-window [minw[t], t] has a frontier-active chunk.
@@ -459,10 +473,8 @@ def _steps_sm_na(a_page, minw, tiles_active):
     the previous kept flush zeroed it. Returns (sm, na): grid step i runs
     layout step sm[i]; steps >= na repeat the last kept block (no DMA)
     and skip the kernel body."""
-    nsteps = a_page.shape[0]
-    act = jnp.take(tiles_active.astype(jnp.int32), a_page[:, 0, :],
-                   axis=0, mode="clip")              # (nsteps, cb)
-    act_step = jnp.max(act, axis=1)
+    nsteps = act_chunk.shape[0]
+    act_step = jnp.max(act_chunk, axis=1)
     iota = jnp.arange(nsteps, dtype=jnp.int32)
     last_act = jax.lax.cummax(jnp.where(act_step > 0, iota, -1))
     kept = last_act >= minw
@@ -473,25 +485,21 @@ def _steps_sm_na(a_page, minw, tiles_active):
     return sm, na.reshape(1)
 
 
-def _predicate_rg(rg, a_page, tiles_active, flavor: str):
+def _predicate_rg(rg, act_chunk, flavor: str):
     """SpMSpV work-proportional predication (counterpart of the reference's
     active-column bursts, hw/kernel_spmspv_impl.h:55-124): mask the w2 word
-    of every DEPOSIT whose source chunk's col tile holds no active frontier
-    entry — the kernel's w2==0 path then skips its (dominant) gather/roll
-    work. Flushes keep running (accumulators may drain active contributions)
+    of every DEPOSIT whose source chunk holds no active frontier entry
+    (act_chunk from _chunk_activity — tile- or page-granular) — the
+    kernel's w2==0 path then skips its (dominant) gather/roll work.
+    Flushes keep running (accumulators may drain active contributions)
     and skipped ranges read zero (accumulators are zeroed at flush), which
     is exactly the skipped products' value: x is semiring-zero on inactive
-    columns. Pure XLA gathers (~nsteps*rstep int32s), jit-fusable.
-
-    `tiles_active`: (num_col_tiles,) bool/int — tile has a frontier entry.
-    """
+    columns. Pure XLA gathers (~nsteps*rstep int32s), jit-fusable."""
     w1, w2 = rg[..., 0], rg[..., 1]
     if flavor == "planar":
         k = w1 & 0xFF                       # chunk-in-step
     else:                                   # roll: w1 = dst|dl<<10|ds<<17|k<<20
         k = w1 >> 20
-    act_chunk = jnp.take(tiles_active.astype(jnp.int32), a_page[:, 0, :],
-                         axis=0, mode="clip")           # (nsteps, cb)
     act_d = jnp.take_along_axis(act_chunk, k, axis=1)   # (nsteps, rstep)
     dead = jnp.logical_and(w2 > 0, act_d == 0)
     return jnp.stack([w1, jnp.where(dead, 0, w2)], axis=-1)
@@ -1258,8 +1266,13 @@ class PlanarSpMV:
         # jit closure constant (nsteps int32)
         self._minw = jnp.asarray(_flush_minw(lay.rg, lay.dstep))
 
-    def _sm_na(self, a, tiles_active):
-        return _steps_sm_na(a.a_page, self._minw, tiles_active)
+    def _normalize_act(self, active):
+        # planar chunks mix all 8 pages of their tile, so activity stays
+        # tile-granular (page-granular input is reduced back to tiles)
+        if (active is not None
+                and active.shape[0] == self.layout.num_col_tiles * 8):
+            return jnp.max(active.astype(jnp.int32).reshape(-1, 8), axis=1)
+        return active
 
     def _x2(self, x, a, tiles_active=None):
         """Static per-tile column re-layout of x (bucket balancing).
@@ -1279,12 +1292,18 @@ class PlanarSpMV:
 
     def scatter(self, x, arrays=None, tiles_active=None, sm=None, na=None):
         a = self.arrays if arrays is None else arrays
+        tiles_active = self._normalize_act(tiles_active)
         x2 = self._x2(x, a, tiles_active)
         rg = (a.rg if tiles_active is None
-              else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
+              else _predicate_rg(a.rg, self._act_chunk(a, tiles_active),
+                                 "planar"))
         return _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg,
                                     a.planes, x2, a.a_sub, sm, na,
                                     **self._static_scatter)
+
+    def _act_chunk(self, a, tiles_active):
+        return _chunk_activity(a.a_page, None, tiles_active,
+                               self.layout.num_col_tiles)
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
                  arrays=None, out_3d: bool = False, tiles_active=None):
@@ -1299,13 +1318,15 @@ class PlanarSpMV:
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
+        tiles_active = self._normalize_act(tiles_active)
         sm = na = None
         if tiles_active is not None:
-            sm, na = self._sm_na(a, tiles_active)
+            act_chunk = self._act_chunk(a, tiles_active)
+            sm, na = _steps_sm_na(act_chunk, self._minw)
         if self.fused:
             x2 = self._x2(x, a, tiles_active)
             rg = (a.rg if tiles_active is None
-                  else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
+                  else _predicate_rg(a.rg, act_chunk, "planar"))
             blocks = _planar_fused_call(a.a_page, a.a_r, a.a_vals, rg,
                                         a.planes, a.c_code, a.c_hi, a.c_lo,
                                         x2, a.a_sub, sm, na,
@@ -1313,8 +1334,12 @@ class PlanarSpMV:
                                         banks2=self.banks2,
                                         **self._static_fused)
         else:
-            g = self.scatter(x, arrays=a, tiles_active=tiles_active,
-                             sm=sm, na=na)
+            x2 = self._x2(x, a, tiles_active)
+            rg = (a.rg if tiles_active is None
+                  else _predicate_rg(a.rg, act_chunk, "planar"))
+            g = _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg,
+                                     a.planes, x2, a.a_sub, sm, na,
+                                     **self._static_scatter)
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
                                          sm, na, **self._static_reduce)
         if out_3d:
@@ -1439,8 +1464,12 @@ class RouterSpMV:
                       * lay.num_slots * 4096 <= 12e6)
         self._minw = jnp.asarray(_flush_minw(lay.rg, lay.dstep))
 
-    def _sm_na(self, a, tiles_active):
-        return _steps_sm_na(a.a_page, self._minw, tiles_active)
+    def _act_chunk(self, a, active):
+        # roll A-chunks are page-local (a_sub rides the page's sublane,
+        # chunk-constant), so (nct*8,)-sized activity predicates at
+        # 128-column granularity for free
+        return _chunk_activity(a.a_page, a.a_sub, active,
+                               self.layout.num_col_tiles)
 
     def scatter(self, x, arrays: RouterArrays | None = None,
                 tiles_active=None, sm=None, na=None):
@@ -1450,7 +1479,8 @@ class RouterSpMV:
         x2 = (x.reshape(self.layout.num_col_tiles, S, L)
               if x.ndim == 1 else x)
         rg = (a.rg if tiles_active is None
-              else _predicate_rg(a.rg, a.a_page, tiles_active, "roll"))
+              else _predicate_rg(a.rg, self._act_chunk(a, tiles_active),
+                                 "roll"))
         return _router_scatter_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
                                     rg, x2, sm, na, **self._static_scatter)
 
@@ -1460,25 +1490,30 @@ class RouterSpMV:
         """One SpMV; x as (ncols,) or (nct, 8, 128). `out_3d=True` returns
         (num_rows/1024, 8, 128) — a free view of the region blocks — so
         3D-iterating loops skip the ~2.3 GB/s 1D<->tiled relayout.
-        `tiles_active` (num_col_tiles,) predicates deposits for SpMSpV and
-        step-compacts the grid (see _steps_sm_na)."""
+        `tiles_active` — (num_col_tiles,) tile- or (num_col_tiles*8,)
+        page-granular — predicates deposits for SpMSpV and step-compacts
+        the grid (see _steps_sm_na)."""
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
         sm = na = None
         if tiles_active is not None:
-            sm, na = self._sm_na(a, tiles_active)
+            act_chunk = self._act_chunk(a, tiles_active)
+            sm, na = _steps_sm_na(act_chunk, self._minw)
         if self.fused:
             x2 = x.reshape(lay.num_col_tiles, S, L) if x.ndim == 1 else x
             rg = (a.rg if tiles_active is None
-                  else _predicate_rg(a.rg, a.a_page, tiles_active, "roll"))
+                  else _predicate_rg(a.rg, act_chunk, "roll"))
             blocks = _router_fused_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
                                         rg, a.c_code, a.c_hi, a.c_lo, x2,
                                         sm, na, banks2=self.banks2,
                                         **self._static_fused)
         else:
-            g = self.scatter(x, arrays=a, tiles_active=tiles_active,
-                             sm=sm, na=na)
+            rg = (a.rg if tiles_active is None
+                  else _predicate_rg(a.rg, act_chunk, "roll"))
+            x2 = (x.reshape(lay.num_col_tiles, S, L) if x.ndim == 1 else x)
+            g = _router_scatter_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
+                                     rg, x2, sm, na, **self._static_scatter)
             blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
                                          sm, na, **self._static_reduce)
         if out_3d:

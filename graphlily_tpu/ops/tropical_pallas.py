@@ -288,12 +288,15 @@ class TropicalSpMV:
         predicates pass-1 deposits for SpMSpV: skipped ranges read 0, the
         MAX-identity of the bit-encoded domain (= E(INF), the tropical
         annihilator), so inactive columns drop out exactly."""
-        from .router_pallas import _predicate_rg
+        from .router_pallas import _predicate_rg, _chunk_activity
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
         p = lay.planar
         nct = p.num_col_tiles
+        if tiles_active is not None and tiles_active.shape[0] == nct * 8:
+            tiles_active = jnp.max(
+                tiles_active.astype(jnp.int32).reshape(-1, 8), axis=1)
         x3 = x.reshape(nct, S, L) if x.ndim == 1 else x
         # deal="free" layouts need no xperm re-layout (chained phase-A
         # gather reaches any (sublane, lane) of the natural tile)
@@ -302,7 +305,9 @@ class TropicalSpMV:
                           interpret=self.config.resolve_interpret(),
                           dtype=x3.dtype, act=tiles_active))
         rg = (a.rg if tiles_active is None
-              else _predicate_rg(a.rg, a.a_page, tiles_active, "planar"))
+              else _predicate_rg(
+                  a.rg, _chunk_activity(a.a_page, None, tiles_active, nct),
+                  "planar"))
         g1 = _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg, a.planes,
                                   x2, a.a_sub, **self._static_scatter)
         g1 = g1.reshape(p.nsteps * p.f, S, L)

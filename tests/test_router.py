@@ -149,3 +149,28 @@ def test_router_predicated_sparse_frontier(fused, rng):
                                    ArithmeticSemiring, None,
                                    MaskType.NO_MASK))
         np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
+def test_router_predicated_page_granular(rng):
+    """Page-granular (128-col) predication — the roll flavor's natural unit
+    (each A-chunk holds one page; _chunk_activity recovers the page from the
+    chunk-constant a_sub plane) — must agree with tile-granular predication
+    and with the dense run bit-for-bit: finer masking only skips work whose
+    contribution is exactly zero."""
+    config = EngineConfig(interpret=True)
+    csr = rmat_csr(num_rows=2000, nnz=20000, seed=16)
+    lay = pack_router(csr, config)
+    eng = RouterSpMV(lay, ArithmeticSemiring, config)
+    nct = lay.num_cols // 1024
+    for sparsity in (0.9, 0.999):
+        x = np.zeros(lay.num_cols, np.float32)
+        nnz_vec = max(1, int(round(lay.num_cols * (1 - sparsity))))
+        idx = rng.choice(lay.num_cols, size=nnz_vec, replace=False)
+        x[idx] = rng.random(nnz_vec).astype(np.float32) + 0.5
+        pages = jnp.asarray(np.any(x.reshape(nct * 8, -1) != 0, axis=1))
+        tiles = jnp.asarray(np.any(x.reshape(nct, -1) != 0, axis=1))
+        y_page = np.asarray(eng(jnp.asarray(x), tiles_active=pages))
+        y_tile = np.asarray(eng(jnp.asarray(x), tiles_active=tiles))
+        y_dense = np.asarray(eng(jnp.asarray(x)))
+        np.testing.assert_array_equal(y_page, y_dense)
+        np.testing.assert_array_equal(y_tile, y_dense)

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Push-vs-pull floor on real TPU (VERDICT r2 #4's 'done' criterion).
+
+For a graph, measures on-device loops (min-of-reps, dispatch floor
+subtracted):
+  pull      : dense SpMV through the SpMVModule engine (out_3d)
+  push(s)   : SpMSpVModule.apply_dense at frontier sparsity s
+              (the step-compacted predicated path)
+The push module SHARES the pull module's engine (reuse_from), exactly as
+the fused apps do, so the numbers are the apps' pull_push economics.
+
+Usage: python tools/push_floor.py [graph] [scale] [sparsities]
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    graph = sys.argv[1] if len(sys.argv) > 1 else "googleplus"
+    scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    spars = [float(s) for s in
+             (sys.argv[3] if len(sys.argv) > 3
+              else "0.99,0.999,0.9999").split(",")]
+
+    import jax
+    import jax.numpy as jnp
+    from graphlily_tpu import ArithmeticSemiring, MaskType, EngineConfig
+    from graphlily_tpu.io import iccad_standin, csr2csc
+    from graphlily_tpu.io.formatter import util_round_csr_matrix_dim
+    from graphlily_tpu.module import SpMVModule, SpMSpVModule
+    from bench import _prep, measure_floor
+
+    config = EngineConfig(mxu_precision="default",
+                          layout_cache=".layout_cache")
+    csr = iccad_standin(graph, scale=scale,
+                        seed=0 if graph == "googleplus" else 1)
+    work = _prep(csr, config, degree_sort=True)
+    spmv = SpMVModule(config)
+    spmv.set_semiring(ArithmeticSemiring)
+    spmv.set_mask_type(MaskType.NO_MASK)
+    spmv.load_and_format_matrix(work)
+    csc = csr2csc(work)
+    mod = SpMSpVModule(config)
+    mod.set_semiring(ArithmeticSemiring)
+    mod.set_mask_type(MaskType.NO_MASK)
+    mod.load_and_format_matrix(csc, reuse_from=spmv)
+    eng = mod._pallas
+    n = mod.num_cols_
+    print(f"{graph} s{scale} engine={type(eng).__name__} "
+          f"fused={getattr(eng, 'fused', None)} n={n}", flush=True)
+    floor = measure_floor(jax, jnp)
+    print(f"floor {floor * 1e3:.2f} ms", flush=True)
+    iters = 20
+    st_pull = spmv.device_state()
+    st_push = mod.device_state()
+    x3d = jnp.full((n // 1024, 8, 128), 1.0 / n, jnp.float32)
+
+    def timeit(name, fn, *args):
+        f = jax.jit(fn)
+        r = f(*args)
+        np.asarray(jax.tree_util.tree_leaves(r)[0])   # real sync (axon)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(jax.tree_util.tree_leaves(f(*args))[0])
+            best = min(best, (time.perf_counter() - t0 - floor) / iters)
+        print(f"{name:18s} {best * 1e3:8.3f} ms", flush=True)
+        return best
+
+    def loop_pull(st, x_):
+        def body(_i, v):
+            y = spmv._pallas(v, arrays=st, out_3d=True)
+            return y * 1e-20 + v
+        return jax.lax.fori_loop(0, iters, body, x_)
+
+    pull = timeit("pull SpMV", loop_pull, st_pull, x3d)
+
+    rng = np.random.default_rng(7)
+    for s in spars:
+        nv = max(1, int(round(n * (1 - s))))
+        x = np.zeros(n, np.float32)
+        idx = rng.choice(n, size=nv, replace=False)
+        x[idx] = 1.0
+        xj = jnp.asarray(x.reshape(n // 1024, 8, 128))
+
+        def loop_push(st, x_):
+            def body(_i, v):
+                y, _nnz = mod.apply_dense(v, state=st, out_3d=True)
+                return y * 1e-20 + v
+            return jax.lax.fori_loop(0, iters, body, x_)
+
+        t = timeit(f"push s={s} nnz={nv}", loop_push, st_push, xj)
+        print(f"  -> push/pull = {t / pull:.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,27 +102,52 @@ def main():
 
     timeit("act reduction", loop_act, x3)
 
-    act = jnp.any(x3.reshape(nct, -1) != jnp.asarray(zero, x3.dtype), axis=1)
+    router_like = type(eng).__name__ in ("PlanarSpMV", "RouterSpMV",
+                                         "TropicalSpMV")
+    unit = nct * 8 if type(eng).__name__ == "RouterSpMV" else nct
+    act = jnp.any(x3.reshape(unit, -1) != jnp.asarray(zero, x3.dtype),
+                  axis=1)
     flavor = "planar" if type(eng).__name__ in ("PlanarSpMV",
                                                 "TropicalSpMV") else "roll"
 
-    # 3) descriptor predication
-    def loop_pred(rg, page, act_):
-        def body(_i, c):
-            rg2 = _predicate_rg(rg, page, act_, flavor)
-            return c + rg2[0, 0, 0].astype(jnp.float32) * 1e-20
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+    if router_like:
+        from graphlily_tpu.ops.router_pallas import _chunk_activity
 
-    timeit("predicate_rg", loop_pred, a.rg, a.a_page, act)
+        # 3) descriptor predication
+        def loop_pred(rg, page, sub, act_):
+            def body(_i, c):
+                ac = _chunk_activity(page, sub, act_, nct)
+                rg2 = _predicate_rg(rg, ac, flavor)
+                return c + rg2[0, 0, 0].astype(jnp.float32) * 1e-20
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        timeit("predicate_rg", loop_pred, a.rg, a.a_page,
+               getattr(a, "a_sub", None), act)
 
     # 4) engine, predicated (pre-tiled x)
-    def loop_eng_pred(ar, x_, act_):
-        def body(_i, v):
-            y = eng(v, arrays=ar, out_3d=True, tiles_active=act_)
-            return y * 1e-20 + v
-        return jax.lax.fori_loop(0, iters, body, x_)
+    if router_like:
+        def loop_eng_pred(ar, x_, act_):
+            def body(_i, v):
+                y = eng(v, arrays=ar, out_3d=True, tiles_active=act_)
+                return y * 1e-20 + v
+            return jax.lax.fori_loop(0, iters, body, x_)
 
-    timeit("engine (predicated)", loop_eng_pred, a, x3, act)
+        timeit("engine (predicated)", loop_eng_pred, a, x3, act)
+    else:
+        # chunked engine: step-compacted call_predicated via sm/na
+        touch = jnp.asarray(eng.layout.step_touch)
+
+        def loop_eng_pred(ar, x_, act_):
+            def body(_i, v):
+                sa = (touch @ act_.astype(touch.dtype)) > 0
+                sm = jnp.nonzero(sa, size=touch.shape[0],
+                                 fill_value=0)[0].astype(jnp.int32)
+                na = jnp.sum(sa).astype(jnp.int32).reshape(1)
+                y = eng.call_predicated(v, sm, na, arrays=ar, out_3d=True)
+                return y * 1e-20 + v
+            return jax.lax.fori_loop(0, iters, body, x_)
+
+        timeit("engine (predicated)", loop_eng_pred, a, x3, act)
 
     # 5) engine, dense
     def loop_eng(ar, x_):

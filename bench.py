@@ -36,10 +36,14 @@ import numpy as np
 
 PEAK_REFERENCE_GTEPS = 21.2  # derived U280 bound, BASELINE.md
 SSSP_EST_CAP_GB = 5.0        # chunked-layout budget for tropical apps
+STREAM_CEILING_GBPS = 218.0  # measured pure-DMA ceiling (tools/bw_probe.py)
+
+_T_START = time.perf_counter()
 
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[t+{(time.perf_counter() - _T_START)/60:5.1f}m]", *a,
+          file=sys.stderr, flush=True)
 
 
 def measure_floor(jax, jnp):
@@ -73,10 +77,13 @@ def _prep(csr, config, degree_sort):
 
 
 def tpu_correctness_gate(config):
-    """Mosaic-compiled engines vs a float64 host oracle before any timing:
-    chunked kernel (3 semirings x 3 masks) + router (2 semirings x 3 masks).
-    Aborts the benchmark loudly on a miscompile instead of publishing finite
-    garbage."""
+    """Smoke gate: every Mosaic-compiled engine kind vs a float64 host
+    oracle before any timing — one semiring per engine (the one the
+    benchmarks exercise), NO_MASK + one masked mode. The full semiring x
+    mask matrix lives in the CPU test suite (tests/test_router.py etc.);
+    this gate exists to abort loudly on a TPU-only miscompile instead of
+    publishing finite garbage, and is sized for the driver's budget
+    (round-3's 24-combo gate cost 74 s of it)."""
     import jax.numpy as jnp
     from graphlily_tpu import (ArithmeticSemiring, LogicalSemiring,
                                TropicalSemiring, MaskType, EngineConfig)
@@ -113,23 +120,23 @@ def tpu_correctness_gate(config):
 
     cases = []
     lay_c = pack_csr_chunks(work, config, pad_val=0.0)
-    for sem in (ArithmeticSemiring, LogicalSemiring):
-        cases.append((f"chunked/{sem.name}", PallasSpMV(lay_c, sem, config),
-                      sem))
+    cases.append(("chunked/arithmetic",
+                  PallasSpMV(lay_c, ArithmeticSemiring, config),
+                  ArithmeticSemiring))
     lay_t = pack_csr_chunks(work, config, pad_val=float(FLOAT_INF))
     cases.append(("chunked/tropical",
                   PallasSpMV(lay_t, TropicalSemiring, config),
                   TropicalSemiring))
     lay_r = pack_router(work, config)
-    for sem in (ArithmeticSemiring, LogicalSemiring):
-        cases.append((f"router/{sem.name}", RouterSpMV(lay_r, sem, config),
-                      sem))
+    cases.append(("router/logical",
+                  RouterSpMV(lay_r, LogicalSemiring, config),
+                  LogicalSemiring))
     from graphlily_tpu.io.planar_format import pack_planar
     from graphlily_tpu.ops.router_pallas import PlanarSpMV
     lay_p = pack_planar(work, config, deal=config.planar_deal)
-    for sem in (ArithmeticSemiring, LogicalSemiring):
-        cases.append((f"planar-{config.planar_deal}/{sem.name}",
-                      PlanarSpMV(lay_p, sem, config), sem))
+    cases.append((f"planar-{config.planar_deal}/arithmetic",
+                  PlanarSpMV(lay_p, ArithmeticSemiring, config),
+                  ArithmeticSemiring))
     from graphlily_tpu.io.tropical_format import pack_tropical
     from graphlily_tpu.ops.tropical_pallas import TropicalSpMV
     lay_tr = pack_tropical(work, config)
@@ -140,8 +147,7 @@ def tpu_correctness_gate(config):
     tol = 3e-2 if config.mxu_precision == "default" else 2e-3
     for name, eng, sem in cases:
         want_plain = oracle(sem)
-        for mt in (MaskType.NO_MASK, MaskType.WRITE_TO_ZERO,
-                   MaskType.WRITE_TO_ONE):
+        for mt in (MaskType.NO_MASK, MaskType.WRITE_TO_ZERO):
             y = np.asarray(eng(jnp.asarray(x), jnp.asarray(mask), mt))
             want = want_plain if mt == MaskType.NO_MASK else np.asarray(
                 apply_mask(jnp.asarray(want_plain.astype(np.float32)),
@@ -152,7 +158,7 @@ def tpu_correctness_gate(config):
                 f"TPU correctness gate FAILED: {name} mask={mt.name} "
                 f"rel err {err:.3e} (tol {tol}) — Mosaic miscompile?")
         log(f"gate ok: {name}")
-    log(f"TPU correctness gate passed ({3 * len(cases)} "
+    log(f"TPU correctness gate passed ({2 * len(cases)} "
         "engine/semiring/mask combos)")
 
 
@@ -214,15 +220,44 @@ def bench_spmv(csr, config, iters=100, engine="router"):
         return jax.lax.fori_loop(0, iters, body, x)
 
     x0 = jnp.full((n // 1024, 8, 128), 1.0 / n, config.jdtype)
-    out = np.asarray(loop(eng.arrays, x0))  # compile + first run
-    assert np.isfinite(out).all()
-    floor = measure_floor(jax, jnp)
-    reps = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = np.asarray(loop(eng.arrays, x0))
-    dt = max((time.perf_counter() - t0) / reps - floor, 1e-9)
-    per_iter = dt / iters
+    out = np.asarray(loop(eng.arrays, x0))  # compile + first run
+    stats["compile_s"] = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+
+    # Timing doctrine (CLAUDE.md hard-won): MIN over independent
+    # single-dispatch reps, floor-subtracted per rep — single samples and
+    # averages swing +/-4 ms with host stalls (round 3's avg-of-3 published
+    # a pokec row 1.7x off the interleaved-min A/B tool's value).
+    # Sanity bound: the whole layout streams from HBM every iteration, so
+    # per-iter time below mem_bytes / 218 GB/s (the measured pure-DMA
+    # ceiling) is physically impossible — that is the failure mode that
+    # published 8.5e8 GTEPS in round 3 (a wedged-tunnel floor sample larger
+    # than the timed loop, silently clamped). Remeasure once; if still
+    # impossible, mark the row invalid rather than publish it.
+    reps = 5
+    t_floor_s = stats["mem_bytes"] / (STREAM_CEILING_GBPS * 1e9) * iters
+    for attempt in range(2):
+        floor = measure_floor(jax, jnp)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(loop(eng.arrays, x0))
+            best = min(best, time.perf_counter() - t0 - floor)
+        if best >= 0.9 * t_floor_s:
+            break
+        log(f"  SANITY: measured {best*1e3:.3f} ms < 0.9x the "
+            f"{t_floor_s*1e3:.3f} ms streaming bound "
+            f"({STREAM_CEILING_GBPS:.0f} GB/s) — remeasuring")
+    else:
+        stats["invalid"] = (
+            f"measured {best*1e3:.3f} ms for {iters} iters is below the "
+            f"{STREAM_CEILING_GBPS:.0f} GB/s streaming bound "
+            f"{t_floor_s*1e3:.3f} ms after remeasure")
+        log(f"  INVALID measurement dropped: {stats['invalid']}")
+        return stats
+    per_iter = best / iters
+    stats["timing"] = f"min-of-{reps} {iters}-iter device loops"
     stats["spmv_ms"] = per_iter * 1e3
     stats["spmv_gteps"] = csr.nnz / per_iter / 1e9
     return stats
@@ -273,9 +308,12 @@ def bench_spmspv_sweep(csr, config, sparsities=(0.9, 0.95, 0.99, 0.995,
         sv = sparse_from_entries(idx, np.ones(nnz_vec, np.float32),
                                  mod.capacity, dtype=config.jdtype)
         np.asarray(loop(state, sv))  # compile+warm
-        t0 = time.perf_counter()
-        np.asarray(loop(state, sv))
-        dt = max((time.perf_counter() - t0 - floor) / iters, 1e-9)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop(state, sv))
+            best = min(best, time.perf_counter() - t0 - floor)
+        dt = max(best / iters, 1e-9)
         traversed = int(deg[idx].sum())
         # the reference's protocol metric (bench_spmspv.cpp:61-76,229-240):
         # bytes of TOUCHED matrix (8 B/edge: 4B row idx + 4B value) over
@@ -314,6 +352,25 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
             best = min(best, time.perf_counter() - t0)
         return max(best - floor, 1e-9)
 
+    # SSSP FIRST: the full-scale SSSP rows (engine sharing, apps/sssp.py
+    # reuse_from) are the evidence round 3 built but never executed on the
+    # chip — land them before the budget can run out on PageRank/BFS rows
+    # that already exist from prior rounds.
+    if with_sssp:
+        g = sssp_csr if sssp_csr is not None else csr
+        sssp = SSSP(config)
+        sssp.load_and_format_matrix(g)
+        sssp.pull_push(0, bfs_iters, threshold=0.001)
+        dt = timed_min(lambda: sssp.pull_push(0, bfs_iters, threshold=0.001))
+        res["sssp_pull_push_ms"] = dt * 1e3
+        res["sssp_scale"] = sssp_scale
+        # free each app's device arrays before building the next: three
+        # apps' layouts + CSC twins alive at once exhaust HBM on the
+        # 100M+-edge graphs (hollywood apps died RESOURCE_EXHAUSTED)
+        del sssp
+        import gc
+        gc.collect()
+
     pr = PageRank(config)
     pr.load_and_format_matrix(csr, damping=0.9)
     t0 = time.perf_counter()
@@ -321,9 +378,6 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
     res["pagerank_compile_s"] = time.perf_counter() - t0
     dt = timed_min(lambda: pr.pull(0.9, 10))
     res["pagerank_ms_per_iter"] = dt / 10 * 1e3
-    # free each app's device arrays before building the next: three apps'
-    # layouts + CSC twins alive at once exhaust HBM on the 100M+-edge
-    # graphs (hollywood apps died RESOURCE_EXHAUSTED)
     del pr, r
 
     bfs = BFS(config)
@@ -337,15 +391,6 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
     res["bfs_gteps"] = csr.nnz / dt / 1e9
     res["bfs_edges_x_iters_gteps"] = csr.nnz * bfs_iters / dt / 1e9
     del bfs
-
-    if with_sssp:
-        g = sssp_csr if sssp_csr is not None else csr
-        sssp = SSSP(config)
-        sssp.load_and_format_matrix(g)
-        sssp.pull_push(0, bfs_iters, threshold=0.001)
-        dt = timed_min(lambda: sssp.pull_push(0, bfs_iters, threshold=0.001))
-        res["sssp_pull_push_ms"] = dt * 1e3
-        res["sssp_scale"] = sssp_scale
     return res
 
 
@@ -361,10 +406,26 @@ def feasible_sssp_scale(name, config):
     full scale (orkut 213M edges ≈ 11.7 GB)."""
     from graphlily_tpu.io import iccad_standin
     for sc in (1.0, 0.5, 0.25, 0.1):
-        g = iccad_standin(name, scale=sc, seed=1)
+        g = get_graph(name, sc, 1)
         if g.nnz * 55e-9 <= 12.0:
             return sc, g
     return None, None
+
+
+_GRAPH_MEMO = {}
+
+
+def get_graph(name, scale, seed):
+    """One-slot graph memo: the SpMV phase, the apps phase, and the SSSP
+    feasibility probe all want the same generated graph — re-generating a
+    234M-edge RMAT costs ~3 min of the driver's budget each time."""
+    key = (name, scale, seed)
+    if _GRAPH_MEMO.get("key") != key:
+        from graphlily_tpu.io import iccad_standin
+        _GRAPH_MEMO.clear()
+        _GRAPH_MEMO["key"] = key
+        _GRAPH_MEMO["g"] = iccad_standin(name, scale=scale, seed=seed)
+    return _GRAPH_MEMO["g"]
 
 
 def engine_sig(name: str) -> str:
@@ -404,9 +465,9 @@ def main():
                     help="comma list restricting the big-graph loop")
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--no-layout-cache", action="store_true")
-    ap.add_argument("--apps-budget-min", type=float, default=100.0,
+    ap.add_argument("--apps-budget-min", type=float, default=70.0,
                     help="stop benching big-graph apps past this elapsed time")
-    ap.add_argument("--total-budget-min", type=float, default=160.0,
+    ap.add_argument("--total-budget-min", type=float, default=40.0,
                     help="stop starting new sections past this elapsed time")
     args = ap.parse_args()
     t_start = time.perf_counter()
@@ -461,7 +522,7 @@ def main():
         prior = details.get("googleplus_full", {}).get("spmv_gteps", 0.0)
         print(json.dumps({
             "metric": "SpMV GTEPS (arithmetic, no mask, googleplus-scale "
-                      "RMAT 107614v/13.7Me, 100-run avg on device, prior "
+                      "RMAT 107614v/13.7Me, min-of-5 device loops, prior "
                       "run)",
             "value": round(prior, 4),
             "unit": "GTEPS",
@@ -469,26 +530,32 @@ def main():
         }), flush=True)
     else:
         log("== googleplus stand-in (full scale) ==")
-        csr = iccad_standin("googleplus", scale=1.0, seed=0)
+        csr = get_graph("googleplus", 1.0, 0)
+        # router engine only: the chunked engine is gate-verified above and
+        # its googleplus number has been stable (~1.65 GTEPS) since round 1
+        # — re-benching it cost a 0.54 GB pack + compile + run of the
+        # driver's fixed budget every round for a strictly worse row
         stats_r = bench_spmv(csr, config, iters=args.iters, engine="router")
-        log(f"googleplus router: {stats_r['spmv_gteps']:.3f} GTEPS "
-            f"({stats_r['spmv_ms']:.3f} ms, fill={stats_r['fill']:.2%})")
-        stats_c = bench_spmv(csr, config, iters=args.iters, engine="chunked")
-        log(f"googleplus chunked: {stats_c['spmv_gteps']:.3f} GTEPS "
-            f"({stats_c['spmv_ms']:.3f} ms, fill={stats_c['fill']:.2%})")
-        best = max(stats_r, stats_c, key=lambda s: s["spmv_gteps"])
-        details["googleplus_full"] = dict(best)
-        details["googleplus_full"]["spmv_chunked_ms"] = stats_c["spmv_ms"]
-        details["googleplus_full"]["spmv_router_ms"] = stats_r["spmv_ms"]
-        details["googleplus_full"]["sig"] = engine_sig("googleplus")
-        primary = best["spmv_gteps"]
+        log(f"googleplus router: {stats_r.get('spmv_gteps', 0):.3f} GTEPS "
+            f"({stats_r.get('spmv_ms', 0):.3f} ms, "
+            f"fill={stats_r['fill']:.2%})")
+        # MERGE into the prior row (round 3 clobbered the r2 apps + sweep
+        # evidence by assigning a fresh dict here)
+        prior = details.get("googleplus_full", {})
+        if "spmv_gteps" not in stats_r:  # invalid measurement: keep prior
+            details["googleplus_full"] = {**prior,
+                                          "invalid_r4": stats_r["invalid"]}
+        else:
+            details["googleplus_full"] = {**prior, **stats_r,
+                                          "sig": engine_sig("googleplus")}
+        primary = details["googleplus_full"].get("spmv_gteps", 0.0)
         save()
         # the one-line primary metric goes out NOW (nothing else is printed
         # to stdout): the remaining sections can be long on this 1-core host
         # and the driver must see the metric even if the run is cut short
         print(json.dumps({
             "metric": "SpMV GTEPS (arithmetic, no mask, googleplus-scale "
-                      "RMAT 107614v/13.7Me, 100-run avg on device)",
+                      "RMAT 107614v/13.7Me, min-of-5 device loops)",
             "value": round(primary, 4),
             "unit": "GTEPS",
             "vs_baseline": round(primary / PEAK_REFERENCE_GTEPS, 4),
@@ -515,17 +582,21 @@ def main():
                 save()
             continue
         try:
-            g = iccad_standin(name, scale=args.scale, seed=1)
+            g = get_graph(name, args.scale, 1)
             log(f"== {name} (scale {args.scale}, nnz={g.nnz}) ==")
-            st = bench_spmv(g, config, iters=20, engine="router")
+            st = bench_spmv(g, config, iters=40, engine="router")
             prior = {k2: v for k2, v in row.items()
                      if k2 not in ("skipped", "error", "apps_skipped",
-                                   "stale")}
+                                   "stale", "note")}
+            if "spmv_gteps" not in st:  # sanity-rejected: keep prior nums
+                details[key] = {**row, "invalid_r4": st["invalid"]}
+                save()
+                continue
             details[key] = {**prior, **st, "sig": engine_sig(name)}
             log(f"{name}: {st['spmv_gteps']:.3f} GTEPS "
                 f"({st['spmv_ms']:.3f} ms, fill={st['fill']:.2%}, "
                 f"mem={st['mem_bytes']/1e9:.2f} GB, "
-                f"pack={st['pack_s']:.0f}s)")
+                f"pack={st['pack_s']:.0f}s, compile={st['compile_s']:.0f}s)")
             save()
         except Exception as e:  # keep the primary metric robust
             log(f"{name} failed: {type(e).__name__}: {e}")
@@ -547,6 +618,23 @@ def main():
             details["googleplus_full"]["spmspv_sweep"] = sweep
             log(f"spmspv sweep: "
                 f"{ {k: round(v['ms'],2) for k,v in sweep.items()} } ms")
+            # push-vs-pull crossover: the adaptive direction switch
+            # (reference app/bfs.h:160-219) only pays if one push SpMSpV at
+            # high frontier sparsity beats one pull SpMV — record the
+            # comparison explicitly so the capability is MEASURED, not
+            # just implemented
+            pull_ms = details["googleplus_full"].get("spmv_ms")
+            if pull_ms:
+                push_ms = min(v["ms"] for k, v in sweep.items()
+                              if float(k.split("_")[1]) >= 0.999)
+                details["googleplus_full"]["push_vs_pull"] = {
+                    "pull_spmv_ms": pull_ms,
+                    "best_push_ms_sparsity_ge_0.999": push_ms,
+                    "push_wins": push_ms < pull_ms,
+                }
+                log(f"push-vs-pull: push {push_ms:.2f} ms vs pull "
+                    f"{pull_ms:.2f} ms -> "
+                    f"{'PUSH' if push_ms < pull_ms else 'PULL'} wins")
             save()
         except Exception as e:
             log(f"googleplus apps failed: {type(e).__name__}: {e}")
@@ -569,7 +657,7 @@ def main():
             save()
             continue
         try:
-            g = iccad_standin(name, scale=args.scale, seed=1)
+            g = get_graph(name, args.scale, 1)
             sc_s, g_s = feasible_sssp_scale(name, config)
             appres = bench_apps(
                 g, config, ICCAD_GRAPHS[name]["iters"],

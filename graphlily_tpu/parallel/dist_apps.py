@@ -47,6 +47,69 @@ def dist_bfs_pull(eng: DistSpMV, source: int, num_iterations: int):
                            jnp.asarray(num_iterations)))
 
 
+def dist_bfs_pull_push(eng_pull: DistSpMV, source: int,
+                       num_iterations: int, threshold: float = 0.05,
+                       eng_push: DistSpMV | None = None):
+    """Distributed adaptive-direction BFS with the reference's exact
+    iteration semantics (app/bfs.h:160-219 — do-while push while the
+    frontier is sparse, then pull). Push computes the SAME A (x) frontier
+    product (the reference's SpMSpV consumes A in CSC storage, not A^T —
+    module/spmspv_module.py packs csc2csr(csr2csc(A)) == A); `eng_push`
+    optionally supplies a frontier-predicated engine for that product and
+    defaults to `eng_pull` (dense-frontier equivalence, apps/bfs.py
+    push_step). The density check is an on-device global sum XLA reduces
+    across shards; the rows->cols reshard between iterations is the ICI
+    all-to-all."""
+    if eng_push is None:
+        eng_push = eng_pull
+    assert eng_pull.num_rows == eng_pull.num_cols, (
+        "iterating apps need square padding (see dist_bfs_pull)")
+    n = eng_pull.num_rows
+
+    @jax.jit
+    def loop(frontier, distance, iters, thr):
+        def step(direction_eng, i, fr, dist):
+            y = direction_eng(fr, dist)
+            val = (i + 1).astype(dist.dtype)
+            dist = jnp.where(y != 0, val, dist)
+            return direction_eng.reshard_for_input(y), dist
+
+        # phase 1: push (do-while, bfs.h:179-190)
+        def push_cond(carry):
+            it, _fr, nnz, _dist = carry
+            sparse = nnz.astype(jnp.float32) / n < thr
+            return jnp.logical_or(it == 0,
+                                  jnp.logical_and(it + 1 < iters, sparse))
+
+        def push_body(carry):
+            it, fr, _nnz, dist = carry
+            fr, dist = step(eng_push, it + 1, fr, dist)
+            return (it + 1, fr, (fr != 0).sum().astype(jnp.int32), dist)
+
+        it, fr, _nnz, dist = jax.lax.while_loop(
+            push_cond, push_body,
+            (jnp.asarray(0, jnp.int32), frontier,
+             jnp.asarray(1, jnp.int32), distance))
+
+        # phase 2: pull for the remaining iterations (frontier already dense)
+        def pull_body(carry):
+            it2, fr2, dist2 = carry
+            fr2, dist2 = step(eng_pull, it2 + 1, fr2, dist2)
+            return (it2 + 1, fr2, dist2)
+
+        _, _, dist = jax.lax.while_loop(
+            lambda c: c[0] < iters, pull_body, (it, fr, dist))
+        return dist
+
+    f0 = np.zeros(eng_pull.num_cols, np.float32)
+    f0[source] = 1
+    d0 = np.zeros(n, np.float32)
+    d0[source] = 1
+    return np.asarray(loop(jnp.asarray(f0), jnp.asarray(d0),
+                           jnp.asarray(num_iterations),
+                           jnp.asarray(threshold, jnp.float32)))
+
+
 def dist_sssp_pull(eng: DistSpMV, source: int, num_iterations: int):
     """Distributed SSSP pull: eng must be a TropicalSemiring DistSpMV
     (cross-shard combine = pmin over 'cols'). The matrix must carry the

@@ -201,6 +201,260 @@ def pack_planar_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
                                for rl in layouts], np.int64))
 
 
+@dataclasses.dataclass
+class ShardedTropicalLayout:
+    """Tropical (ADDMIN) streams with leading (R, C) mesh dims; `proto` is
+    shard (0,0) padded to the mesh-common static geometry (planar pass-1
+    dims AND split/reduce pass dims)."""
+
+    arrays: dict
+    proto: "object"               # TropicalSpMVLayout (padded shard (0,0))
+    num_rows: int
+    num_cols: int
+    nnz: int
+    rows_shards: int
+    col_shards: int
+    local_rows: int
+    local_cols: int
+    chunk_counts: Optional[np.ndarray] = None
+
+    @property
+    def shard_balance(self) -> float:
+        if self.chunk_counts is None or self.chunk_counts.size == 0:
+            return 1.0
+        avg = float(self.chunk_counts.mean())
+        return float(self.chunk_counts.max()) / max(avg, 1e-9)
+
+
+def _pad_tropical(tl, nsteps, dstep, f, dmax, num_slots,
+                  nsteps2, dstep2, f2, dmax2, num_slots2, pad_val):
+    """Restride one shard's TropicalSpMVLayout to the mesh-common geometry.
+
+    Pass 1 (planar scatter) pads via _pad_planar. The split/reduce pass
+    schedules pad the same way the planar ones do: deposits keep slots
+    [0, dstep2), flushes move to [dstep2_c, dstep2_c + f2_old), zero rg2
+    words and c_win = -1 are no-ops in the kernels
+    (ops/tropical_pallas.py: deposit guard w2 > 0, flush guard w2 < 0,
+    reduce guard c >= 0). in_order indexes the pass-1 flush stream as
+    step * f + q, so padding pass-1's f re-strides every index."""
+    from ..io.tropical_format import TropicalSpMVLayout
+    p_old = tl.planar
+    p = _pad_planar(p_old, nsteps, dstep, f, dmax, num_slots, pad_val)
+    kb = tl.kb
+    rstep2 = dstep2 + f2
+
+    io_old = tl.in_order.astype(np.int64)
+    io_new = (io_old // p_old.f) * f + (io_old % p_old.f)
+    in_order = np.zeros(nsteps2 * kb, np.int32)
+    in_order[:len(io_new)] = io_new.astype(np.int32)
+
+    rg2 = np.zeros((nsteps2, rstep2, 2), np.int32)
+    rg2[:tl.nsteps2, :tl.dstep2] = tl.rg2[:, :tl.dstep2]
+    rg2[:tl.nsteps2, dstep2:dstep2 + tl.f2] = tl.rg2[:, tl.dstep2:]
+    planes2 = np.zeros((nsteps2, dmax2, S, L), np.int8)
+    planes2[:tl.nsteps2, :tl.dmax2] = tl.planes2
+
+    c_win = np.full((nsteps2, f2), -1, np.int32)
+    c_win[:tl.nsteps2, :tl.f2] = tl.c_win.reshape(tl.nsteps2, tl.f2)
+
+    def pad_plane(a):
+        out = np.zeros((nsteps2, f2, S, L), np.int8)
+        out[:tl.nsteps2, :tl.f2] = a.reshape(tl.nsteps2, tl.f2, S, L)
+        return out.reshape(nsteps2 * f2, S, L)
+
+    return TropicalSpMVLayout(
+        planar=p, in_order=in_order, rg2=rg2, planes2=planes2,
+        c_win=c_win.reshape(-1), sort2=pad_plane(tl.sort2),
+        rowids=pad_plane(tl.rowids), inv2=pad_plane(tl.inv2),
+        num_rows=tl.num_rows, num_cols=tl.num_cols, nnz=tl.nnz,
+        num_windows=tl.num_windows, region_digits=tl.region_digits,
+        kb=kb, rstep2=rstep2, f2=f2, dmax2=dmax2, nsteps2=nsteps2,
+        fill2=tl.fill2, dstep2=dstep2, num_slots2=num_slots2)
+
+
+def pack_tropical_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
+                          config: EngineConfig = DEFAULT_CONFIG,
+                          region_rows: int | None = None,
+                          cb: int = 16, kb: int = 16
+                          ) -> ShardedTropicalLayout:
+    """Split CSR into (R x C) blocks, tropical-pack each (planar pass-1 with
+    the FLOAT_INF annihilator + split/reduce schedules), pad all to the
+    mesh-common geometry. Lifts round-3's ADDMIN exclusion: multi-chip SSSP
+    can now ride the only engine that scales past ~700K rows/shard."""
+    from ..io.tropical_format import (TropicalSpMVLayout,
+                                      build_split_schedule,
+                                      choose_tropical_region_rows)
+    from ..semiring import FLOAT_INF
+    work = csr.copy()
+    util_round_csr_matrix_dim(work, rows_shards * 1024, col_shards * 1024)
+    nrows, ncols = work.num_rows, work.num_cols
+    rb, cbk = nrows // rows_shards, ncols // col_shards
+    if region_rows is None:
+        region_rows = choose_tropical_region_rows(rb)
+
+    nnz = work.nnz
+    rows = work.row_ids()
+    cols = work.adj_indices[:nnz].astype(np.int64)
+    vals = np.clip(work.adj_data[:nnz], 0.0, float(FLOAT_INF))
+
+    tls = []
+    for i in range(rows_shards):
+        row_l = []
+        sel_i = (rows >= i * rb) & (rows < (i + 1) * rb)
+        for j in range(col_shards):
+            sel = sel_i & (cols >= j * cbk) & (cols < (j + 1) * cbk)
+            if not sel.any():
+                # empty block: seed one FLOAT_INF element at (0,0) — the
+                # tropical annihilator (min(INF + x, INF) = the identity),
+                # so the shard contributes nothing while the split-schedule
+                # builder gets a non-empty layout
+                sub = _csr_from_sorted_coo(
+                    np.zeros(1, np.int64), np.zeros(1, np.int64),
+                    np.full(1, float(FLOAT_INF), np.float32), rb, cbk)
+            else:
+                sub = _csr_from_sorted_coo(rows[sel] - i * rb,
+                                           cols[sel] - j * cbk,
+                                           vals[sel], rb, cbk)
+            lay = pack_planar(sub, config, pad_val=float(FLOAT_INF),
+                              hi_pad=-1, cb=cb, region_rows=region_rows,
+                              deal=config.planar_deal)
+            parts = build_split_schedule(lay, kb=kb)
+            row_l.append(TropicalSpMVLayout(
+                planar=lay, num_rows=lay.num_rows, num_cols=lay.num_cols,
+                nnz=lay.nnz, **parts))
+        tls.append(row_l)
+
+    flat = [t for rl in tls for t in rl]
+    pc = dict(nsteps=max(t.planar.nsteps for t in flat),
+              dstep=max(t.planar.dstep for t in flat),
+              f=max(t.planar.f for t in flat),
+              dmax=max(t.planar.dmax for t in flat),
+              num_slots=max(t.planar.num_slots for t in flat))
+    sc = dict(nsteps2=max(t.nsteps2 for t in flat),
+              dstep2=max(t.dstep2 for t in flat),
+              f2=max(t.f2 for t in flat),
+              dmax2=max(t.dmax2 for t in flat),
+              num_slots2=max(t.num_slots2 for t in flat))
+    padded = [[_pad_tropical(t, pad_val=float(FLOAT_INF), **pc, **sc)
+               for t in rl] for rl in tls]
+
+    from ..ops.tropical_pallas import TropicalArrays
+    proto0 = padded[0][0]
+    arrays = {}
+    for fld in TropicalArrays.FIELDS:
+        def shaped(t):
+            p = t.planar
+            if fld == "a_page":
+                return p.a_page.reshape(p.nsteps, 1, p.cb)
+            if fld == "a_r":
+                return p.a_r.reshape(p.nsteps, p.cb * S, L)
+            if fld == "a_vals":
+                return p.a_vals.reshape(p.nsteps, p.cb * S, L)
+            if fld == "xperm":
+                return p.xperm
+            if fld == "rg":
+                return p.rg
+            if fld == "planes":
+                return p.planes
+            if fld == "in_order":
+                return t.in_order.reshape(t.nsteps2, t.kb)
+            if fld == "rg2":
+                return t.rg2
+            if fld == "planes2":
+                return t.planes2
+            if fld == "c_win":
+                return t.c_win.reshape(t.nsteps2, 1, t.f2)
+            if fld == "sort2":
+                return t.sort2.reshape(t.nsteps2, t.f2 * S, L)
+            if fld == "rowids":
+                return t.rowids.reshape(t.nsteps2, t.f2 * S, L)
+            if fld == "inv2":
+                return t.inv2.reshape(t.nsteps2, t.f2 * S, L)
+            if fld == "a_sub":
+                return (p.a_sub.reshape(p.nsteps, p.cb * S, L)
+                        if p.a_sub is not None else None)
+            raise KeyError(fld)
+        if fld == "a_sub" and proto0.planar.a_sub is None:
+            arrays[fld] = None
+            continue
+        arrays[fld] = np.stack([np.stack([shaped(t) for t in rl])
+                                for rl in padded])
+
+    return ShardedTropicalLayout(
+        arrays=arrays, proto=proto0,
+        num_rows=nrows, num_cols=ncols, nnz=nnz,
+        rows_shards=rows_shards, col_shards=col_shards,
+        local_rows=rb, local_cols=cbk,
+        chunk_counts=np.array([[t.planar.nsteps * t.planar.cb for t in rl]
+                               for rl in tls], np.int64))
+
+
+class DistTropicalSpMV:
+    """y[r] = min over shards/nnz of (A[r,c] + x[c]) — the scalable tropical
+    engine sharded over a 2D mesh. Per-shard compute is the single-chip
+    TropicalSpMV on the padded common geometry; cross-shard combine is a
+    pmin over 'cols'. Same call surface as DistSpMV, so dist_sssp_pull
+    works unchanged."""
+
+    def __init__(self, layout: ShardedTropicalLayout, semiring: Semiring,
+                 mesh: Mesh, config: EngineConfig = DEFAULT_CONFIG,
+                 mask_type: MaskType = MaskType.NO_MASK):
+        if semiring.op != OpType.ADDMIN:
+            raise ValueError("DistTropicalSpMV is the ADDMIN engine")
+        from ..ops.tropical_pallas import TropicalSpMV, TropicalArrays
+        self.layout = layout
+        self.semiring = semiring
+        self.mesh = mesh
+        self.config = config
+        self.mask_type = mask_type
+        self.num_rows = layout.num_rows
+        self.num_cols = layout.num_cols
+        self._eng = TropicalSpMV(layout.proto, semiring, config)
+
+        spec = P("rows", "cols")
+        put = lambda a: jax.device_put(jnp.asarray(a),
+                                       NamedSharding(mesh, spec))
+        arr = layout.arrays
+        has_sub = arr.get("a_sub") is not None
+        self.arrays = TropicalArrays(
+            *[put(arr[f]) if (f != "a_sub" or has_sub) else None
+              for f in TropicalArrays.FIELDS])
+        self._fields = [f for f in TropicalArrays.FIELDS
+                        if f != "a_sub" or has_sub]
+
+        eng = self._eng
+        local_rows = layout.local_rows
+
+        def local_fn(x_local, *streams):
+            vals = [s[0, 0] for s in streams]
+            if not has_sub:
+                vals.append(None)
+            sh = TropicalArrays(*vals)
+            x3 = x_local.reshape(-1, S, L)
+            y = eng(x3, arrays=sh)[:local_rows]
+            return jax.lax.pmin(y, "cols")
+
+        self._sharded_fn = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P("cols"),) + tuple([spec] * len(self._fields)),
+            out_specs=P("rows"),
+            check_vma=False,
+        )
+
+    def __call__(self, x: jax.Array,
+                 mask: jax.Array | None = None) -> jax.Array:
+        y = self._sharded_fn(x, *(getattr(self.arrays, f)
+                                  for f in self._fields))
+        if mask is not None and self.mask_type != MaskType.NO_MASK:
+            y = apply_mask(y, mask, self.mask_type, self.semiring.zero)
+        return y
+
+    def reshard_for_input(self, y: jax.Array) -> jax.Array:
+        """Row-sharded result -> col-sharded input (ICI all-to-all)."""
+        return jax.lax.with_sharding_constraint(
+            y, NamedSharding(self.mesh, P("cols")))
+
+
 class DistPlanarSpMV:
     """y = mask(A (x) x) with the planar router sharded over a 2D mesh.
 

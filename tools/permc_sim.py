@@ -74,11 +74,16 @@ a_chunk, region, rho, sig, lo = (a_chunk[eo], region[eo], rho[eo],
 rowid = rw2[eo]
 
 
-def simulate(cap: int, depth: int = 1):
+def simulate(cap: int, depth: int = 1, contiguous: bool = False):
     """cap: max distinct ROWS per (region-cycle, sublane, lo class);
     unlimited copies of an owned row (the kernel's segmented-scan
     pre-reduce merges same-row runs before the perm gathers). cap=0
     disables the constraint (baseline).
+
+    contiguous: a row may only reuse its owned (cycle, sublane) slot while
+    it is the LAST row deposited there (one contiguous lane run per row
+    per (rc, s)) — what the PERM-C v2 prefix-difference reduce requires
+    (seg = P[end] - P[start] represents exactly one run per lo target).
 
     depth: live cycles per region — a colliding element spills FORWARD
     into cycle c+1..c+depth-1 instead of forcing an early flush (the
@@ -86,6 +91,7 @@ def simulate(cap: int, depth: int = 1):
     c flushes only when nothing in the window can take the element."""
     cursor = np.zeros((nregions, depth, S), np.int32)
     lo_owner = np.full((nregions, depth, S, L, max(cap, 1)), -1, np.int64)
+    last_row = np.full((nregions, depth, S), -1, np.int64)
     cycles = np.zeros(nregions, np.int64)
     claims = np.full((S, L), -1, np.int8)     # per current chunk
     alane = np.zeros(S, np.int32)             # per current chunk
@@ -102,6 +108,8 @@ def simulate(cap: int, depth: int = 1):
         cursor[r, -1] = 0
         lo_owner[r, :-1] = lo_owner[r, 1:]
         lo_owner[r, -1] = -1
+        last_row[r, :-1] = last_row[r, 1:]
+        last_row[r, -1] = -1
         cycles[r] += 1
 
     for i in range(n):
@@ -130,7 +138,13 @@ def simulate(cap: int, depth: int = 1):
                         continue
                     if cap:
                         own = lo_owner[r, d, s, v]
-                        if row not in own and -1 not in own:
+                        if contiguous:
+                            if row in own:
+                                if last_row[r, d, s] != row:
+                                    continue    # run closed: no reopen
+                            elif -1 not in own:
+                                continue
+                        elif row not in own and -1 not in own:
                             continue
                     # earliest cycle wins; within it, lowest cursor
                     cost = d * 1000 + cu
@@ -146,6 +160,7 @@ def simulate(cap: int, depth: int = 1):
                     own = lo_owner[r, d, s, v]
                     if row not in own:
                         own[np.argmax(own == -1)] = row
+                    last_row[r, d, s] = row
                 piece_keys.add((int(ch) << 40) | (int(r) << 16)
                                | int(cycles[r] + d))
                 break
@@ -175,9 +190,12 @@ def simulate(cap: int, depth: int = 1):
 
 base = simulate(0)
 print(f"baseline (cursor-only): {base}", flush=True)
-for cap, depth in ((1, 1), (1, 2), (1, 4), (2, 2)):
-    perm = simulate(cap, depth)
-    print(f"perm-c cap={cap} depth={depth}: {perm}", flush=True)
+modes = ((1, 1, False), (1, 4, False), (1, 2, True), (1, 4, True),
+         (1, 8, True))
+for cap, depth, contig in modes:
+    perm = simulate(cap, depth, contiguous=contig)
+    print(f"perm-c cap={cap} depth={depth} contig={contig}: {perm}",
+          flush=True)
     print(f"  flush inflation x{perm['flushes']/max(base['flushes'],1):.3f}"
           f"  piece inflation x{perm['pieces']/max(base['pieces'],1):.3f}",
           flush=True)

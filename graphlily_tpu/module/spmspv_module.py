@@ -196,6 +196,15 @@ class SpMSpVModule(BaseModule):
             the dominant per-deposit roll/gather work scales with the
             frontier's tile footprint."""
         zero = self.semiring_.zero
+        if x.ndim == 1 and self._pallas is not None:
+            # engines run on the tile-padded column space; a frontier
+            # densified at the user's num_cols_ (not a multiple of 1024)
+            # must be padded with semiring zeros (caught by the ~100K-vertex
+            # fullscale regression — unit fixtures are all 1024-aligned)
+            ncp = self._pallas.layout.num_col_tiles * 1024
+            if x.shape[0] < ncp:
+                x = jnp.pad(x, (0, ncp - x.shape[0]),
+                            constant_values=zero)
         if self._predicated():
             st = state if state is not None else self.device_state()
             arrays, touch = st["arrays"], st["touch"]

@@ -100,6 +100,15 @@ class PlanarSpMVLayout:
                                          # elements sit in dest sublane s
                                          # (composed-gather rule: one source
                                          # sublane per (chunk, s, rho))
+    triples: np.ndarray | None = None    # (NSTEPS, ceil(dstep/128), 8, 128)
+                                         # int32 triple-run deposit words
+                                         # a0|d0<<7|n<<14 (permc_format.py;
+                                         # replaces the 1 KB/piece planes
+                                         # stream at 32 B/piece)
+    c_end: np.ndarray | None = None      # permc only: (NSTEPS*F, 8, 128)
+                                         # int8 run-end acc lane per DEST
+                                         # lane (prefix-difference reduce)
+    c_beg: np.ndarray | None = None      # permc only: run-start-1 (-1 ok)
 
     @property
     def mem_bytes(self) -> int:
@@ -329,6 +338,15 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     phase-A gather through the xperm pre-pass); "free" = the v4 layout
     (chained phase-A gather via a_sub, dest sublanes quota-dealt per class
     — see _deal_free; no xperm)."""
+    if deal == "permc":
+        if keep_el_stream or hi_pad != 0:
+            # the tropical split-pass builder consumes el_stream/hi_pad
+            # from the free-deal layout; permc is MULADD/ANDOR only
+            deal = "free"
+        else:
+            from .permc_format import pack_permc
+            return pack_permc(csr, config, pad_val=pad_val, cb=cb,
+                              region_rows=region_rows, native=native)
     work = csr.copy()
     util_round_csr_matrix_dim(work, 1024, 1024)
     nrows, ncols = work.num_rows, work.num_cols

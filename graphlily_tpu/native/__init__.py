@@ -25,7 +25,7 @@ def lib():
     _TRIED = True
     srcs = [os.path.join(_HERE, f)
             for f in ("formatter.cpp", "planar_packer.cpp",
-                      "tropical_split.cpp")]
+                      "tropical_split.cpp", "permc_greedy.cpp")]
     if not os.path.exists(_SO) or any(
             os.path.getmtime(_SO) < os.path.getmtime(s) for s in srcs):
         try:
@@ -192,6 +192,52 @@ def planar_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb, hi_pad=0,
                 el_slot=el_slot, a_sub=a_sub, nsteps=nsteps, cb=cbv,
                 rstep=rstep, f=f, dmax=dmax, num_regions=nregions, nca=nca,
                 dstep=dstep, num_slots=num_slots)
+
+
+def permc_pack_native(tile, rho, sig, row, region, lo, ntiles, nregions,
+                      depth, chunk_of=None, nca_in=0, spill_cb=8):
+    """Native PERM-C element-wise greedy (io/permc_format.py). Returns the
+    same tuple as _greedy_permc_py (bit-identical,
+    tests/test_native_pack.py) or None -> python fallback."""
+    L = lib()
+    if L is None or not hasattr(L, "glt_permc_greedy"):
+        return None
+    n = len(tile)
+    i64 = lambda a: np.ascontiguousarray(a, np.int64)
+    tile, rho, sig, row, region, lo = map(
+        i64, (tile, rho, sig, row, region, lo))
+    chunk_arr = (i64(chunk_of) if chunk_of is not None
+                 else np.empty(0, np.int64))
+    a_chunk = np.empty(n, np.int64)
+    sub_of = np.empty(n, np.int64)
+    cyc_of = np.empty(n, np.int64)
+    pos_of = np.empty(n, np.int64)
+    # worst-case event bounds: one flush per element + depth drains/region
+    fl_cap = n + 1
+    fl_chunk = np.empty(fl_cap, np.int64)
+    fl_region = np.empty(fl_cap, np.int64)
+    fl_cycle = np.empty(fl_cap, np.int64)
+    dr_cap = nregions * depth + 1
+    dr_region = np.empty(dr_cap, np.int64)
+    dr_cycle = np.empty(dr_cap, np.int64)
+    counts = np.zeros(3, np.int64)   # nca, nf, ndrain
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    p = lambda a: a.ctypes.data_as(i64p)
+    ok = L.glt_permc_greedy(
+        p(tile), p(rho), p(sig), p(row), p(region), p(lo),
+        ctypes.c_int64(n), ctypes.c_int64(ntiles),
+        ctypes.c_int64(nregions), ctypes.c_int64(depth),
+        p(chunk_arr) if chunk_of is not None else None,
+        ctypes.c_int64(nca_in), ctypes.c_int64(spill_cb),
+        p(a_chunk), p(sub_of), p(cyc_of), p(pos_of),
+        p(fl_chunk), p(fl_region), p(fl_cycle),
+        p(dr_region), p(dr_cycle), p(counts))
+    if not ok:
+        return None
+    nca, nf, ndr = (int(v) for v in counts)
+    return (a_chunk, sub_of, cyc_of, pos_of, max(nca, 1),
+            fl_chunk[:nf], fl_region[:nf], fl_cycle[:nf],
+            dr_region[:ndr], dr_cycle[:ndr])
 
 
 def router_pack_native(rr, cc, vv, nrows, ncols, region_rows, cb):

@@ -131,6 +131,38 @@ def _onehot_place(gch, hi8, lo8, rh: int, precision, ablate: str = ""):
     return parts[0]
 
 
+def _permc_place(g_pref, hi8, end8, beg8, rh: int):
+    """PERM-C prefix-difference placement of one flushed chunk (see
+    io/permc_format.py): `g_pref` is the (8,128) inclusive prefix of the
+    flushed accumulator along lanes; each destination lane v (== the row's
+    lo, unique per sublane by the cap-1 pack constraint) carries its row's
+    contiguous-run sum P[end] - P[beg] (beg < 0 -> P[end]); the (L,L) lo
+    one-hot build of _onehot_place disappears — only the hi one-hot
+    remains. ~126 ns/flush at rh=64 vs 175 (tools/permc_probe3.py)."""
+    e = jnp.take_along_axis(g_pref, end8 & 127, axis=1)
+    b = jnp.take_along_axis(g_pref, beg8 & 127, axis=1)
+    seg = jnp.where(beg8 < 0, e, e - b)
+    hi_t = jax.lax.broadcasted_iota(jnp.int32, (rh, L), 0)
+    parts = [(hi_t == hi8[s:s + 1, :]).astype(jnp.float32) * seg[s:s + 1, :]
+             for s in range(S)]
+    while len(parts) > 1:
+        parts = [parts[i] + parts[i + 1] for i in range(0, len(parts), 2)]
+    return parts[0]
+
+
+def _permc_prefix(gv, precision_unused=None):
+    """One batched inclusive prefix along lanes for a whole step's flush
+    block: (M, L) @ upper-triangular (L, L) on the MXU. ALWAYS at HIGHEST
+    precision: prefix differences amplify input rounding by the P/seg
+    ratio (up to ~128x), so the bf16 DEFAULT path is numerically unsafe
+    here; HIGHEST costs ~8% of the reduce (probe3: 126 vs 115.6 ns)."""
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+           ).astype(jnp.float32)
+    return jax.lax.dot(gv.astype(jnp.float32), tri,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
 def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                          fuse: bool = False, rh: int = 0, precision=None,
                          fnum: int = 0, ablate: str = "",
@@ -606,6 +638,95 @@ def _router_reduce_call(code, g, hi, lo, sm=None, na=None, *, cbc, nregions,
     return fn(code, g, hi, lo)
 
 
+def _make_permc_reduce_kernel(cbc: int, rh: int, predicated: bool = False):
+    """Split-pipeline PERM-C phase C (see io/permc_format.py and
+    _permc_place): ONE batched (cbc*8,128)@(128,128) triangular prefix dot
+    per grid step, then per flush ordinal two lane gathers + the hi
+    one-hot + output RMW. Measured 126 ns/flush at rh=64 vs 175 for the
+    lo-one-hot reduce (tools/permc_probe3.py)."""
+    def kernel(*refs):
+        if predicated:
+            sm_ref, na_ref, *refs = refs
+        (code_ref,              # (1, 1, cbc) int32 region ids (-1 skip)
+         g_ref,                 # (1, cbc, 8, 128) flushed values
+         hi_ref,                # (1, cbc*8, 128) int8, DEST-lane keyed
+         end_ref,               # (1, cbc*8, 128) int8 run end
+         beg_ref,               # (1, cbc*8, 128) int8 run start - 1
+         o_ref,                 # (nregions, rh, 128) resident output
+         p_ref) = refs          # scratch (cbc*8, 128) f32 prefix
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        def _body():
+            p_ref[...] = _permc_prefix(g_ref[0].reshape(cbc * S, L))
+            hi_all = hi_ref[0].astype(jnp.int32)
+            end_all = end_ref[0].astype(jnp.int32)
+            beg_all = beg_ref[0].astype(jnp.int32)
+            CG = 4
+            for k0 in range(0, cbc, CG):
+                n = min(CG, cbc - k0)
+                cs = [code_ref[0, 0, k0 + u] for u in range(n)]
+                anyact = cs[0]
+                for u in range(1, n):
+                    anyact = jnp.maximum(anyact, cs[u])
+
+                @pl.when(anyact >= 0)
+                def _():
+                    for u in range(n):
+                        k = k0 + u
+                        c = cs[u]
+                        acc = _permc_place(p_ref[k * S:(k + 1) * S, :],
+                                           hi_all[k * S:(k + 1) * S, :],
+                                           end_all[k * S:(k + 1) * S, :],
+                                           beg_all[k * S:(k + 1) * S, :],
+                                           rh)
+                        acc = jnp.where(c >= 0, acc, 0.0)
+                        o_ref[jnp.maximum(c, 0)] += acc.astype(o_ref.dtype)
+
+        if predicated:
+            pl.when(step < na_ref[0])(_body)
+        else:
+            _body()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cbc", "nregions", "rh", "nsteps", "interpret",
+                     "dtype"))
+def _permc_reduce_call(code, g, hi, end, beg, sm=None, na=None, *, cbc,
+                       nregions, rh, nsteps, interpret, dtype):
+    pred = sm is not None
+    kernel = _make_permc_reduce_kernel(cbc, rh, predicated=pred)
+    stream = _stream_map(pred)
+    stream4 = _stream_map(pred, ndim=4)
+    in_specs = [
+        pl.BlockSpec((1, 1, cbc), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, cbc, S, L), stream4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cbc * S, L), stream, memory_space=pltpu.VMEM),
+    ]
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2 if pred else 0,
+            grid=(nsteps,), in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((cbc * S, L), jnp.float32)]),
+        out_shape=jax.ShapeDtypeStruct((nregions, rh, L), jnp.dtype(dtype)),
+        interpret=interpret,
+        compiler_params=_cparams(interpret),
+    )
+    if pred:
+        return fn(sm, na, code, g, hi, end, beg)
+    return fn(code, g, hi, end, beg)
+
+
 def _make_xperm_kernel(tb: int, pred: bool = False):
     """Per-tile static column re-layout of x (see planar_format.py): for
     each source sublane, broadcast its row and gather/select by the tile's
@@ -711,7 +832,8 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                         fuse: bool = False, rh: int = 0, precision=None,
                         fnum: int = 0, banks2: bool = True,
                         dstep: int = 0, chained: bool = False,
-                        predicated: bool = False):
+                        predicated: bool = False, triples: bool = False,
+                        TP: int = 0, permc: bool = False):
     """Planar-deposit kernel (see io/planar_format.py): bucket-binned tile
     chunks make phase A a single ax1 dynamic_gather, and each deposit ships
     a static (8,128) int8 plane — entry < 0 routes source lane (v & 127) of
@@ -734,8 +856,13 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
     def kernel(*refs):
         if predicated:
             sm_ref, na_ref, *refs = refs
+        beg_ref = None
         if fuse:
-            if chained:
+            if permc:           # triples scatter + prefix-diff inline C
+                (page_ref, r_ref, sub_ref, v_ref, rg_ref, pl_ref,
+                 code_ref, hi_ref, lo_ref, beg_ref, x_ref, o_ref,
+                 g_buf, acc_ref, acc2_ref, ring_ref) = refs
+            elif chained:
                 (page_ref, r_ref, sub_ref, v_ref, rg_ref, pl_ref,
                  code_ref, hi_ref, lo_ref, x_ref, o_ref,
                  g_buf, acc_ref, acc2_ref, ring_ref) = refs
@@ -745,9 +872,10 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                  v_ref,           # (1, cb*8, 128) f32|bf16
                  rg_ref,          # (1, rstep, 2) int32 SMEM
                  pl_ref,          # (1, dmax, 8, 128) int8 deposit planes
+                                  #   (triples: (1, TP, 8, 128) int32)
                  code_ref,        # (1, 1, f) int32 SMEM
                  hi_ref,          # (1, f*8, 128) int8
-                 lo_ref,          # (1, f*8, 128) int8
+                 lo_ref,          # (1, f*8, 128) int8 (permc: c_end)
                  x_ref,           # (nct, 8, 128) resident
                  o_ref,           # (nregions, rh, 128) resident output
                  g_buf, acc_ref, acc2_ref, ring_ref) = refs
@@ -801,13 +929,35 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
             # notes. A deposit body no-ops via the w2-driven threshold when
             # its slot is padding or SpMSpV-predicated (w2 == 0): the plane
             # compare never takes. Banks by in-group parity.
-            def dep_body(w1, w2, bank):
-                pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
-                idx = pv & 127
-                g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
-                thr = jnp.where(w2 > 0, 0, -256)
-                slot = w2 & 0xFFF
-                bank[slot] = jnp.where(pv < thr, g, bank[slot])
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+            if triples:
+                # decode the step's triple-run words once (32 B/piece
+                # replacing 1 KB planes — io/permc_format.py): 3 vreg-ops
+                # per 128 pieces; bodies use STATIC lane slices (descriptor
+                # ordinal == unroll position)
+                dec = []
+                for tp in range(TP):
+                    w = pl_ref[0, tp]
+                    dec.append((w & 127, (w >> 7) & 127, (w >> 14) & 255))
+
+                def dep_body(j, w1, w2, bank):
+                    c = j & 127
+                    a0, d0, nn = (dd[:, c:c + 1] for dd in dec[j >> 7])
+                    idx = (lane_i - d0 + a0) & 127
+                    g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
+                    m = jnp.logical_and(
+                        jnp.logical_and(lane_i >= d0, lane_i < d0 + nn),
+                        w2 > 0)
+                    slot = w2 & 0xFFF
+                    bank[slot] = jnp.where(m, g, bank[slot])
+            else:
+                def dep_body(j, w1, w2, bank):
+                    pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
+                    idx = pv & 127
+                    g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
+                    thr = jnp.where(w2 > 0, 0, -256)
+                    slot = w2 & 0xFFF
+                    bank[slot] = jnp.where(pv < thr, g, bank[slot])
 
             DG = 8
             for j0 in range(0, dstep, DG):
@@ -822,7 +972,7 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                 def _():
                     for u in range(n):
                         bank = acc2_ref if (banks2 and u % 2) else acc_ref
-                        dep_body(ws[u][0], ws[u][1], bank)
+                        dep_body(j0 + u, ws[u][0], ws[u][1], bank)
 
             for j in range(dstep, rstep):
                 w2 = rg_ref[0, j, 1]
@@ -846,7 +996,11 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
 
             # ---- inline phase C: batched reduces (see the roll tail) ----
             hi_all = hi_ref[0].astype(jnp.int32)
-            lo_all = lo_ref[0].astype(jnp.int32)
+            lo_all = lo_ref[0].astype(jnp.int32)   # permc: c_end
+            if permc:
+                beg_all = beg_ref[0].astype(jnp.int32)
+                pref = _permc_prefix(
+                    ring_ref[...].reshape(fnum * S, L))
             CG = 4
             for q0 in range(0, fnum, CG):
                 n = min(CG, fnum - q0)
@@ -860,10 +1014,18 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                     for u in range(n):
                         qq = q0 + u
                         c = cs[u]
-                        accd = _onehot_place(ring_ref[qq],
-                                             hi_all[qq * S:(qq + 1) * S, :],
-                                             lo_all[qq * S:(qq + 1) * S, :],
-                                             rh, precision)
+                        if permc:
+                            accd = _permc_place(
+                                pref[qq * S:(qq + 1) * S, :],
+                                hi_all[qq * S:(qq + 1) * S, :],
+                                lo_all[qq * S:(qq + 1) * S, :],
+                                beg_all[qq * S:(qq + 1) * S, :], rh)
+                        else:
+                            accd = _onehot_place(
+                                ring_ref[qq],
+                                hi_all[qq * S:(qq + 1) * S, :],
+                                lo_all[qq * S:(qq + 1) * S, :],
+                                rh, precision)
                         accd = jnp.where(c >= 0, accd, 0.0)
                         o_ref[jnp.maximum(c, 0)] += accd.astype(o_ref.dtype)
 
@@ -880,7 +1042,9 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                                precision=None, fnum: int = 0,
                                unroll: int = 16, banks2: bool = True,
                                dstep: int = 0, chained: bool = False,
-                               predicated: bool = False):
+                               predicated: bool = False,
+                               triples: bool = False, TP: int = 0,
+                               permc: bool = False):
     """Partially-unrolled phase B: a lax.fori_loop over descriptor slots,
     `unroll` bodies per iteration. The fully-unrolled kernel compiles in
     ~35 min at pokec scale (rstep=195, f=47 fused) — far beyond the bench
@@ -893,8 +1057,13 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
     def kernel(*refs):
         if predicated:
             sm_ref, na_ref, *refs = refs
+        beg_ref = pref_ref = None
         if fuse:
-            if chained:
+            if permc:
+                (page_ref, r_ref, sub_ref, v_ref, rg_ref, pl_ref,
+                 code_ref, hi_ref, lo_ref, beg_ref, x_ref, o_ref,
+                 g_buf, acc_ref, acc2_ref, ring_ref, pref_ref) = refs
+            elif chained:
                 (page_ref, r_ref, sub_ref, v_ref, rg_ref, pl_ref,
                  code_ref, hi_ref, lo_ref, x_ref, o_ref,
                  g_buf, acc_ref, acc2_ref, ring_ref) = refs
@@ -952,16 +1121,41 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
             # threshold no-op (padding / SpMSpV-predicated slots route
             # nothing) — batching replaces the per-descriptor pl.when
             # barrier that serialized the bodies.
-            def dep_body(j, parity):
-                w1 = rg_ref[0, j, 0]
-                w2 = rg_ref[0, j, 1]
-                slot = w2 & 0xFFF
-                bank = acc2_ref if (banks2 and parity) else acc_ref
-                pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
-                idx = pv & 127
-                g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
-                thr = jnp.where(w2 > 0, 0, -256)
-                bank[slot] = jnp.where(pv < thr, g, bank[slot])
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+
+            if triples:
+                def dep_body(j, parity):
+                    # dynamic ordinal: decode via one broadcast gather of
+                    # the triple word's column (the static-slice decode of
+                    # the unrolled kernel needs a static j)
+                    w1 = rg_ref[0, j, 0]
+                    w2 = rg_ref[0, j, 1]
+                    slot = w2 & 0xFFF
+                    bank = acc2_ref if (banks2 and parity) else acc_ref
+                    p_ = w1 >> 8
+                    w = pl_ref[0, p_ >> 7]
+                    wc = jnp.take_along_axis(
+                        w, jnp.full((S, L), p_ & 127, jnp.int32), axis=1)
+                    a0 = wc & 127
+                    d0 = (wc >> 7) & 127
+                    nn = (wc >> 14) & 255
+                    idx = (lane_i - d0 + a0) & 127
+                    g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
+                    m = jnp.logical_and(
+                        jnp.logical_and(lane_i >= d0, lane_i < d0 + nn),
+                        w2 > 0)
+                    bank[slot] = jnp.where(m, g, bank[slot])
+            else:
+                def dep_body(j, parity):
+                    w1 = rg_ref[0, j, 0]
+                    w2 = rg_ref[0, j, 1]
+                    slot = w2 & 0xFFF
+                    bank = acc2_ref if (banks2 and parity) else acc_ref
+                    pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
+                    idx = pv & 127
+                    g = jnp.take_along_axis(g_buf[w1 & 0xFF], idx, axis=1)
+                    thr = jnp.where(w2 > 0, 0, -256)
+                    bank[slot] = jnp.where(pv < thr, g, bank[slot])
 
             nb = dstep // unroll
 
@@ -1000,14 +1194,30 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
             # masked-unconditional bodies in blocks of CG (same ILP
             # argument); hi/lo ride 4D (1, f, 8, 128) so the dynamic
             # flush-ordinal index stays at vreg-tile granularity
-            def cred(qq):
-                c = code_ref[0, 0, qq]
-                accd = _onehot_place(ring_ref[qq],
-                                     hi_ref[0, qq].astype(jnp.int32),
-                                     lo_ref[0, qq].astype(jnp.int32),
-                                     rh, precision)
-                accd = jnp.where(c >= 0, accd, 0.0)
-                o_ref[jnp.maximum(c, 0)] += accd.astype(o_ref.dtype)
+            if permc:
+                # one batched triangular prefix dot for the whole ring,
+                # staged in scratch so bodies dynamic-index vreg tiles
+                pref_ref[...] = _permc_prefix(
+                    ring_ref[...].reshape(fnum * S, L)).reshape(fnum, S, L)
+
+                def cred(qq):
+                    c = code_ref[0, 0, qq]
+                    accd = _permc_place(pref_ref[qq],
+                                        hi_ref[0, qq].astype(jnp.int32),
+                                        lo_ref[0, qq].astype(jnp.int32),
+                                        beg_ref[0, qq].astype(jnp.int32),
+                                        rh)
+                    accd = jnp.where(c >= 0, accd, 0.0)
+                    o_ref[jnp.maximum(c, 0)] += accd.astype(o_ref.dtype)
+            else:
+                def cred(qq):
+                    c = code_ref[0, 0, qq]
+                    accd = _onehot_place(ring_ref[qq],
+                                         hi_ref[0, qq].astype(jnp.int32),
+                                         lo_ref[0, qq].astype(jnp.int32),
+                                         rh, precision)
+                    accd = jnp.where(c >= 0, accd, 0.0)
+                    o_ref[jnp.maximum(c, 0)] += accd.astype(o_ref.dtype)
 
             CG = 4
             ncb = fnum // CG
@@ -1034,30 +1244,36 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "nct",
                      "nsteps", "interpret", "dtype", "gdtype", "looped",
-                     "dstep", "banks2"))
+                     "dstep", "banks2", "triples"))
 def _planar_scatter_call(page, r, vals, rg, planes, x2, sub=None,
                          sm=None, na=None, *, op, cb,
                          rstep, f, dmax, nreg, nct, nsteps, interpret, dtype,
-                         gdtype=None, looped=False, dstep=0, banks2=True):
+                         gdtype=None, looped=False, dstep=0, banks2=True,
+                         triples=False):
     # tropical rides the exact int32 bit encoding end-to-end (see
     # _tropical_encode); deposits/flushes are dtype-agnostic bit movers
     sdt = jnp.int32 if op == OpType.ADDMIN else jnp.dtype(dtype)
     use2 = banks2 and not interpret
     chained = sub is not None
     pred = sm is not None
+    TP = planes.shape[1] if triples else 0
     make = _make_planar_kernel_looped if looped else _make_planar_kernel
     kernel = make(op, cb, rstep, nreg, banks2=use2, dstep=dstep,
-                  chained=chained, predicated=pred)
+                  chained=chained, predicated=pred, triples=triples, TP=TP)
     stream = _stream_map(pred)
     stream4 = _stream_map(pred, ndim=4)
     ab_spec = pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM)
+    pl_spec = (pl.BlockSpec((1, TP, S, L), stream4,
+                            memory_space=pltpu.VMEM) if triples
+               else pl.BlockSpec((1, dmax, S, L), stream4,
+                                 memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
         ab_spec,
         *([ab_spec] if chained else []),
         ab_spec,
         pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, dmax, S, L), stream4, memory_space=pltpu.VMEM),
+        pl_spec,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
     ]
     fn = pl.pallas_call(
@@ -1088,24 +1304,34 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, sub=None,
     jax.jit,
     static_argnames=("op", "cb", "rstep", "f", "dmax", "nreg", "rh",
                      "nregions", "nct", "nsteps", "mxu_precision",
-                     "interpret", "dtype", "looped", "dstep", "banks2"))
+                     "interpret", "dtype", "looped", "dstep", "banks2",
+                     "triples"))
 def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2,
-                       sub=None, sm=None, na=None, *, op, cb, rstep, f,
-                       dmax, nreg, rh,
+                       sub=None, sm=None, na=None, beg=None, *, op, cb,
+                       rstep, f, dmax, nreg, rh,
                        nregions, nct, nsteps, mxu_precision, interpret,
-                       dtype, looped=False, dstep=0, banks2=True):
+                       dtype, looped=False, dstep=0, banks2=True,
+                       triples=False):
     precision = (jax.lax.Precision.HIGHEST if mxu_precision == "highest"
                  else jax.lax.Precision.DEFAULT)
     use2 = banks2 and not interpret
     chained = sub is not None
     pred = sm is not None
+    permc = beg is not None
+    assert not permc or (triples and chained)
+    TP = planes.shape[1] if triples else 0
     make = _make_planar_kernel_looped if looped else _make_planar_kernel
     kernel = make(op, cb, rstep, nreg, fuse=True, rh=rh,
                   precision=precision, fnum=f, banks2=use2, dstep=dstep,
-                  chained=chained, predicated=pred)
+                  chained=chained, predicated=pred, triples=triples, TP=TP,
+                  permc=permc)
     stream = _stream_map(pred)
     stream4 = _stream_map(pred, ndim=4)
     ab_spec = pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM)
+    pl_spec = (pl.BlockSpec((1, TP, S, L), stream4,
+                            memory_space=pltpu.VMEM) if triples
+               else pl.BlockSpec((1, dmax, S, L), stream4,
+                                 memory_space=pltpu.VMEM))
     # the looped kernel indexes hi/lo by dynamic flush ordinal, so they ride
     # 4D (vreg-tile granularity); the unrolled kernel slices them statically
     hilo_spec = (pl.BlockSpec((1, f, S, L), stream4,
@@ -1115,16 +1341,19 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2,
     if looped:
         hi = hi.reshape(nsteps, f, S, L)
         lo = lo.reshape(nsteps, f, S, L)
+        if permc:
+            beg = beg.reshape(nsteps, f, S, L)
     in_specs = [
         pl.BlockSpec((1, 1, cb), stream, memory_space=pltpu.SMEM),
         ab_spec,
         *([ab_spec] if chained else []),
         ab_spec,
         pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, dmax, S, L), stream4, memory_space=pltpu.VMEM),
+        pl_spec,
         pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
         hilo_spec,
         hilo_spec,
+        *([hilo_spec] if permc else []),
         pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
     ]
     fn = pl.pallas_call(
@@ -1138,12 +1367,15 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2,
                 pltpu.VMEM((nreg, S, L), jnp.dtype(dtype)),
                 pltpu.VMEM((nreg if use2 else 1, S, L), jnp.dtype(dtype)),
                 pltpu.VMEM((f, S, L), jnp.dtype(dtype)),
+                *([pltpu.VMEM((f, S, L), jnp.float32)]
+                  if permc and looped else []),
             ]),
         out_shape=jax.ShapeDtypeStruct((nregions, rh, L), jnp.dtype(dtype)),
         interpret=interpret,
         compiler_params=_cparams(interpret),
     )
-    args = ((page, r, sub, vals, rg, planes, code, hi, lo, x2) if chained
+    args = ((page, r, sub, vals, rg, planes, code, hi, lo,
+             *([beg] if permc else []), x2) if chained
             else (page, r, vals, rg, planes, code, hi, lo, x2))
     if pred:
         return fn(sm, na, *args)
@@ -1154,12 +1386,18 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2,
 class PlanarArrays:
     """Device-resident planar streams as a jit-argument pytree. `a_sub` is
     None for deal="bucket" layouts (single-gather phase A through xperm) and
-    the chained-gather sublane table for deal="free" ones (xperm empty)."""
+    the chained-gather sublane table for deal="free" ones (xperm empty).
+
+    PERM-C layouts (io/permc_format.py) overload two slots so the pytree
+    stays positional: `planes` carries the (nsteps, TP, 8, 128) int32
+    triple-run words (the 1 KB/piece plane stream never ships), `c_lo`
+    carries c_end, and `c_beg` (appended, else None) the run starts."""
 
     FIELDS = ("a_page", "a_r", "xperm", "a_vals", "rg", "planes",
-              "c_code", "c_hi", "c_lo", "a_sub")
+              "c_code", "c_hi", "c_lo", "a_sub", "c_beg")
 
     def __init__(self, *children):
+        children = children + (None,) * (len(self.FIELDS) - len(children))
         for name, c in zip(self.FIELDS, children):
             setattr(self, name, c)
 
@@ -1193,6 +1431,10 @@ class PlanarSpMV:
                else jnp.dtype(config.dtype))
         a_sub = getattr(lay, "a_sub", None)
         self.chained = a_sub is not None
+        self.permc = getattr(lay, "c_end", None) is not None
+        self.triples = getattr(lay, "triples", None) is not None
+        assert self.permc == self.triples, \
+            "permc layouts carry triples (and only they do, for now)"
         self.arrays = PlanarArrays(
             jnp.asarray(lay.a_page.reshape(lay.nsteps, 1, lay.cb)),
             jnp.asarray(lay.a_r.reshape(lay.nsteps, lay.cb * S, L)),
@@ -1200,12 +1442,15 @@ class PlanarSpMV:
             jnp.asarray(lay.a_vals.reshape(lay.nsteps, lay.cb * S, L)
                         .astype(vdt)),
             jnp.asarray(lay.rg),
-            jnp.asarray(lay.planes),
+            jnp.asarray(lay.triples if self.triples else lay.planes),
             jnp.asarray(lay.c_code.reshape(lay.nsteps, 1, lay.f)),
             jnp.asarray(lay.c_hi.reshape(lay.nsteps, lay.f * S, L)),
-            jnp.asarray(lay.c_lo.reshape(lay.nsteps, lay.f * S, L)),
+            jnp.asarray((lay.c_end if self.permc else lay.c_lo)
+                        .reshape(lay.nsteps, lay.f * S, L)),
             (jnp.asarray(a_sub.reshape(lay.nsteps, lay.cb * S, L))
              if self.chained else None),
+            (jnp.asarray(lay.c_beg.reshape(lay.nsteps, lay.f * S, L))
+             if self.permc else None),
         )
         rh = lay.region_rows // 128
         # FUSED mode: partially-unrolled descriptor loop for big steps —
@@ -1226,13 +1471,20 @@ class PlanarSpMV:
             dmax=lay.dmax, dstep=lay.dstep,
             nreg=lay.num_slots, nct=lay.num_col_tiles, nsteps=lay.nsteps,
             interpret=config.resolve_interpret(), dtype=config.dtype,
-            gdtype=gdt,
+            gdtype=gdt, triples=self.triples,
         )
-        self._static_reduce = dict(
-            cbc=lay.f, nregions=lay.num_regions, rh=rh, nsteps=lay.nsteps,
-            mxu_precision=config.mxu_precision,
-            interpret=config.resolve_interpret(), dtype=config.dtype,
-        )
+        if self.permc:
+            self._static_reduce = dict(
+                cbc=lay.f, nregions=lay.num_regions, rh=rh,
+                nsteps=lay.nsteps,
+                interpret=config.resolve_interpret(), dtype=config.dtype,
+            )
+        else:
+            self._static_reduce = dict(
+                cbc=lay.f, nregions=lay.num_regions, rh=rh,
+                nsteps=lay.nsteps, mxu_precision=config.mxu_precision,
+                interpret=config.resolve_interpret(), dtype=config.dtype,
+            )
         self._static_fused = dict(
             op=semiring.op, cb=lay.cb, rstep=lay.rstep, f=lay.f,
             dmax=lay.dmax, dstep=lay.dstep,
@@ -1240,14 +1492,20 @@ class PlanarSpMV:
             nct=lay.num_col_tiles, nsteps=lay.nsteps,
             mxu_precision=config.mxu_precision,
             interpret=config.resolve_interpret(), dtype=config.dtype,
+            triples=self.triples,
         )
         vbytes = jnp.dtype(vdt).itemsize
+        tpw = getattr(lay, "triples", None)
+        dep_stream = (tpw.shape[1] * S * L * 4 if self.triples
+                      else lay.dmax * S * L)
         base = (lay.num_col_tiles * 4096
                 + lay.num_regions * rh * L * 4
                 + (lay.cb + lay.f) * 4096          # g_buf + flush ring
+                + (lay.f * 4096 if self.permc else 0)   # prefix scratch
                 + 2 * (lay.cb * S * L
                        * (1 + (1 if self.chained else 0) + vbytes)
-                       + lay.dmax * S * L + 2 * lay.f * S * L
+                       + dep_stream
+                       + (3 if self.permc else 2) * lay.f * S * L
                        + lay.rstep * 8 + lay.cb * 4))
         # Two banks only with comfortable headroom (14.5 MB); the fused
         # limit itself is 17.5 MB — beyond the 16 MiB scoped-VMEM default
@@ -1329,7 +1587,7 @@ class PlanarSpMV:
                   else _predicate_rg(a.rg, act_chunk, "planar"))
             blocks = _planar_fused_call(a.a_page, a.a_r, a.a_vals, rg,
                                         a.planes, a.c_code, a.c_hi, a.c_lo,
-                                        x2, a.a_sub, sm, na,
+                                        x2, a.a_sub, sm, na, beg=a.c_beg,
                                         looped=self._looped,
                                         banks2=self.banks2,
                                         **self._static_fused)
@@ -1340,8 +1598,13 @@ class PlanarSpMV:
             g = _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg,
                                      a.planes, x2, a.a_sub, sm, na,
                                      **self._static_scatter)
-            blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
-                                         sm, na, **self._static_reduce)
+            if self.permc:
+                blocks = _permc_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
+                                            a.c_beg, sm, na,
+                                            **self._static_reduce)
+            else:
+                blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
+                                             sm, na, **self._static_reduce)
         if out_3d:
             y = _blocks_to_3d(blocks, self.num_rows)
         else:

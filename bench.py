@@ -29,6 +29,7 @@ BENCH_DETAILS.json is (re)written incrementally after every graph.
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -416,15 +417,39 @@ _GRAPH_MEMO = {}
 
 
 def get_graph(name, scale, seed):
-    """One-slot graph memo: the SpMV phase, the apps phase, and the SSSP
-    feasibility probe all want the same generated graph — re-generating a
-    234M-edge RMAT costs ~3 min of the driver's budget each time."""
+    """One-slot graph memo + uncompressed-npz disk cache: the SpMV phase,
+    the apps phase, and the SSSP feasibility probe all want the same
+    generated graph, and re-generating a 112M-edge RMAT costs ~4 min of
+    single-core numpy (generation is RNG-bound); the disk round-trip is
+    seconds. The cache lives beside the layout cache and persists across
+    driver runs."""
     key = (name, scale, seed)
     if _GRAPH_MEMO.get("key") != key:
-        from graphlily_tpu.io import iccad_standin
+        from graphlily_tpu.io import iccad_standin, CSRMatrix
         _GRAPH_MEMO.clear()
         _GRAPH_MEMO["key"] = key
-        _GRAPH_MEMO["g"] = iccad_standin(name, scale=scale, seed=seed)
+        path = os.path.join(".graph_cache", f"{name}_s{scale}_{seed}.npz")
+        g = None
+        if os.path.exists(path):
+            try:
+                with np.load(path) as z:
+                    g = CSRMatrix(int(z["nr"]), int(z["nc"]), z["data"],
+                                  z["indices"], z["indptr"])
+            except Exception as e:
+                log(f"graph cache: unreadable {path} ({e}); regenerating")
+        if g is None:
+            g = iccad_standin(name, scale=scale, seed=seed)
+            try:
+                os.makedirs(".graph_cache", exist_ok=True)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as fh:
+                    np.savez(fh, nr=g.num_rows, nc=g.num_cols,
+                             data=g.adj_data, indices=g.adj_indices,
+                             indptr=g.adj_indptr)
+                os.replace(tmp, path)
+            except OSError as e:
+                log(f"graph cache: store failed ({e})")
+        _GRAPH_MEMO["g"] = g
     return _GRAPH_MEMO["g"]
 
 

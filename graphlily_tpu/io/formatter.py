@@ -58,9 +58,8 @@ def util_normalize_csr_matrix_by_outdegree(csr: CSRMatrix) -> CSRMatrix:
 
     (For a graph adjacency where A[dst,src]=edge, column count = outdegree.)
     """
-    nnz_each_col = np.zeros(csr.num_cols, dtype=np.int64)
     cols = csr.adj_indices[: csr.nnz].astype(np.int64)
-    np.add.at(nnz_each_col, cols, 1)
+    nnz_each_col = np.bincount(cols, minlength=csr.num_cols)
     with np.errstate(divide="ignore"):
         inv = 1.0 / nnz_each_col
     csr.adj_data = inv[cols].astype(csr.adj_data.dtype)
@@ -114,7 +113,7 @@ def symmetric_permute(csr: CSRMatrix, perm: np.ndarray) -> CSRMatrix:
     else:
         order = np.lexsort((cols, rows))
     indptr = np.zeros(csr.num_rows + 1, np.int64)
-    np.add.at(indptr, rows + 1, 1)
+    indptr[1:] = np.bincount(rows, minlength=csr.num_rows)
     return CSRMatrix(csr.num_rows, csr.num_cols, csr.adj_data[order],
                      cols[order].astype(np.uint32),
                      np.cumsum(indptr).astype(np.uint32))
@@ -124,9 +123,11 @@ def degree_sort_permutation(csr: CSRMatrix) -> np.ndarray:
     """Vertices by descending (in+out) degree. Clusters power-law hubs into
     the same chunk groups, raising slot fill (the TPU analog of the
     reference's load-balance lever, util_reorder_rows_ascending_nnz)."""
-    deg = np.zeros(csr.num_rows, np.int64)
-    np.add.at(deg, csr.row_ids(), 1)
-    np.add.at(deg, csr.adj_indices[: csr.nnz].astype(np.int64), 1)
+    # bincount, NOT np.add.at: this host runs add.at at ~1M op/s, which
+    # made degree_sort_permutation alone cost ~150 s on 112M-edge graphs
+    deg = (np.bincount(csr.row_ids(), minlength=csr.num_rows)
+           + np.bincount(csr.adj_indices[: csr.nnz].astype(np.int64),
+                         minlength=csr.num_rows)[:csr.num_rows])
     return np.argsort(-deg, kind="stable")
 
 
@@ -153,7 +154,7 @@ def add_self_edges_for_sssp(csr: CSRMatrix) -> CSRMatrix:
     order = np.lexsort((all_cols, all_rows))
     all_rows, all_cols, all_data = all_rows[order], all_cols[order], all_data[order]
     indptr = np.zeros(csr.num_rows + 1, dtype=np.int64)
-    np.add.at(indptr, all_rows + 1, 1)
+    indptr[1:] = np.bincount(all_rows, minlength=csr.num_rows)
     indptr = np.cumsum(indptr)
     return CSRMatrix(csr.num_rows, csr.num_cols, all_data,
                      all_cols.astype(np.uint32), indptr.astype(np.uint32))

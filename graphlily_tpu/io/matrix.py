@@ -114,7 +114,7 @@ def csr2csc(csr: CSRMatrix) -> CSCMatrix:
     cols = csr.adj_indices[:nnz].astype(np.int64)
     rows = csr.row_ids()[:nnz]
     indptr = np.zeros(csr.num_cols + 1, dtype=np.int64)
-    np.add.at(indptr, cols + 1, 1)
+    indptr[1:] = np.bincount(cols, minlength=csr.num_cols)
     indptr = np.cumsum(indptr)
     order = np.argsort(cols, kind="stable")  # stable keeps rows ascending per col
     return CSCMatrix(
@@ -133,7 +133,7 @@ def csc2csr(csc: CSCMatrix) -> CSRMatrix:
     cols = np.repeat(np.arange(csc.num_cols, dtype=np.int64),
                      np.diff(csc.adj_indptr.astype(np.int64)))
     indptr = np.zeros(csc.num_rows + 1, dtype=np.int64)
-    np.add.at(indptr, rows + 1, 1)
+    indptr[1:] = np.bincount(rows, minlength=csc.num_rows)
     indptr = np.cumsum(indptr)
     order = np.argsort(rows, kind="stable")
     return CSRMatrix(

@@ -295,9 +295,9 @@ def pack_permc(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         maxc1 = int(cyc_of.max()) + 1
         pk1 = np.unique((a_chunk * nregions + region) * maxc1 + cyc_of)
         nd1 = len(pk1)
-        items = np.ones(nca, np.int64)
-        np.add.at(items, pk1 // (nregions * maxc1), 1)
-        np.add.at(items, fl_chunk, 1)
+        items = (1 + np.bincount(pk1 // (nregions * maxc1),
+                                 minlength=nca)
+                 + np.bincount(fl_chunk, minlength=nca)[:nca])
         if cb is None:
             dpc = nd1 / max(nca, 1) + 2.0
             cb = int(min(32, max(8, 256 // dpc)))

@@ -400,8 +400,7 @@ def pack_planar(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
     # across the 8 sublanes — and a tiny static x-shuffle pre-pass
     # (8 gather+selects per tile) materializes x in that layout at runtime.
     ntiles_pad = ncols // 1024
-    deg = np.zeros(ncols, np.int64)
-    np.add.at(deg, cc, 1)
+    deg = np.bincount(cc, minlength=ncols)
     col_mat = np.arange(ncols).reshape(ntiles_pad, 1024)
     dorder = np.argsort(-deg.reshape(ntiles_pad, 1024), axis=1,
                         kind="stable")                     # per-tile desc

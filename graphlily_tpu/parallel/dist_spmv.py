@@ -134,7 +134,7 @@ def _csr_from_sorted_coo(rows, cols, vals, nr, nc) -> CSRMatrix:
     order = np.argsort(rows, kind="stable")
     rows, cols, vals = rows[order], cols[order], vals[order]
     indptr = np.zeros(nr + 1, np.int64)
-    np.add.at(indptr, rows + 1, 1)
+    indptr[1:] = np.bincount(rows, minlength=nr)
     return CSRMatrix(nr, nc, vals, cols.astype(np.uint32),
                      np.cumsum(indptr).astype(np.uint32))
 

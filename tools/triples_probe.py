@@ -269,36 +269,40 @@ def main():
     iters = 20
 
     def mk_loop(fn):
-        def loop(x_):
+        # big streams ride as jit ARGUMENTS (a closure capture serializes
+        # them into the HLO -> remote-compile HTTP 413 at full scale)
+        def loop(ops, x_):
             def body(_i, carry):
                 x2 = x_.at[0, 0, 0].add(carry * 1e-20)
-                out = fn(x2)
+                out = fn(ops, x2)
                 return carry + out[0, 0, 0, 0] * 1e-20
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
         return jax.jit(loop)
 
-    old_loop = mk_loop(lambda x_: _planar_scatter_call(
-        page, r, vals, rg, planes, x_, sub,
+    ops_old = (page, r, vals, rg, planes, sub)
+    ops_new = (page, r, sub, vals, rg, tri)
+    old_loop = mk_loop(lambda o, x_: _planar_scatter_call(
+        o[0], o[1], o[2], o[3], o[4], x_, o[5],
         op=OpType.MULADD, cb=lay.cb, rstep=lay.rstep, f=lay.f,
         dmax=lay.dmax, nreg=lay.num_slots, nct=nct, nsteps=lay.nsteps,
         interpret=False, dtype="float32", dstep=lay.dstep, banks2=True))
-    new_loop = mk_loop(lambda x_: triples_scatter(
-        page, r, sub, vals, rg, tri, x_, **args))
-    u32_loop = mk_loop(lambda x_: triples_scatter(
-        page, r, sub, vals, rg, tri, x_, variant="u32", **args))
+    new_loop = mk_loop(lambda o, x_: triples_scatter(
+        o[0], o[1], o[2], o[3], o[4], o[5], x_, **args))
+    u32_loop = mk_loop(lambda o, x_: triples_scatter(
+        o[0], o[1], o[2], o[3], o[4], o[5], x_, variant="u32", **args))
 
-    for name, lp in (("old", old_loop), ("new", new_loop),
-                     ("u32", u32_loop)):
+    runs = (("old", old_loop, ops_old), ("new", new_loop, ops_new),
+            ("u32", u32_loop, ops_new))
+    for name, lp, o in runs:
         t0 = time.perf_counter()
-        np.asarray(lp(xj))
+        np.asarray(lp(o, xj))
         print(f"{name} loop compiled in {time.perf_counter()-t0:.0f}s",
               flush=True)
     best = {"old": float("inf"), "new": float("inf"), "u32": float("inf")}
     for _ in range(reps):
-        for name, lp in (("old", old_loop), ("new", new_loop),
-                         ("u32", u32_loop)):
+        for name, lp, o in runs:
             t0 = time.perf_counter()
-            np.asarray(lp(xj))
+            np.asarray(lp(o, xj))
             best[name] = min(best[name],
                              (time.perf_counter() - t0 - floor) / iters)
     for name, t in best.items():

@@ -70,7 +70,8 @@ class PageRank(ModuleCollection):
         self._pull_fused = pull_fused
         self._use3d = use3d
 
-    def pull(self, damping: float, num_iterations: int):
+    def pull(self, damping: float, num_iterations: int,
+             device_output: bool = False):
         n = self.matrix_num_rows_
         # 3D (tile, sublane, lane) rank carry with pallas engines: the
         # SpMV's tiled output view is free, a 1D carry pays a ~2.3 GB/s
@@ -78,10 +79,14 @@ class PageRank(ModuleCollection):
         shape = (n // 1024, 8, 128) if self._use3d else (n,)
         rank = jnp.full(shape, 1.0 / n, self.config.jdtype)
         offset = jnp.asarray((1 - damping) / n, self.config.jdtype)
-        out = np.asarray(self._pull_fused(
-            self.SpMV_.device_state(), rank, offset,
-            jnp.asarray(num_iterations)))
-        return self._external(out.reshape(-1))
+        dev = self._pull_fused(self.SpMV_.device_state(), rank, offset,
+                               jnp.asarray(num_iterations))
+        if device_output:
+            # raw device array (tiled if the engine is pallas), no D2H and
+            # no external relabel — the TPU-resident result for chaining
+            # or timing (the host fetch is a separate, host-link-bound cost)
+            return dev
+        return self._external(np.asarray(dev).reshape(-1))
 
     def compute_reference_results(self, damping: float, num_iterations: int):
         """pagerank.h:150-159."""

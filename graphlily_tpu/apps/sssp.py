@@ -172,32 +172,45 @@ class SSSP(ModuleCollection):
         return jnp.asarray(d)
 
     # ---- public API ------------------------------------------------------
-    def pull(self, source: int, num_iterations: int):
+    def pull(self, source: int, num_iterations: int,
+             device_output: bool = False):
         source = self._internal_source(source)
-        return self._external(np.asarray(self._pull_fused(
+        dev = self._pull_fused(
             self.SpMV_.device_state(),
             self._init_distance(source, self._use3d),
-            jnp.asarray(num_iterations))).reshape(-1))
+            jnp.asarray(num_iterations))
+        if device_output:
+            return dev
+        return self._external(np.asarray(dev).reshape(-1))
 
-    def push(self, source: int, num_iterations: int):
+    def push(self, source: int, num_iterations: int,
+             device_output: bool = False):
         source = self._internal_source(source)
         # dense frontier: INF except source=0
         frontier = self._init_distance(source, self._use3d)
-        return self._external(np.asarray(self._push_fused(
+        dev = self._push_fused(
             self.SpMSpV_.device_state(), frontier,
             self._init_distance(source, self._use3d),
-            jnp.asarray(num_iterations))).reshape(-1))
+            jnp.asarray(num_iterations))
+        if device_output:
+            return dev
+        return self._external(np.asarray(dev).reshape(-1))
 
     def pull_push(self, source: int, num_iterations: int,
-                  threshold: float = 0.05):
+                  threshold: float = 0.05, device_output: bool = False):
         source = self._internal_source(source)
         # dense frontier: INF except source=0
         frontier = self._init_distance(source, self._use3d)
-        return self._external(np.asarray(self._pull_push_fused(
+        dev = self._pull_push_fused(
             self.SpMV_.device_state(), self.SpMSpV_.device_state(),
             frontier, self._init_distance(source, self._use3d),
             jnp.asarray(num_iterations),
-            jnp.asarray(threshold, jnp.float32))).reshape(-1))
+            jnp.asarray(threshold, jnp.float32))
+        if device_output:
+            # raw device distances (tiled if pallas), no D2H fetch and no
+            # external relabel — for device-side chaining or kernel timing
+            return dev
+        return self._external(np.asarray(dev).reshape(-1))
 
     def pull_push_time_breakdown(self, source: int, num_iterations: int,
                                  threshold: float = 0.05) -> dict:

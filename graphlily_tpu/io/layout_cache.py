@@ -36,8 +36,9 @@ import numpy as np
 # KIND_VERSIONS bumps one packer without invalidating the others' (slow to
 # rebuild) cached layouts.
 PACK_VERSION = 5
-KIND_VERSIONS = {"router": 3, "planar": 3, "tropical": 3}  # phase-ordered
-# streams with K-rotated accumulator slots (planar v2 nests inside tropical)
+KIND_VERSIONS = {"router": 3, "planar": 3, "tropical": 4}  # phase-ordered
+# streams with K-rotated accumulator slots (planar v2 nests inside tropical);
+# tropical v4: staggered residual drains (f2 ~= balanced flush load)
 
 
 def _config_key_fields(kind: str, config) -> dict:

@@ -108,6 +108,85 @@ def choose_tropical_region_rows(nrows: int) -> int:
     return max(2048, -(-need // 128) * 128)
 
 
+def _schedule_flushes(er, dl, tie, nsteps):
+    """Stagger ALL split-pass flushes (cycle splits AND residual drains)
+    across grid steps.
+
+    Historically a split flushed at its deposit's step and every key of a
+    region drained at the region's LAST chunk's step, so hub windows (16
+    cycles/step) and region ends piled up to 175 flushes on single steps
+    while the mean was ~20 — f2 (the flush-slot width, which sizes the
+    window stream, the three reduce index streams AND the inter-pass temp)
+    ran ~8x the average and the window stream sat at ~8% fill. Pass-3
+    compute is any-active-guarded, but its DMA streams every padded slot
+    (7 KB each), so the padding is both a memory and a bandwidth tax.
+
+    A flush of (digit, global cycle g) may legally run at ANY step in
+    [er, dl]:
+      er = the step of the deposit that closed the cycle (split: the
+           overflowing deposit; drain: the key's last deposit),
+      dl = one step BEFORE the first deposit of (digit, g + K0) — that
+           deposit reuses the K-rotated accumulator slot, and a step's
+           deposit phase precedes its flush phase. K0 is the rotation
+           depth of the UNSTAGGERED schedule; the final K is forced to
+           max(K0, recomputed), so the windows stay valid (a larger K
+           only moves the reuse later).
+    Greedy: walk steps ascending, keep available flushes in a (deadline,
+    tie) min-heap, fill each step to a cap; a flush whose deadline IS the
+    current step places regardless of cap. A too-small cap BUNCHES: held
+    flushes pile up behind it until a deadline cluster force-dumps them in
+    one step (measured f2=425 at pokec scale with cap=average vs 175
+    unstaggered — hub digits cycle every chunk, so their windows are
+    zero-width). The cap is therefore binary-searched: the smallest cap
+    whose greedy run never exceeds it (doubling to find a feasible upper
+    bound first). Deterministic (tie = the flush's unique global
+    region-cycle id), mirrored bit-identically by
+    native/tropical_split.cpp.
+
+    Returns (order, steps): flush indices in placement order + their steps
+    (non-decreasing).
+    """
+    import heapq
+    n = len(er)
+    by_er = [[] for _ in range(nsteps)]
+    for i in range(n):
+        by_er[int(er[i])].append(i)
+
+    def run(cap, emit):
+        heap: list = []
+        order = np.empty(n, np.int64) if emit else None
+        steps_out = np.empty(n, np.int64) if emit else None
+        pos = 0
+        maxload = 0
+        for s in range(nsteps):
+            for i in by_er[s]:
+                heapq.heappush(heap, (int(dl[i]), int(tie[i]), i))
+            load = 0
+            while heap and (heap[0][0] == s or load < cap):
+                _, _, i = heapq.heappop(heap)
+                if emit:
+                    order[pos] = i
+                    steps_out[pos] = s
+                pos += 1
+                load += 1
+            maxload = max(maxload, load)
+        assert pos == n, "flush scheduler left pending flushes"
+        return maxload, order, steps_out
+
+    lo = max(-(-n // max(nsteps, 1)), 1)
+    hi = lo
+    while run(hi, False)[0] > hi:
+        hi *= 2
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if run(mid, False)[0] <= mid:
+            hi = mid
+        else:
+            lo = mid + 1
+    _, order, steps_out = run(lo, True)
+    return order, steps_out
+
+
 def build_split_schedule(lay: PlanarSpMVLayout, kb: int = 16,
                          native: bool = True):
     """Split + reduce schedules from a planar layout packed with hi_pad=-1.
@@ -206,27 +285,76 @@ def build_split_schedule(lay: PlanarSpMVLayout, kb: int = 16,
          np.cumsum(ncyc.reshape(nregs, R), axis=0)[:-1]]).reshape(-1)
     gc1 = basecyc[e_key] + sim.cyc1
     gc2 = basecyc[e_key] + sim.cyc2
-    dr_keys = np.nonzero(has_resid)[0]
-    dr_reg = dr_keys // R
-    dr_step = step_of_chunk[last_pos[dr_reg]]
-    dr_gc = basecyc[dr_keys] + sim.cycle[dr_keys]
+    dr_all = np.nonzero(has_resid)[0]
+    dr_gc_all = basecyc[dr_all] + sim.cycle[dr_all]
+    er_all = np.zeros(nkeys, np.int64)
+    np.maximum.at(er_all, e_key, e_step)
 
     # K: max distinct global cycles of one digit touched in one step
-    # (deposit pieces AND flushes — a drained slot must not be re-deposited
-    # by the next region's cycle within the drain step)
-    t_dig = np.concatenate([e_digit, e_digit[spw], dr_keys % R])
-    t_step = np.concatenate([e_step, e_step[spw], dr_step])
-    t_gc = np.concatenate([gc1, gc2[spw], dr_gc])
-    gspan = int(t_gc.max()) + 2
-    tk = (t_dig * np.int64(nsteps2 + 1) + t_step) * gspan + t_gc
-    uk = np.unique(tk)
-    uk2, cnt = np.unique(uk // gspan, return_counts=True)
-    K = int(cnt.max()) + 1
+    # (deposit pieces AND flushes — a flushed slot must not be re-deposited
+    # by cycle gc+K within the flush's step)
+    def _rotation_depth(t_dig, t_step, t_gc):
+        gspan = int(t_gc.max()) + 2
+        tk = (t_dig * np.int64(nsteps2 + 1) + t_step) * gspan + t_gc
+        uk = np.unique(tk)
+        _, cnt = np.unique(uk // gspan, return_counts=True)
+        return int(cnt.max()) + 1
+
+    # K0: rotation depth of the UNSTAGGERED schedule (splits at their
+    # deposit step, drains at region end) — sets the flush windows below
+    K0 = _rotation_depth(
+        np.concatenate([e_digit, e_digit[spw], dr_all % R]),
+        np.concatenate([e_step, e_step[spw],
+                        step_of_chunk[last_pos[dr_all // R]]]),
+        np.concatenate([gc1, gc2[spw], dr_gc_all]))
+
+    # first deposit step per (digit, global cycle): the reuse horizon for
+    # the flush windows (cycles of a digit are globally contiguous and
+    # every cycle contains at least one deposit piece)
+    dd = np.concatenate([e_digit, e_digit[spw]])
+    dgc = np.concatenate([gc1, gc2[spw]])
+    dstp = np.concatenate([e_step, e_step[spw]])
+    gspan0 = int(dgc.max()) + K0 + 2
+    fd_key = dd * gspan0 + dgc
+    o0 = np.lexsort((dstp, fd_key))
+    fk_s = fd_key[o0]
+    fst = np.ones(len(fk_s), bool)
+    fst[1:] = fk_s[1:] != fk_s[:-1]
+    fd_keys_u = fk_s[fst]
+    fd_step_u = dstp[o0][fst]
+
+    # all flushes (splits + drains) with [er, dl] stagger windows
+    fl_er = np.concatenate([e_step[spw], er_all[dr_all]])
+    fl_dig = np.concatenate([e_digit[spw], dr_all % R])
+    fl_gc = np.concatenate([gc1[spw], dr_gc_all])
+    fl_key0 = np.concatenate([e_key[spw], dr_all])
+    fl_rc0 = np.concatenate([rc_base[e_key[spw]] + sim.cyc1[spw],
+                             rc_base[dr_all] + sim.cycle[dr_all]])
+    reuse = fl_dig * gspan0 + fl_gc + K0
+    look = np.minimum(np.searchsorted(fd_keys_u, reuse),
+                      max(len(fd_keys_u) - 1, 0))
+    hit = (fd_keys_u[look] == reuse) if len(fd_keys_u) else \
+        np.zeros(len(reuse), bool)
+    fl_dl = np.where(hit, fd_step_u[look] - 1, nsteps2 - 1)
+    assert (fl_dl >= fl_er).all(), "flush window inverted (K0 violated)"
+    forder2, fl_step_all = _schedule_flushes(fl_er, fl_dl, fl_rc0, nsteps2)
+    fl_key_all = fl_key0[forder2]
+    fl_rc_all = fl_rc0[forder2]
+    fl_gc_s = fl_gc[forder2]
+    fl_dig_s = fl_dig[forder2]
+
+    # final K: never below K0 (the windows assumed reuse no earlier than
+    # gc + K0), raised if the staggered steps pack more distinct cycles
+    K = max(K0, _rotation_depth(
+        np.concatenate([e_digit, e_digit[spw], fl_dig_s]),
+        np.concatenate([e_step, e_step[spw], fl_step_all]),
+        np.concatenate([gc1, gc2[spw], fl_gc_s])))
     num_slots2 = R * K
     assert num_slots2 <= 4096, \
         f"rotated split slots exceed the 12-bit field ({num_slots2})"
     slot1 = e_digit * K + gc1 % K
     slot2 = e_digit * K + gc2 % K
+    fl_slot_all = fl_dig_s * K + fl_gc_s % K
 
     # deposit pieces in exec order (piece2 right after its piece1)
     per_dep = np.where(sp_mask, 2, 1)
@@ -250,20 +378,8 @@ def build_split_schedule(lay: PlanarSpMVLayout, kb: int = 16,
     p_of = np.arange(npc) - dep_first2[pc_step]
     dmax2 = dstep2
 
-    # flushes: split flushes at their step, drains at their region's last
-    # chunk's step; stable sort by step (split-before-drain within a step
-    # preserves each key's cycle order)
-    fl_step_all = np.concatenate([e_step[spw], dr_step])
-    fl_key_all = np.concatenate([e_key[spw], dr_keys])
-    fl_rc_all = np.concatenate([rc_base[e_key[spw]] + sim.cyc1[spw],
-                                rc_base[dr_keys] + sim.cycle[dr_keys]])
-    fl_slot_all = np.concatenate([slot1[spw],
-                                  (dr_keys % R) * K + dr_gc % K])
-    forder = np.argsort(fl_step_all, kind="stable")
-    fl_step_all = fl_step_all[forder]
-    fl_key_all = fl_key_all[forder]
-    fl_rc_all = fl_rc_all[forder]
-    fl_slot_all = fl_slot_all[forder]
+    # flushes arrive from _schedule_flushes in placement (step-ascending)
+    # order with fl_slot_all already K-rotated above
     nf = len(fl_step_all)
     fl_counts = np.bincount(fl_step_all, minlength=nsteps2)
     f2 = max(int(fl_counts.max()), 1)

@@ -23,6 +23,7 @@
 #include <array>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <unordered_map>
 #include <vector>
 
@@ -211,46 +212,166 @@ int64_t glt_tsplit_plan(const int32_t* c_code, const int8_t* c_hi,
             basecyc[r * R + d] = basecyc[(r - 1) * R + d]
                 + cycle[(r - 1) * R + d] + (has_resid[(r - 1) * R + d] ? 1 : 0);
 
-    // K: max distinct global cycles of one digit touched in one step
+    // ---- staggered flush schedule (mirror of _schedule_flushes) -----------
+    // every flush (cycle split or residual drain) may run at any step in
+    // [er, dl]: er = the step of the deposit closing its cycle, dl = one
+    // step before the first deposit of (digit, gc + K0) reuses the rotated
+    // accumulator slot. K0 comes from the unstaggered schedule; the final
+    // K is max(K0, recomputed), so the windows stay valid.
+    struct PFl { int64_t er, dl, dig, gc, key, rc; };
+    std::vector<PFl> pfl;
+    std::vector<int64_t> fl_order, fl_stp;   // placement order
     int64_t K;
     {
-        std::vector<int64_t> trip;
-        trip.reserve(2 * nd + nkeys);
-        int64_t gmax = 0;
-        auto gc = [&](int64_t key, int64_t cyc) {
+        auto gcof = [&](int64_t key, int64_t cyc) {
             return basecyc[key] + cyc;
         };
-        for (int64_t k = 0; k < nd; ++k) {
-            gmax = std::max(gmax, gc(p.dep_key[k], p.d_cyc2[k]));
-        }
+        int64_t gmax = 0;
+        for (int64_t k = 0; k < nd; ++k)
+            gmax = std::max(gmax, gcof(p.dep_key[k], p.d_cyc2[k]));
         for (int64_t key = 0; key < nkeys; ++key)
             if (has_resid[key])
-                gmax = std::max(gmax, gc(key, cycle[key]));
+                gmax = std::max(gmax, gcof(key, cycle[key]));
         const int64_t gspan = gmax + 2;
-        auto push = [&](int64_t dgt, int64_t step, int64_t g) {
-            trip.push_back((dgt * (p.nsteps2 + 1) + step) * gspan + g);
+        auto depth_of = [&](std::vector<int64_t>& trip) {
+            std::sort(trip.begin(), trip.end());
+            trip.erase(std::unique(trip.begin(), trip.end()), trip.end());
+            int64_t kmax = 1;
+            for (size_t a = 0; a < trip.size();) {
+                const int64_t rs = trip[a] / gspan;
+                size_t j = a;
+                while (j < trip.size() && trip[j] / gspan == rs) ++j;
+                kmax = std::max<int64_t>(kmax, (int64_t)(j - a));
+                a = j;
+            }
+            return kmax + 1;
         };
+        auto push_deps = [&](std::vector<int64_t>& trip) {
+            for (int64_t k = 0; k < nd; ++k) {
+                const int64_t step = p.dep_chunk[k] / p.kb;
+                const int64_t dgt = p.dep_key[k] % R;
+                trip.push_back((dgt * (p.nsteps2 + 1) + step) * gspan
+                               + gcof(p.dep_key[k], p.d_cyc1[k]));
+                if (p.d_split[k])
+                    trip.push_back((dgt * (p.nsteps2 + 1) + step) * gspan
+                                   + gcof(p.dep_key[k], p.d_cyc2[k]));
+            }
+        };
+        std::vector<int64_t> trip;
+        trip.reserve(2 * nd + nkeys);
+        push_deps(trip);
+        for (int64_t key = 0; key < nkeys; ++key)
+            if (has_resid[key])
+                trip.push_back(((key % R) * (p.nsteps2 + 1)
+                                + last_pos[key / R] / p.kb) * gspan
+                               + gcof(key, cycle[key]));
+        const int64_t K0 = depth_of(trip);
+
+        // first deposit step per (digit, global cycle)
+        const int64_t gspan0 = gmax + K0 + 2;
+        std::vector<std::pair<int64_t, int64_t>> fd;   // (digkey, step)
+        fd.reserve(2 * nd);
         for (int64_t k = 0; k < nd; ++k) {
             const int64_t step = p.dep_chunk[k] / p.kb;
             const int64_t dgt = p.dep_key[k] % R;
-            push(dgt, step, gc(p.dep_key[k], p.d_cyc1[k]));
-            if (p.d_split[k]) push(dgt, step, gc(p.dep_key[k], p.d_cyc2[k]));
+            fd.push_back({dgt * gspan0 + gcof(p.dep_key[k], p.d_cyc1[k]),
+                          step});
+            if (p.d_split[k])
+                fd.push_back({dgt * gspan0
+                              + gcof(p.dep_key[k], p.d_cyc2[k]), step});
         }
+        std::sort(fd.begin(), fd.end());
+        fd.erase(std::unique(fd.begin(), fd.end(),
+                             [](const std::pair<int64_t, int64_t>& a,
+                                const std::pair<int64_t, int64_t>& b) {
+                                 return a.first == b.first;
+                             }),
+                 fd.end());   // keeps the smallest step per digkey
+
+        std::vector<int32_t> er_key(nkeys, 0);
+        for (int64_t k = 0; k < nd; ++k) {
+            const int32_t step = (int32_t)(p.dep_chunk[k] / p.kb);
+            if (step > er_key[p.dep_key[k]]) er_key[p.dep_key[k]] = step;
+        }
+
+        for (int64_t k = 0; k < nd; ++k)
+            if (p.d_split[k]) {
+                const int64_t key = p.dep_key[k];
+                pfl.push_back({p.dep_chunk[k] / p.kb, 0, key % R,
+                               gcof(key, p.d_cyc1[k]), key,
+                               p.rc_base[key] + p.d_cyc1[k]});
+            }
         for (int64_t key = 0; key < nkeys; ++key)
             if (has_resid[key])
-                push(key % R, last_pos[key / R] / p.kb, gc(key, cycle[key]));
-        std::sort(trip.begin(), trip.end());
-        trip.erase(std::unique(trip.begin(), trip.end()), trip.end());
-        const int64_t gspan2 = gspan;
-        int64_t kmax = 1;
-        for (size_t k = 0; k < trip.size();) {
-            const int64_t rs = trip[k] / gspan2;
-            size_t j = k;
-            while (j < trip.size() && trip[j] / gspan2 == rs) ++j;
-            kmax = std::max<int64_t>(kmax, (int64_t)(j - k));
-            k = j;
+                pfl.push_back({(int64_t)er_key[key], 0, key % R,
+                               gcof(key, cycle[key]), key,
+                               p.rc_base[key] + cycle[key]});
+        for (auto& f : pfl) {
+            const int64_t digkey = f.dig * gspan0 + f.gc + K0;
+            auto it = std::lower_bound(
+                fd.begin(), fd.end(),
+                std::make_pair(digkey, (int64_t)INT64_MIN));
+            f.dl = (it != fd.end() && it->first == digkey)
+                       ? it->second - 1 : p.nsteps2 - 1;
+            if (f.dl < f.er) { delete P; return 0; }   // K0 violated
         }
-        K = kmax + 1;
+
+        // EDF greedy, cap binary-searched: smallest cap whose run never
+        // exceeds it (a too-small cap bunches deadline clusters — see
+        // io/tropical_format._schedule_flushes)
+        const int64_t nfl = (int64_t)pfl.size();
+        std::vector<std::vector<int64_t>> by_er(p.nsteps2);
+        for (int64_t i = 0; i < nfl; ++i) by_er[pfl[i].er].push_back(i);
+        using DT = std::pair<int64_t, std::pair<int64_t, int64_t>>;
+        auto run = [&](int64_t cap, bool emit) -> int64_t {
+            std::priority_queue<DT, std::vector<DT>, std::greater<DT>> heap;
+            int64_t maxload = 0, pos = 0;
+            for (int64_t s = 0; s < p.nsteps2; ++s) {
+                for (int64_t i : by_er[s])
+                    heap.push({pfl[i].dl, {pfl[i].rc, i}});
+                int64_t load = 0;
+                while (!heap.empty() &&
+                       (heap.top().first == s || load < cap)) {
+                    if (emit) {
+                        fl_order.push_back(heap.top().second.second);
+                        fl_stp.push_back(s);
+                    }
+                    heap.pop();
+                    ++pos;
+                    ++load;
+                }
+                maxload = std::max(maxload, load);
+            }
+            if (pos != nfl) return -1;   // pending left (cannot happen)
+            return maxload;
+        };
+        int64_t lo = std::max<int64_t>((nfl + p.nsteps2 - 1) / p.nsteps2, 1);
+        int64_t hi = lo;
+        while (true) {
+            const int64_t ml = run(hi, false);
+            if (ml < 0) { delete P; return 0; }
+            if (ml <= hi) break;
+            hi *= 2;
+        }
+        while (lo < hi) {
+            const int64_t mid = (lo + hi) / 2;
+            const int64_t ml = run(mid, false);
+            if (ml >= 0 && ml <= mid) hi = mid;
+            else lo = mid + 1;
+        }
+        fl_order.reserve(nfl);
+        fl_stp.reserve(nfl);
+        if (run(lo, true) < 0) { delete P; return 0; }
+
+        std::vector<int64_t> trip2;
+        trip2.reserve(2 * nd + nfl);
+        push_deps(trip2);
+        for (size_t j = 0; j < fl_order.size(); ++j) {
+            const PFl& f = pfl[fl_order[j]];
+            trip2.push_back((f.dig * (p.nsteps2 + 1) + fl_stp[j]) * gspan
+                            + f.gc);
+        }
+        K = std::max(K0, depth_of(trip2));
     }
     if (R * K > 4096) { delete P; return 0; }
     p.num_slots2 = R * K;
@@ -276,48 +397,19 @@ int64_t glt_tsplit_plan(const int32_t* c_code, const int8_t* c_hi,
                                          | (1 << 15))});
         }
     }
-    // flushes, step-sorted (split flushes in exec order, then drains;
-    // merge keeps splits before drains at equal steps, like the numpy
-    // stable sort over the concatenated list)
-    struct Fl { int32_t step; int64_t key, rc; int32_t slot; };
-    std::vector<Fl> fls;
-    for (int64_t k = 0; k < nd; ++k)
-        if (p.d_split[k]) {
-            const int32_t step = (int32_t)(p.dep_chunk[k] / p.kb);
-            fls.push_back({step, p.dep_key[k],
-                           p.rc_base[p.dep_key[k]] + p.d_cyc1[k],
-                           (int32_t)slot_of(p.dep_key[k], p.d_cyc1[k])});
-        }
-    std::vector<Fl> drs;
-    for (int64_t key = 0; key < nkeys; ++key)
-        if (has_resid[key]) {
-            const int32_t step = (int32_t)(last_pos[key / R] / p.kb);
-            drs.push_back({step, key, p.rc_base[key] + cycle[key],
-                           (int32_t)slot_of(key, cycle[key])});
-        }
-    std::stable_sort(drs.begin(), drs.end(),
-                     [](const Fl& a, const Fl& b) { return a.step < b.step; });
-    std::vector<Fl> merged;
-    merged.reserve(fls.size() + drs.size());
-    {
-        size_t a = 0, b = 0;
-        while (a < fls.size() || b < drs.size()) {
-            if (b >= drs.size() ||
-                (a < fls.size() && fls[a].step <= drs[b].step))
-                merged.push_back(fls[a++]);
-            else
-                merged.push_back(drs[b++]);
-        }
-    }
-    for (const Fl& fl : merged) {
-        const int32_t q = q_cnt[fl.step]++;
-        p.items.push_back({fl.step, -1 - q, 0,   // slot fixed after dstep2
-                           (int32_t)((uint32_t)fl.slot | ((uint32_t)q << 16)
+    // flushes in scheduler placement order (step-ascending)
+    for (size_t j = 0; j < fl_order.size(); ++j) {
+        const PFl& f = pfl[fl_order[j]];
+        const int32_t step = (int32_t)fl_stp[j];
+        const int32_t q = q_cnt[step]++;
+        const int32_t slot = (int32_t)(f.dig * K + f.gc % K);
+        p.items.push_back({step, -1 - q, 0,   // slot fixed after dstep2
+                           (int32_t)((uint32_t)slot | ((uint32_t)q << 16)
                                      | 0x80000000u)});
-        p.fl_rc.push_back(fl.rc);
-        p.fl_step.push_back(fl.step);
+        p.fl_rc.push_back(f.rc);
+        p.fl_step.push_back(step);
         p.fl_q.push_back(q);
-        p.fl_key.push_back((int32_t)fl.key);
+        p.fl_key.push_back((int32_t)f.key);
     }
 
     p.dstep2 = 1;

@@ -378,7 +378,7 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
     # reuse_from) are the evidence round 3 built but never executed on the
     # chip — land them before the budget can run out on PageRank/BFS rows
     # that already exist from prior rounds. Isolated: an SSSP OOM (the
-    # tropical engine's measured footprint is ~152 B/nnz, see
+    # tropical engine's measured footprint is ~98 B/nnz post-stagger, see
     # feasible_sssp_scale) must not take the PageRank/BFS rows down with it.
     if with_sssp:
         try:
@@ -441,16 +441,18 @@ def feasible_sssp_scale(name, config):
     """SSSP rides the scalable tropical engine (planar scatter of the
     exact int32 encoding + window split + scan reduce,
     ops/tropical_pallas.py). Engine sharing (apps/sssp.py reuse_from)
-    removed the duplicate-engine footprint, but the r4 full-scale run
-    MEASURED the real requirement on hollywood (112.75M edges): 11.82 GB
-    of resident layout arguments + 5.32 GB of HLO temps (the inter-pass
-    int32 streams) = 17.14 GB vs the 15.75 GB chip — ~152 B/nnz
-    all-in. Budget 14 GB -> ~92M edges; the three largest graphs run at
-    the largest feasible half-scale instead of failing outright."""
+    removed the duplicate-engine footprint, and the r4 split-pass flush
+    staggering (io/tropical_format._schedule_flushes: EDF windows +
+    binary-searched cap) cut the padded window/reduce/temp streams ~3x.
+    Measured at pokec-class scale (30.6M edges): 81.5 B/nnz resident
+    layout + 16.9 B/nnz inter-pass temp = 98.4 B/nnz all-in (was 152).
+    Budget 14 GB at a rounded-up 105 B/nnz -> ~133M edges: hollywood
+    (112.75M) and ogbn_products (123.6M) now run FULL scale; orkut
+    (234M) at 0.5."""
     from graphlily_tpu.io import iccad_standin
     for sc in (1.0, 0.5, 0.25, 0.1):
         g = get_graph(name, sc, 1)
-        if g.nnz * 152e-9 <= 14.0:
+        if g.nnz * 105e-9 <= 14.0:
             return sc, g
     return None, None
 
@@ -495,14 +497,19 @@ def get_graph(name, scale, seed):
     return _GRAPH_MEMO["g"]
 
 
-def engine_sig(name: str) -> str:
+def engine_sig(name: str, kinds=("planar", "router")) -> str:
     """Cheap layout+engine signature for row reuse: pack versions (bumped on
     any schedule-semantics change) + graph identity. A prior BENCH_DETAILS
     row whose sig matches was measured by the same engine generation — when
-    the time budget runs out it is re-emitted instead of silently kept."""
+    the time budget runs out it is re-emitted instead of silently kept.
+
+    Scoped to the kinds the row actually depends on: SpMV rows ride the
+    planar/router layouts only; the tropical kind feeds the SSSP apps rows,
+    which are re-measured wholesale every apps run — an unscoped sig marked
+    every SpMV row stale on a tropical-only schedule bump (r4)."""
     from graphlily_tpu.io.layout_cache import PACK_VERSION, KIND_VERSIONS
     return (f"v{PACK_VERSION}." +
-            ".".join(str(KIND_VERSIONS[k]) for k in sorted(KIND_VERSIONS))
+            ".".join(str(KIND_VERSIONS[k]) for k in sorted(kinds))
             + f"|{name}")
 
 

@@ -331,7 +331,7 @@ def bench_spmspv_sweep(csr, config, sparsities=(0.9, 0.95, 0.99, 0.995,
 
 
 def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
-               sssp_scale=1.0, reps=3):
+               sssp_scale=1.0, reps=3, only_sssp=False):
     """PageRank x10 + BFS pull_push + (feasible-scale) SSSP pull_push.
 
     Each app is timed as MIN over `reps` runs of its device_output path
@@ -404,6 +404,11 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
         gc.collect()
         import jax as _jax
         _jax.clear_caches()
+    if only_sssp:
+        # targeted full-scale SSSP runs (tools/sssp_full.py): the PageRank/
+        # BFS rows are already current — measuring them again would burn the
+        # budget on 100M+-edge planar packs the SSSP row does not need
+        return res
 
     pr = PageRank(config)
     pr.load_and_format_matrix(csr, damping=0.9)
@@ -449,11 +454,13 @@ def feasible_sssp_scale(name, config):
     Budget 14 GB at a rounded-up 105 B/nnz -> ~133M edges: hollywood
     (112.75M) and ogbn_products (123.6M) now run FULL scale; orkut
     (234M) at 0.5."""
-    from graphlily_tpu.io import iccad_standin
+    from graphlily_tpu.io import ICCAD_GRAPHS
     for sc in (1.0, 0.5, 0.25, 0.1):
-        g = get_graph(name, sc, 1)
-        if g.nnz * 105e-9 <= 14.0:
-            return sc, g
+        # feasibility from the stand-in's target nnz (iccad_standin scales
+        # nnz linearly) — generating a 234M-edge graph just to read .nnz
+        # cost ~8 min of 1-vCPU RNG before this check
+        if ICCAD_GRAPHS[name]["nnz"] * sc * 105e-9 <= 14.0:
+            return sc, get_graph(name, sc, 1)
     return None, None
 
 

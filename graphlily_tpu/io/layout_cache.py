@@ -52,6 +52,13 @@ def _config_key_fields(kind: str, config) -> dict:
         d.update(row_window=config.row_window, col_tile=config.col_tile,
                  chunk_sublanes=config.chunk_sublanes, lanes=config.lanes,
                  skip_empty_rows=config.skip_empty_rows)
+    elif kind == "tropical":
+        # the split deposit format changes the packed arrays (planes2 vs
+        # xsort2/triples2) — configs differing here must not share entries.
+        # Only keyed when non-default so existing cache entries stay live.
+        fmt = getattr(config, "tropical_split_format", "planes")
+        if fmt != "planes":
+            d.update(split_format=fmt)
     return d
 
 

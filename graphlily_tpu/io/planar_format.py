@@ -115,7 +115,43 @@ class PlanarSpMVLayout:
         return (self.a_r.nbytes + self.xperm.nbytes
                 + self.a_vals.nbytes + self.a_page.nbytes
                 + self.rg.nbytes + self.planes.nbytes + self.c_code.nbytes
-                + self.c_hi.nbytes + self.c_lo.nbytes)
+                + self.c_hi.nbytes + self.c_lo.nbytes
+                + (self.triples.nbytes if self.triples is not None else 0))
+
+
+def planes_to_triples(lay) -> np.ndarray:
+    """Losslessly compress a planar layout's deposit planes to triple-run
+    words: every (piece, sublane) is ONE contiguous source run mapped to
+    ONE contiguous accumulator run (the scatter writes src0+off at
+    dest0+off), so a 1 KB (8,128) int8 plane collapses to 8 per-sublane
+    int32 words `a0 | d0<<7 | n<<14` (32 B/piece — the permc deposit
+    format, decoded by ops/router_pallas.py's triples kernels). Asserts
+    the run invariant rather than trusting it. Returns
+    (nsteps, ceil(dstep/128), 8, 128) int32."""
+    nsteps, dmax = lay.planes.shape[:2]
+    TP = (lay.dstep + L - 1) // L
+    tw = np.zeros((nsteps, TP, S, L), np.int32)
+    pv = lay.planes.astype(np.int32)          # < 0 -> take src (pv & 127)
+    take = pv < 0
+    n_ = take.sum(axis=3)                     # (nsteps, dmax, 8)
+    d0 = np.where(n_ > 0, np.argmax(take, axis=3), 0)
+    src = pv & 127
+    a0 = np.take_along_axis(src, d0[..., None], axis=3)[..., 0]
+    a0 = np.where(n_ > 0, a0, 0)
+    lane_i = np.arange(L)
+    run = (lane_i[None, None, None, :] >= d0[..., None]) & (
+        lane_i[None, None, None, :] < (d0 + n_)[..., None])
+    assert (take == run).all(), "plane take-mask is not a single run"
+    expect = (a0[..., None] + lane_i[None, None, None, :]
+              - d0[..., None]) & 127
+    assert (np.where(run, src, 0) == np.where(run, expect, 0)).all(), \
+        "plane srcs are not contiguous"
+    words = (a0 | (d0 << 7) | (n_ << 14)).astype(np.int32)
+    assert dmax <= TP * L
+    p = np.arange(dmax)
+    # two advanced indices around a slice: result dims are (dmax, nsteps, 8)
+    tw[:, p >> 7, :, p & 127] = words.transpose(1, 0, 2)
+    return tw
 
 
 def simulate_cursors(dc, dr, dl, nkeys: int):

@@ -87,12 +87,22 @@ class TropicalSpMVLayout:
     fill2: float            # nnz / window-stream slots
     dstep2: int = 0         # deposit slots per split step (rstep2 - f2)
     num_slots2: int = 0     # rotated digit slots (split scratch height)
+    # ---- triples split format (split_format="triples"/"auto") ----
+    # replaces planes2 (1 KB/piece) with ONE digit-major sort plane per
+    # input chunk + 32 B of packed run words per piece (~32x smaller
+    # deposit stream); planes2 is then a 0-size placeholder
+    xsort2: np.ndarray | None = None    # (nsteps2, kb, 8, 128) int32
+    triples2: np.ndarray | None = None  # (nsteps2, ceil(dmax2/128), 8, 128)
+                                        #   int32: a0 | d0<<7 | n<<14
 
     @property
     def mem_bytes(self) -> int:
+        extra = sum(a.nbytes for a in (self.xsort2, self.triples2)
+                    if a is not None)
         return (self.planar.mem_bytes + self.in_order.nbytes
                 + self.rg2.nbytes + self.planes2.nbytes + self.c_win.nbytes
-                + self.sort2.nbytes + self.rowids.nbytes + self.inv2.nbytes)
+                + self.sort2.nbytes + self.rowids.nbytes + self.inv2.nbytes
+                + extra)
 
     @property
     def num_col_tiles(self) -> int:
@@ -483,9 +493,95 @@ def build_split_schedule(lay: PlanarSpMVLayout, kb: int = 16,
                 dstep2=dstep2, num_slots2=num_slots2, fill2=fill2)
 
 
+AUTO_TRIPLES_PLANES_BYTES = 2_000_000_000  # "auto": triples only where the
+# plane stream is the footprint wall (orkut-class); smaller graphs keep the
+# TPU-measured planes path
+
+
+def derive_split_triples(lay: PlanarSpMVLayout, parts: dict):
+    """Compress the split-pass deposit planes into (sort plane, run words).
+
+    Pass-2 deposit destinations are contiguous runs by construction
+    (el_dst = cursor_dest + rank), but the SOURCE lanes are the arbitrary
+    subset of the chunk's lanes holding the piece's digit. Sorting each
+    input chunk digit-major (stable by (digit, row, lane) — the SAME order
+    the builder ranks elements in) makes every piece's sources contiguous
+    too: piece1 of deposit (chunk, digit) reads sorted positions
+    [digit_start, digit_start+p1) and piece2 the remainder. Each
+    (piece, sublane) then compresses from a 1 KB int8 gather plane to one
+    packed int32 word a0 | d0<<7 | n<<14 (the permc deposit format,
+    ops/router_pallas.py triples decode) plus ONE shared 4 KB sort plane
+    per chunk — ~32x less deposit-stream HBM, the wall between orkut-scale
+    SSSP and the 14 GB budget (BENCH feasibility math).
+
+    Derived POST-HOC from planes2 + rg2, so it composes with both the
+    numpy and the native C++ schedule builders unchanged (and the existing
+    bit-identity tests keep their meaning). Returns (xsort2, triples2).
+    """
+    planes2 = parts["planes2"]
+    rg2 = parts["rg2"]
+    in_pad = np.asarray(parts["in_order"], dtype=np.int64)
+    kb = parts["kb"]
+    nsteps2, dmax2 = planes2.shape[:2]
+
+    hi = np.asarray(lay.c_hi)[in_pad].astype(np.int64)   # (C, 8, 128)
+    lo = np.asarray(lay.c_lo)[in_pad].astype(np.int64)
+    C = hi.shape[0]
+    lane = np.arange(L, dtype=np.int64)
+    invalid = hi < 0
+    key = (np.where(invalid, 1, 0) << 24 \
+           | np.where(invalid, 0, hi) << 14 \
+           | np.where(invalid, 0, lo) << 7 | lane)
+    xsort = np.argsort(key, axis=2, kind="stable").astype(np.int32)
+    sortpos = np.empty((C, S, L), np.int32)
+    np.put_along_axis(sortpos, xsort.astype(np.int64),
+                      np.broadcast_to(lane.astype(np.int32), (C, S, L)),
+                      axis=2)
+
+    # elements: planes2 stores li-128 in [-128,-1]; 0 == empty slot
+    pst, psl, es, el = np.nonzero(planes2)
+    src = planes2[pst, psl, es, el].astype(np.int64) + 128
+    cpos = pst.astype(np.int64) * kb + (rg2[pst, psl, 0] & 0xFF)
+    sp = sortpos[cpos, es, src].astype(np.int64)
+    pk = (pst.astype(np.int64) * dmax2 + psl) * S + es
+    npk = nsteps2 * dmax2 * S
+
+    order = np.lexsort((el, pk))
+    pk_s, el_s, sp_s = pk[order], el[order], sp[order]
+    first = np.ones(len(pk_s), bool)
+    first[1:] = pk_s[1:] != pk_s[:-1]
+    fi = np.nonzero(first)[0]
+    cnt_g = np.diff(np.concatenate([fi, [len(pk_s)]]))
+    la = fi + cnt_g - 1
+    # contiguity (the run property triples encode) — both ends + the
+    # per-element diagonal sp - el == const within each group
+    assert (el_s[la] - el_s[fi] + 1 == cnt_g).all(), "dest run broken"
+    assert (sp_s[la] - sp_s[fi] + 1 == cnt_g).all(), "src run broken"
+    diag = np.zeros(npk, np.int64)
+    diag[pk_s[fi]] = sp_s[fi] - el_s[fi]
+    assert (sp_s - el_s == diag[pk_s]).all(), "run order mismatch"
+
+    a0 = np.zeros(npk, np.int64)
+    d0 = np.zeros(npk, np.int64)
+    nn = np.zeros(npk, np.int64)
+    a0[pk_s[fi]] = sp_s[fi]
+    d0[pk_s[fi]] = el_s[fi]
+    nn[pk_s[fi]] = cnt_g
+    assert nn.max() <= 128 and a0.max() <= 127 and d0.max() <= 127
+    TP2 = max(-(-dmax2 // L), 1)
+    triples2 = np.zeros((nsteps2, TP2 * L, S), np.int64)
+    words = (a0 | d0 << 7 | nn << 14).reshape(nsteps2, dmax2, S)
+    triples2[:, :dmax2, :] = words
+    triples2 = triples2.reshape(nsteps2, TP2, L, S) \
+                       .transpose(0, 1, 3, 2).astype(np.int32)
+    return (xsort.reshape(nsteps2, kb, S, L),
+            np.ascontiguousarray(triples2))
+
+
 def pack_tropical(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                   region_rows: int | None = None,
-                  kb: int = 16, native: bool = True) -> TropicalSpMVLayout:
+                  kb: int = 16, native: bool = True,
+                  split_format: str | None = None) -> TropicalSpMVLayout:
     """Pack for the scalable tropical engine. Values ride RAW (clipped to
     [0, FLOAT_INF]) with the tropical annihilator FLOAT_INF as the A-slot
     pad — the kernel's exact bit encoding maps pad products to the
@@ -502,6 +598,23 @@ def pack_tropical(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                       pad_val=float(FLOAT_INF), native=native,
                       deal=config.planar_deal)
     parts = build_split_schedule(lay, kb=kb, native=native)
+    fmt = (config.tropical_split_format if split_format is None
+           else split_format)
+    if fmt == "auto":
+        fmt = ("triples" if parts["planes2"].nbytes
+               >= AUTO_TRIPLES_PLANES_BYTES else "planes")
+    if fmt == "triples":
+        xsort2, triples2 = derive_split_triples(lay, parts)
+        parts = dict(parts, xsort2=xsort2, triples2=triples2,
+                     planes2=np.zeros((0, 0, S, L), np.int8))
+        # pass-1 planes compress the same way (losslessly — free-deal
+        # pieces are contiguous runs; io/planar_format.planes_to_triples
+        # asserts it): another ~6 B/nnz off the footprint-capped graphs
+        from .planar_format import planes_to_triples
+        lay.triples = planes_to_triples(lay)
+        lay.planes = np.zeros((0, 0, S, L), np.int8)
+    elif fmt != "planes":
+        raise ValueError(f"unknown split_format {fmt!r}")
     return TropicalSpMVLayout(
         planar=lay, num_rows=lay.num_rows, num_cols=lay.num_cols,
         nnz=lay.nnz, **parts)

@@ -129,6 +129,113 @@ def _split_call(rg, g, planes, *, kb, rstep, f, dmax, nreg, nsteps,
     return fn(rg, g, planes)
 
 
+def _make_split_kernel_triples(kb: int, rstep: int, nreg: int, TP: int,
+                               banks2: bool = True, dstep: int = 0):
+    """Triples split variant (io/tropical_format.derive_split_triples):
+    each input chunk is digit-major sorted ONCE (xsort2), after which every
+    deposit piece is one contiguous source run onto one contiguous
+    accumulator run — decoded from 32 B of packed words instead of a 1 KB
+    gather plane (the permc deposit format, ops/router_pallas.py)."""
+    def kernel(rg_ref,            # (1, rstep, 2) int32 SMEM
+               g_ref,             # (1, kb, 8, 128) int32 region-major stream
+               xs_ref,            # (1, kb, 8, 128) int32 chunk sort planes
+               tp_ref,            # (1, TP, 8, 128) int32 packed run words
+               o_ref,             # (1, f, 8, 128) int32 window stream block
+               acc_ref,           # scratch (nreg, 8, 128) int32, even bank
+               acc2_ref,          # odd-parity bank
+               gs_ref):           # scratch (kb, 8, 128) int32 sorted chunks
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            if banks2:
+                acc2_ref[...] = jnp.zeros_like(acc2_ref)
+
+        for k in range(kb):
+            gs_ref[k] = jnp.take_along_axis(g_ref[0, k], xs_ref[0, k],
+                                            axis=1)
+
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+        dec = []
+        for tp in range(TP):
+            w = tp_ref[0, tp]
+            dec.append((w & 127, (w >> 7) & 127, (w >> 14) & 255))
+
+        def dep_body(j, w1, w2, bank):
+            c = j & 127
+            a0, d0, nn = (dd[:, c:c + 1] for dd in dec[j >> 7])
+            idx = (lane_i - d0 + a0) & 127
+            g = jnp.take_along_axis(gs_ref[w1 & 0xFF], idx, axis=1)
+            m = jnp.logical_and(
+                jnp.logical_and(lane_i >= d0, lane_i < d0 + nn), w2 > 0)
+            slot = w2 & 0xFFF
+            bank[slot] = jnp.where(m, g, bank[slot])
+
+        DG = 8
+        for j0 in range(0, dstep, DG):
+            n = min(DG, dstep - j0)
+            ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
+                  for u in range(n)]
+            anyact = ws[0][1]
+            for u in range(1, n):
+                anyact = jnp.maximum(anyact, ws[u][1])
+
+            @pl.when(anyact > 0)
+            def _():
+                for u in range(n):
+                    bank = acc2_ref if (banks2 and u % 2) else acc_ref
+                    dep_body(j0 + u, ws[u][0], ws[u][1], bank)
+
+        for j in range(dstep, rstep):
+            w2 = rg_ref[0, j, 1]
+            slot = w2 & 0xFFF
+
+            @pl.when(w2 < 0)   # flush: copy + zero
+            def _():
+                q = (w2 >> 16) & 0xFF
+                gch = (acc_ref[slot] + acc2_ref[slot] if banks2
+                       else acc_ref[slot])
+                o_ref[0, pl.ds(q, 1)] = gch[None]
+                acc_ref[slot] = jnp.zeros_like(gch)
+                if banks2:
+                    acc2_ref[slot] = jnp.zeros_like(gch)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kb", "rstep", "f", "dmax", "nreg", "nsteps",
+                     "interpret", "dstep", "TP"))
+def _split_call_triples(rg, g, xsort, triples, *, kb, rstep, f, dmax, nreg,
+                        nsteps, interpret, dstep=0, TP=1):
+    kernel = _make_split_kernel_triples(kb, rstep, nreg, TP,
+                                        banks2=not interpret, dstep=dstep)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, rstep, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, kb, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kb, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP, S, L), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nreg, S, L), jnp.int32),
+                        pltpu.VMEM((nreg, S, L), jnp.int32),
+                        pltpu.VMEM((kb, S, L), jnp.int32)],
+        interpret=interpret,
+    )
+    return fn(rg, g, xsort, triples)
+
+
 def _make_window_reduce_kernel(cbc: int):
     """Per window-pure chunk: sort gather -> segmented max-scan -> run-end
     inv gather -> sublane max -> resident window max-accumulate.
@@ -212,7 +319,7 @@ class TropicalArrays:
 
     FIELDS = ("a_page", "a_r", "xperm", "a_vals", "rg", "planes",
               "in_order", "rg2", "planes2", "c_win", "sort2", "rowids",
-              "inv2", "a_sub")
+              "inv2", "a_sub", "xsort2", "triples2")
 
     def __init__(self, *children):
         for name, c in zip(self.FIELDS, children):
@@ -245,13 +352,17 @@ class TropicalSpMV:
         self.num_cols = layout.num_cols
         p = layout.planar
         self.chained = getattr(p, "a_sub", None) is not None
+        # split_format="triples": pass-1 planes are ALSO compressed to
+        # triple-run words (io/planar_format.planes_to_triples) — they ride
+        # the planes slot, with the scatter's triples decode switched on
+        self.p1_triples = getattr(p, "triples", None) is not None
         self.arrays = TropicalArrays(
             jnp.asarray(p.a_page.reshape(p.nsteps, 1, p.cb)),
             jnp.asarray(p.a_r.reshape(p.nsteps, p.cb * S, L)),
             jnp.asarray(p.xperm),
             jnp.asarray(p.a_vals.reshape(p.nsteps, p.cb * S, L)),
             jnp.asarray(p.rg),
-            jnp.asarray(p.planes),
+            jnp.asarray(p.triples if self.p1_triples else p.planes),
             jnp.asarray(layout.in_order.reshape(layout.nsteps2, layout.kb)),
             jnp.asarray(layout.rg2),
             jnp.asarray(layout.planes2),
@@ -264,18 +375,25 @@ class TropicalSpMV:
                                             layout.f2 * S, L)),
             (jnp.asarray(p.a_sub.reshape(p.nsteps, p.cb * S, L))
              if self.chained else None),
+            (jnp.asarray(layout.xsort2)
+             if layout.xsort2 is not None else None),
+            (jnp.asarray(layout.triples2)
+             if layout.triples2 is not None else None),
         )
+        self.split_triples = layout.triples2 is not None
         self._static_scatter = dict(
             op=OpType.ADDMIN, cb=p.cb, rstep=p.rstep, f=p.f, dmax=p.dmax,
             dstep=p.dstep,
             nreg=p.num_slots, nct=p.num_col_tiles, nsteps=p.nsteps,
             interpret=config.resolve_interpret(), dtype="float32",
-            gdtype="int32", looped=p.rstep > 48)
+            gdtype="int32", looped=p.rstep > 48, triples=self.p1_triples)
         self._static_split = dict(
             kb=layout.kb, rstep=layout.rstep2, f=layout.f2,
             dmax=layout.dmax2, dstep=layout.dstep2,
             nreg=layout.num_slots2,
             nsteps=layout.nsteps2, interpret=config.resolve_interpret())
+        if self.split_triples:
+            self._static_split["TP"] = layout.triples2.shape[1]
         self._static_reduce = dict(
             cbc=layout.f2, nwin=layout.num_windows, nsteps=layout.nsteps2,
             interpret=config.resolve_interpret())
@@ -313,7 +431,11 @@ class TropicalSpMV:
         g1 = g1.reshape(p.nsteps * p.f, S, L)
         gm = jnp.take(g1, a.in_order.reshape(-1), axis=0).reshape(
             lay.nsteps2, lay.kb, S, L)
-        g2 = _split_call(a.rg2, gm, a.planes2, **self._static_split)
+        if self.split_triples:
+            g2 = _split_call_triples(a.rg2, gm, a.xsort2, a.triples2,
+                                     **self._static_split)
+        else:
+            g2 = _split_call(a.rg2, gm, a.planes2, **self._static_split)
         blocks = _window_reduce_call(a.c_win, g2, a.sort2, a.rowids, a.inv2,
                                      **self._static_reduce)
         ybits = INF_BITS - blocks.reshape(-1)[:self.num_rows]

@@ -189,6 +189,11 @@ def pack_planar_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
         if fld == "a_sub" and proto0.a_sub is None:
             arrays[fld] = None
             continue
+        if fld == "c_beg":
+            # permc-only pytree slot (PlanarArrays.FIELDS grew it in r4);
+            # sharded packs are always plane-format free/bucket deals
+            arrays[fld] = None
+            continue
         arrays[fld] = np.stack([np.stack([shaped(l) for l in rl])
                                 for rl in padded])
 
@@ -373,8 +378,15 @@ def pack_tropical_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
             if fld == "a_sub":
                 return (p.a_sub.reshape(p.nsteps, p.cb * S, L)
                         if p.a_sub is not None else None)
+            if fld in ("xsort2", "triples2"):
+                return getattr(t, fld)
             raise KeyError(fld)
         if fld == "a_sub" and proto0.planar.a_sub is None:
+            arrays[fld] = None
+            continue
+        if fld in ("xsort2", "triples2"):
+            # shards are packed with the planes split format (the triples
+            # arrays aren't mesh-padded yet — single-chip only for now)
             arrays[fld] = None
             continue
         arrays[fld] = np.stack([np.stack([shaped(t) for t in rl])
@@ -415,20 +427,19 @@ class DistTropicalSpMV:
         put = lambda a: jax.device_put(jnp.asarray(a),
                                        NamedSharding(mesh, spec))
         arr = layout.arrays
-        has_sub = arr.get("a_sub") is not None
         self.arrays = TropicalArrays(
-            *[put(arr[f]) if (f != "a_sub" or has_sub) else None
+            *[put(arr[f]) if arr.get(f) is not None else None
               for f in TropicalArrays.FIELDS])
         self._fields = [f for f in TropicalArrays.FIELDS
-                        if f != "a_sub" or has_sub]
+                        if arr.get(f) is not None]
+        present = [arr.get(f) is not None for f in TropicalArrays.FIELDS]
 
         eng = self._eng
         local_rows = layout.local_rows
 
         def local_fn(x_local, *streams):
-            vals = [s[0, 0] for s in streams]
-            if not has_sub:
-                vals.append(None)
+            it = iter(streams)
+            vals = [next(it)[0, 0] if has else None for has in present]
             sh = TropicalArrays(*vals)
             x3 = x_local.reshape(-1, S, L)
             y = eng(x3, arrays=sh)[:local_rows]
@@ -497,14 +508,16 @@ class DistPlanarSpMV:
         eng = self._eng
         local_rows = layout.local_rows
         op = semiring.op
-        # a_sub rides as the optional 10th stream (deal="free" shards)
+        # optional pytree slots (a_sub for deal="free", c_beg for permc)
+        # ride only when present; local_fn re-inserts the Nones positionally
         self._fields = [f for f in PlanarArrays.FIELDS
-                        if f != "a_sub" or has_sub]
+                        if getattr(self.arrays, f) is not None]
+        present = [getattr(self.arrays, f) is not None
+                   for f in PlanarArrays.FIELDS]
 
         def local_fn(x_local, *streams):
-            vals = [s[0, 0] for s in streams]
-            if not has_sub:
-                vals.append(None)
+            it = iter(streams)
+            vals = [next(it)[0, 0] if has else None for has in present]
             sh = PlanarArrays(*vals)
             x3 = x_local.reshape(-1, S, L)
             y = eng(x3, arrays=sh)[:local_rows]

@@ -188,3 +188,62 @@ def test_tropical_module_selection():
     got = m.send_results_device_to_host()
     want = m.compute_reference_results(x)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_tropical_split_triples_exact(rng):
+    """Triples split format (derive_split_triples): bit-equal to the planes
+    path AND to the f64 oracle on a skewed graph with drains + splits."""
+    csr = rmat_csr(num_rows=12000, nnz=60000, seed=37)
+    x = rand_x(rng, 12288)
+    yp, _ = run(csr, x, region_rows=2048)
+    lay = pack_tropical(csr, CFG, region_rows=2048, kb=4,
+                        split_format="triples")
+    assert lay.triples2 is not None and lay.xsort2 is not None
+    assert lay.planes2.size == 0      # planes dropped from the layout
+    assert lay.xsort2.shape == (lay.nsteps2, lay.kb, 8, 128)
+    assert lay.triples2.shape[0] == lay.nsteps2
+    eng = TropicalSpMV(lay, TropicalSemiring, CFG)
+    assert eng.split_triples
+    yt = np.asarray(eng(jnp.asarray(x)))
+    np.testing.assert_array_equal(yt, yp)
+    np.testing.assert_array_equal(yt, oracle(csr, x))
+
+
+def test_tropical_split_triples_hub(rng):
+    """Hub rows force multi-cycle deposits (splits): both pieces of a split
+    deposit must decode to the right (a0, d0, n) runs."""
+    rng2 = np.random.default_rng(41)
+    rows = np.concatenate([np.zeros(5000, np.int64),
+                           rng2.integers(0, 6000, 20000)])
+    cols = rng2.integers(0, 6000, 25000)
+    vals = (rng2.random(25000) * 10).astype(np.float32)
+    from graphlily_tpu.io.matrix import csr_from_coo
+    csr = csr_from_coo(rows, cols, vals, 6000, 6000)
+    x = rand_x(rng, 6144, inf_frac=0.1)
+    lay = pack_tropical(csr, CFG, region_rows=2048, kb=4,
+                        split_format="triples")
+    y = np.asarray(TropicalSpMV(lay, TropicalSemiring, CFG)(jnp.asarray(x)))
+    np.testing.assert_array_equal(y, oracle(csr, x))
+
+
+def test_tropical_split_triples_cache(rng, tmp_path):
+    """The split format keys the cache: a triples config and a planes config
+    must not share an entry; the triples entry roundtrips with its arrays."""
+    from graphlily_tpu.io.layout_cache import pack_cached
+    csr = rmat_csr(num_rows=3000, nnz=18000, seed=43)
+    x = rand_x(rng, 3072)
+    cfg_t = EngineConfig(interpret=True, tropical_split_format="triples")
+    lay_t = pack_cached("tropical", csr, cfg_t, cache_dir=str(tmp_path),
+                        kb=4)
+    lay_p = pack_cached("tropical", csr, CFG, cache_dir=str(tmp_path), kb=4)
+    assert lay_t.triples2 is not None and lay_p.triples2 is None
+    lay_t2 = pack_cached("tropical", csr, cfg_t, cache_dir=str(tmp_path),
+                         kb=4)   # cache hit preserves the triples arrays
+    assert lay_t2.triples2 is not None
+    np.testing.assert_array_equal(lay_t2.triples2, lay_t.triples2)
+    y_t = np.asarray(TropicalSpMV(lay_t2, TropicalSemiring, CFG)(
+        jnp.asarray(x)))
+    y_p = np.asarray(TropicalSpMV(lay_p, TropicalSemiring, CFG)(
+        jnp.asarray(x)))
+    np.testing.assert_array_equal(y_t, y_p)
+    np.testing.assert_array_equal(y_t, oracle(csr, x))

@@ -43,10 +43,18 @@ L = 128
 
 
 def _make_split_kernel(kb: int, rstep: int, nreg: int,
-                       banks2: bool = True, dstep: int = 0):
+                       banks2: bool = True, dstep: int = 0,
+                       looped: bool = False, unroll: int = 16):
     """Window split: planar deposit/flush body minus phase A (the input is
     the already-encoded region stream). Phase-ordered stream with batched
-    deposit guards — see ops/router_pallas.py layout v3."""
+    deposit guards — see ops/router_pallas.py layout v3.
+
+    `looped` block-unrolls the deposit loop (manual partial unroll, the
+    _make_planar_kernel_looped idiom): the fully-unrolled kernel CRASHES
+    the remote Mosaic compiler past ~400 descriptor slots (ogbn_products
+    rstep2=765 -> tpu_compile_helper exit 1, while hollywood's 396
+    compiled) — every index the body needs (plane ordinal, chunk, slot)
+    is already dynamic, so only cross-block ILP is lost."""
     def kernel(rg_ref,            # (1, rstep, 2) int32 SMEM
                g_ref,             # (1, kb, 8, 128) int32 region-major stream
                pl_ref,            # (1, dmax, 8, 128) int8 deposit planes
@@ -68,20 +76,40 @@ def _make_split_kernel(kb: int, rstep: int, nreg: int,
             slot = w2 & 0xFFF
             bank[slot] = jnp.where(pv < thr, g, bank[slot])
 
-        DG = 8
-        for j0 in range(0, dstep, DG):
-            n = min(DG, dstep - j0)
-            ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
-                  for u in range(n)]
-            anyact = ws[0][1]
-            for u in range(1, n):
-                anyact = jnp.maximum(anyact, ws[u][1])
+        if looped:
+            # unconditional bodies (the w2 threshold no-ops padding); a
+            # dynamic outer loop over blocks of `unroll` inlined bodies
+            def dyn_body(j, parity):
+                bank = acc2_ref if (banks2 and parity) else acc_ref
+                dep_body(rg_ref[0, j, 0], rg_ref[0, j, 1], bank)
 
-            @pl.when(anyact > 0)
-            def _():
-                for u in range(n):
-                    bank = acc2_ref if (banks2 and u % 2) else acc_ref
-                    dep_body(ws[u][0], ws[u][1], bank)
+            nb = dstep // unroll
+
+            def body(b, carry):
+                base = b * unroll
+                for u in range(unroll):
+                    dyn_body(base + u, u % 2)
+                return carry
+
+            if nb:
+                jax.lax.fori_loop(0, nb, body, 0, unroll=1)
+            for j in range(nb * unroll, dstep):   # static tail
+                dyn_body(j, j % 2)
+        else:
+            DG = 8
+            for j0 in range(0, dstep, DG):
+                n = min(DG, dstep - j0)
+                ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
+                      for u in range(n)]
+                anyact = ws[0][1]
+                for u in range(1, n):
+                    anyact = jnp.maximum(anyact, ws[u][1])
+
+                @pl.when(anyact > 0)
+                def _():
+                    for u in range(n):
+                        bank = acc2_ref if (banks2 and u % 2) else acc_ref
+                        dep_body(ws[u][0], ws[u][1], bank)
 
         for j in range(dstep, rstep):
             w2 = rg_ref[0, j, 1]
@@ -103,11 +131,12 @@ def _make_split_kernel(kb: int, rstep: int, nreg: int,
 @functools.partial(
     jax.jit,
     static_argnames=("kb", "rstep", "f", "dmax", "nreg", "nsteps",
-                     "interpret", "dstep"))
+                     "interpret", "dstep", "looped"))
 def _split_call(rg, g, planes, *, kb, rstep, f, dmax, nreg, nsteps,
-                interpret, dstep=0):
+                interpret, dstep=0, looped=False):
     kernel = _make_split_kernel(kb, rstep, nreg,
-                                banks2=not interpret, dstep=dstep)
+                                banks2=not interpret, dstep=dstep,
+                                looped=looped)
     stream = lambda i: (i, 0, 0)
     fn = pl.pallas_call(
         kernel,
@@ -394,6 +423,11 @@ class TropicalSpMV:
             nsteps=layout.nsteps2, interpret=config.resolve_interpret())
         if self.split_triples:
             self._static_split["TP"] = layout.triples2.shape[1]
+        else:
+            # fully unrolled past ~400 slots crashes the Mosaic compiler
+            # (ogbn_products rstep2=765); hollywood's 396 compiled and is
+            # the measured config, so the threshold sits just above it
+            self._static_split["looped"] = layout.rstep2 > 448
         self._static_reduce = dict(
             cbc=layout.f2, nwin=layout.num_windows, nsteps=layout.nsteps2,
             interpret=config.resolve_interpret())

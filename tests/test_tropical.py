@@ -247,3 +247,19 @@ def test_tropical_split_triples_cache(rng, tmp_path):
         jnp.asarray(x)))
     np.testing.assert_array_equal(y_t, y_p)
     np.testing.assert_array_equal(y_t, oracle(csr, x))
+
+
+def test_tropical_split_looped_bitwise(rng):
+    """The block-looped split kernel (rstep2 > 448 auto, here forced) is
+    bit-equal to the fully-unrolled one — same layout, same arrays."""
+    csr = rmat_csr(num_rows=12000, nnz=60000, seed=47)
+    x = rand_x(rng, 12288)
+    lay = pack_tropical(csr, CFG, region_rows=2048, kb=4)
+    eng_u = TropicalSpMV(lay, TropicalSemiring, CFG)
+    eng_l = TropicalSpMV(lay, TropicalSemiring, CFG)
+    assert not eng_u._static_split.get("looped")
+    eng_l._static_split["looped"] = True
+    yu = np.asarray(eng_u(jnp.asarray(x)))
+    yl = np.asarray(eng_l(jnp.asarray(x)))
+    np.testing.assert_array_equal(yu, yl)
+    np.testing.assert_array_equal(yu, oracle(csr, x))

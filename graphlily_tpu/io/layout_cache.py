@@ -36,12 +36,13 @@ import numpy as np
 # KIND_VERSIONS bumps one packer without invalidating the others' (slow to
 # rebuild) cached layouts.
 PACK_VERSION = 5
-KIND_VERSIONS = {"router": 3, "planar": 3, "tropical": 4}  # phase-ordered
+KIND_VERSIONS = {"router": 3, "planar": 3, "tropical": 5}  # phase-ordered
 # streams with K-rotated accumulator slots (planar v2 nests inside tropical);
-# tropical v4: staggered residual drains (f2 ~= balanced flush load)
+# tropical v4: staggered residual drains (f2 ~= balanced flush load);
+# tropical v5: compact window stream (qblk2 block map, rg2 q = block offset)
 
 
-def _config_key_fields(kind: str, config) -> dict:
+def _config_key_fields(kind: str, config, csr=None) -> dict:
     """Config fields that shape the packed layout (must key the cache —
     params alone miss them: the chunked packer reads its geometry off the
     config, and all packers take the value dtype from it)."""
@@ -55,8 +56,13 @@ def _config_key_fields(kind: str, config) -> dict:
     elif kind == "tropical":
         # the split deposit format changes the packed arrays (planes2 vs
         # xsort2/triples2) — configs differing here must not share entries.
-        # Only keyed when non-default so existing cache entries stay live.
-        fmt = getattr(config, "tropical_split_format", "planes")
+        # "auto" is RESOLVED before keying (the same a-priori rule the
+        # packer uses), so an auto config shares the concrete format's
+        # entry instead of storing a bit-identical multi-GB duplicate.
+        # Only keyed when non-planes so existing cache entries stay live.
+        from .tropical_format import resolve_tropical_split_format
+        fmt = resolve_tropical_split_format(
+            csr.nnz if csr is not None else 0, config)
         if fmt != "planes":
             d.update(split_format=fmt)
     return d
@@ -211,7 +217,7 @@ def pack_cached(kind: str, csr, config=None, cache_dir: Optional[str] = None,
     if d is None:
         return packer(csr, **kwargs)
     skey = structure_key(kind, csr, dict(params,
-                                         **_config_key_fields(kind, config)))
+                                         **_config_key_fields(kind, config, csr)))
     vkey = value_key(csr)
     # version-prefixed filenames let a GC drop entries stranded by a
     # version bump (a multi-GB layout per graph per kind; stale entries

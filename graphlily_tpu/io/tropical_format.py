@@ -94,10 +94,17 @@ class TropicalSpMVLayout:
     xsort2: np.ndarray | None = None    # (nsteps2, kb, 8, 128) int32
     triples2: np.ndarray | None = None  # (nsteps2, ceil(dmax2/128), 8, 128)
                                         #   int32: a0 | d0<<7 | n<<14
+    # ---- compact window stream (compact_window_stream) ----
+    # qblk2[i] = output BLOCK the split kernel's step i flushes into
+    # (monotone; consecutive steps share a block until its f2 chunk slots
+    # run out). None = legacy rectangular stream (block i per step i).
+    qblk2: np.ndarray | None = None     # (nsteps2,) int32
+    nblocks2: int = 0                   # compact stream height (0 = nsteps2)
 
     @property
     def mem_bytes(self) -> int:
-        extra = sum(a.nbytes for a in (self.xsort2, self.triples2)
+        extra = sum(a.nbytes for a in (self.xsort2, self.triples2,
+                                       self.qblk2)
                     if a is not None)
         return (self.planar.mem_bytes + self.in_order.nbytes
                 + self.rg2.nbytes + self.planes2.nbytes + self.c_win.nbytes
@@ -496,6 +503,23 @@ def build_split_schedule(lay: PlanarSpMVLayout, kb: int = 16,
 AUTO_TRIPLES_PLANES_BYTES = 2_000_000_000  # "auto": triples only where the
 # plane stream is the footprint wall (orkut-class); smaller graphs keep the
 # TPU-measured planes path
+PLANES2_BYTES_PER_NNZ = 30.0   # measured pokec/hollywood-class planes2 rate
+
+
+def resolve_tropical_split_format(nnz: int, config=None,
+                                  split_format: str | None = None) -> str:
+    """Resolve "auto" to a concrete split format from a-priori structure
+    (nnz only): the SAME rule keys the layout disk cache (ADVICE r4: an
+    "auto" key stored a bit-identical duplicate of the planes entry) and
+    picks the packed format, so key and content can never diverge."""
+    fmt = (getattr(config, "tropical_split_format", "planes")
+           if split_format is None else split_format)
+    if fmt == "auto":
+        return ("triples" if nnz * PLANES2_BYTES_PER_NNZ
+                >= AUTO_TRIPLES_PLANES_BYTES else "planes")
+    if fmt not in ("planes", "triples"):
+        raise ValueError(f"unknown split_format {fmt!r}")
+    return fmt
 
 
 def derive_split_triples(lay: PlanarSpMVLayout, parts: dict):
@@ -578,6 +602,68 @@ def derive_split_triples(lay: PlanarSpMVLayout, parts: dict):
             np.ascontiguousarray(triples2))
 
 
+def compact_window_stream(parts: dict) -> dict:
+    """Pack the rectangular window stream into shared fixed-height blocks.
+
+    The split pass's output is (nsteps2, f2, 8, 128) with f2 = the MAX
+    flushes in any step — but the average is far lower (products-scale
+    fill2 ~0.10), so the window stream, and the three reduce tables
+    indexed by it (sort2/rowids/inv2, 3 B/slot), carry 6-10x padding: the
+    r4 OOM wall for full-scale SSSP on ogbn-products/orkut.
+
+    Fix: successive split steps share one f2-chunk output block until its
+    slots run out (monotone block map qblk2, consumed by the kernel's
+    scalar-prefetched out index_map — Mosaic keeps a revisited output
+    block in VMEM and writes it back once on advance). Flush descriptors'
+    q bits become offsets in the CURRENT block; a step whose flushes would
+    straddle a block boundary advances early (waste <= avg flushes/step
+    per block). Applied POST-HOC to the schedule parts, so the native C++
+    builder and the triples derivation stay untouched. Unwritten slots
+    keep inert defaults (c_win -1, identity sort, rowids 127, inv 0):
+    the reduce masks them exactly like rectangular padding."""
+    rg2 = parts["rg2"]
+    f2, dstep2, nsteps2 = parts["f2"], parts["dstep2"], parts["nsteps2"]
+    w2 = rg2[:, dstep2:, 1].astype(np.int64)
+    is_fl = w2 < 0
+    n_i = is_fl.sum(axis=1)
+    fb = f2
+    qblk = np.zeros(nsteps2, np.int32)
+    off0 = np.zeros(nsteps2, np.int64)
+    cur_blk, cur_off = 0, 0
+    for i in range(nsteps2):            # host loop, ~nsteps2 iterations
+        if cur_off + n_i[i] > fb:
+            cur_blk += 1
+            cur_off = 0
+        qblk[i] = cur_blk
+        off0[i] = cur_off
+        cur_off += n_i[i]
+    nblocks = cur_blk + 1
+
+    st, jf = np.nonzero(is_fl)
+    old_q = (w2[st, jf] >> 16) & 0xFF
+    new_q = off0[st] + old_q            # q_of is dense 0..n_i-1 per step
+    assert new_q.max(initial=0) < fb <= 256
+    w2_new = (w2[st, jf] & ~(0xFF << 16)) | (new_q << 16)
+    rg2 = rg2.copy()
+    rg2[st, dstep2 + jf, 1] = w2_new.astype(np.int32)
+
+    old_pos = st.astype(np.int64) * f2 + old_q
+    new_pos = qblk[st].astype(np.int64) * fb + new_q
+    n_out = nblocks * fb
+    c_win = np.full(n_out, -1, np.int32)
+    c_win[new_pos] = parts["c_win"][old_pos]
+    sort2 = np.tile(np.arange(L, dtype=np.int8), (n_out, S, 1))
+    sort2[new_pos] = parts["sort2"].reshape(-1, S, L)[old_pos]
+    rowids = np.full((n_out, S, L), 127, np.int8)
+    rowids[new_pos] = parts["rowids"].reshape(-1, S, L)[old_pos]
+    inv2 = np.zeros((n_out, S, L), np.int8)
+    inv2[new_pos] = parts["inv2"].reshape(-1, S, L)[old_pos]
+
+    return dict(parts, rg2=rg2, c_win=c_win, sort2=sort2, rowids=rowids,
+                inv2=inv2, qblk2=qblk, nblocks2=nblocks,
+                fill2=parts["fill2"] * (nsteps2 * f2) / max(n_out, 1))
+
+
 def pack_tropical(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                   region_rows: int | None = None,
                   kb: int = 16, native: bool = True,
@@ -598,11 +684,7 @@ def pack_tropical(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
                       pad_val=float(FLOAT_INF), native=native,
                       deal=config.planar_deal)
     parts = build_split_schedule(lay, kb=kb, native=native)
-    fmt = (config.tropical_split_format if split_format is None
-           else split_format)
-    if fmt == "auto":
-        fmt = ("triples" if parts["planes2"].nbytes
-               >= AUTO_TRIPLES_PLANES_BYTES else "planes")
+    fmt = resolve_tropical_split_format(csr.nnz, config, split_format)
     if fmt == "triples":
         xsort2, triples2 = derive_split_triples(lay, parts)
         parts = dict(parts, xsort2=xsort2, triples2=triples2,
@@ -613,8 +695,7 @@ def pack_tropical(csr: CSRMatrix, config: EngineConfig = DEFAULT_CONFIG,
         from .planar_format import planes_to_triples
         lay.triples = planes_to_triples(lay)
         lay.planes = np.zeros((0, 0, S, L), np.int8)
-    elif fmt != "planes":
-        raise ValueError(f"unknown split_format {fmt!r}")
+    parts = compact_window_stream(parts)
     return TropicalSpMVLayout(
         planar=lay, num_rows=lay.num_rows, num_cols=lay.num_cols,
         nnz=lay.nnz, **parts)

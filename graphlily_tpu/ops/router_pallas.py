@@ -184,7 +184,7 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
              r_ref,               # (1, cb*8, 128) int8 : lane = col & 127
              sub_ref,             # (1, cb*8, 128) int8 : sublane = (col>>7)&7
              v_ref,               # (1, cb*8, 128) f32|bf16
-             rg_ref,              # (1, rstep, 2) int32 SMEM
+             rg_ref,              # (1, 1, 2*rstep) int32 SMEM (w1,w2 interleaved)
              code_ref,            # (1, 1, f) int32 SMEM : region per ordinal
              hi_ref,              # (1, f*8, 128) int8, flush-ordinal aligned
              lo_ref,              # (1, f*8, 128) int8
@@ -310,7 +310,7 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
             DG = 8
             for j0 in range(0, dstep, DG):
                 n = min(DG, dstep - j0)
-                ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
+                ws = [(rg_ref[0, 0, 2 * (j0 + u)], rg_ref[0, 0, 2 * (j0 + u) + 1])
                       for u in range(n)]
                 anyact = ws[0][1]
                 for u in range(1, n):
@@ -323,8 +323,8 @@ def _make_scatter_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                         dep_body(ws[u][0], ws[u][1], bank)
 
             for j in range(dstep, rstep):
-                w1 = rg_ref[0, j, 0]
-                w2 = rg_ref[0, j, 1]
+                w1 = rg_ref[0, 0, 2 * j]
+                w2 = rg_ref[0, 0, 2 * j + 1]
                 slot = w2 & 0xFFF
 
                 @pl.when(w2 < 0)   # flush: slot12 | q8<<16 | 1<<31
@@ -378,7 +378,7 @@ def _router_scatter_call(page, r, sub, vals, rg, x2, sm=None, na=None, *,
         pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 2 * rstep), stream, memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
     ]
     # predicated: the out stream rides the SAME sm remap — kept steps write
@@ -434,7 +434,7 @@ def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2,
         pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cb * S, L), stream, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 2 * rstep), stream, memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
         pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, f * S, L), stream, memory_space=pltpu.VMEM),
@@ -517,6 +517,23 @@ def _steps_sm_na(act_chunk, minw):
     return sm, na.reshape(1)
 
 
+def _rg_flat(rg):
+    """Device-side layout of a descriptor stream: (nsteps, 1, 2*rstep).
+
+    The natural (nsteps, rstep, 2) shape is stored by XLA:TPU with a
+    T(8,128) tile over the last two dims — the 2-wide minor dim pads to
+    128 (64x HBM expansion; products-scale SSSP carried 2.99 GB of padding
+    for 47.8 MB of descriptor words, its single largest OOM term) and
+    every grid step's SMEM DMA streams the padded bytes. The flat
+    (nsteps, 1, 2*rstep) view takes a T(1,128)-style layout (~1x, like
+    the established (nsteps, 1, f) SMEM streams). Words stay interleaved:
+    w1 = [:, 0, 2j], w2 = [:, 0, 2j+1]. Host layouts keep the 3D shape;
+    this reshape is applied once at engine init (free on numpy)."""
+    n, r, two = rg.shape
+    assert two == 2, rg.shape
+    return rg.reshape(n, 1, 2 * r)
+
+
 def _predicate_rg(rg, act_chunk, flavor: str):
     """SpMSpV work-proportional predication (counterpart of the reference's
     active-column bursts, hw/kernel_spmspv_impl.h:55-124): mask the w2 word
@@ -526,15 +543,18 @@ def _predicate_rg(rg, act_chunk, flavor: str):
     Flushes keep running (accumulators may drain active contributions)
     and skipped ranges read zero (accumulators are zeroed at flush), which
     is exactly the skipped products' value: x is semiring-zero on inactive
-    columns. Pure XLA gathers (~nsteps*rstep int32s), jit-fusable."""
-    w1, w2 = rg[..., 0], rg[..., 1]
+    columns. Pure XLA gathers (~nsteps*rstep int32s), jit-fusable.
+
+    `rg` rides the flat device layout (nsteps, 1, 2*rstep) — see _rg_flat."""
+    w1, w2 = rg[:, 0, 0::2], rg[:, 0, 1::2]
     if flavor == "planar":
         k = w1 & 0xFF                       # chunk-in-step
     else:                                   # roll: w1 = dst|dl<<10|ds<<17|k<<20
         k = w1 >> 20
     act_d = jnp.take_along_axis(act_chunk, k, axis=1)   # (nsteps, rstep)
     dead = jnp.logical_and(w2 > 0, act_d == 0)
-    return jnp.stack([w1, jnp.where(dead, 0, w2)], axis=-1)
+    return jnp.stack([w1, jnp.where(dead, 0, w2)],
+                     axis=-1).reshape(rg.shape)
 
 
 def _make_reduce_kernel(cbc: int, rh: int, precision, ablate: str = "",
@@ -870,7 +890,7 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                 (page_ref,        # (1, 1, cb) int32 SMEM : tile ids
                  r_ref,           # (1, cb*8, 128) int8 : lane = col & 127
                  v_ref,           # (1, cb*8, 128) f32|bf16
-                 rg_ref,          # (1, rstep, 2) int32 SMEM
+                 rg_ref,          # (1, 1, 2*rstep) int32 SMEM (w1,w2 interleaved)
                  pl_ref,          # (1, dmax, 8, 128) int8 deposit planes
                                   #   (triples: (1, TP, 8, 128) int32)
                  code_ref,        # (1, 1, f) int32 SMEM
@@ -962,7 +982,7 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
             DG = 8
             for j0 in range(0, dstep, DG):
                 n = min(DG, dstep - j0)
-                ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
+                ws = [(rg_ref[0, 0, 2 * (j0 + u)], rg_ref[0, 0, 2 * (j0 + u) + 1])
                       for u in range(n)]
                 anyact = ws[0][1]
                 for u in range(1, n):
@@ -975,7 +995,7 @@ def _make_planar_kernel(op: OpType, cb: int, rstep: int, nreg: int,
                         dep_body(j0 + u, ws[u][0], ws[u][1], bank)
 
             for j in range(dstep, rstep):
-                w2 = rg_ref[0, j, 1]
+                w2 = rg_ref[0, 0, 2 * j + 1]
                 slot = w2 & 0xFFF
 
                 @pl.when(w2 < 0)   # flush: copy + zero
@@ -1128,8 +1148,8 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                     # dynamic ordinal: decode via one broadcast gather of
                     # the triple word's column (the static-slice decode of
                     # the unrolled kernel needs a static j)
-                    w1 = rg_ref[0, j, 0]
-                    w2 = rg_ref[0, j, 1]
+                    w1 = rg_ref[0, 0, 2 * j]
+                    w2 = rg_ref[0, 0, 2 * j + 1]
                     slot = w2 & 0xFFF
                     bank = acc2_ref if (banks2 and parity) else acc_ref
                     p_ = w1 >> 8
@@ -1147,8 +1167,8 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                     bank[slot] = jnp.where(m, g, bank[slot])
             else:
                 def dep_body(j, parity):
-                    w1 = rg_ref[0, j, 0]
-                    w2 = rg_ref[0, j, 1]
+                    w1 = rg_ref[0, 0, 2 * j]
+                    w2 = rg_ref[0, 0, 2 * j + 1]
                     slot = w2 & 0xFFF
                     bank = acc2_ref if (banks2 and parity) else acc_ref
                     pv = pl_ref[0, w1 >> 8].astype(jnp.int32)
@@ -1171,7 +1191,7 @@ def _make_planar_kernel_looped(op: OpType, cb: int, rstep: int, nreg: int,
                 dep_body(j, j % 2)
 
             for j in range(dstep, rstep):         # flushes (few; static)
-                w2 = rg_ref[0, j, 1]
+                w2 = rg_ref[0, 0, 2 * j + 1]
                 slot = w2 & 0xFFF
 
                 @pl.when(w2 < 0)   # flush: copy + zero
@@ -1272,7 +1292,7 @@ def _planar_scatter_call(page, r, vals, rg, planes, x2, sub=None,
         ab_spec,
         *([ab_spec] if chained else []),
         ab_spec,
-        pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 2 * rstep), stream, memory_space=pltpu.SMEM),
         pl_spec,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # x resident
     ]
@@ -1348,7 +1368,7 @@ def _planar_fused_call(page, r, vals, rg, planes, code, hi, lo, x2,
         ab_spec,
         *([ab_spec] if chained else []),
         ab_spec,
-        pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 2 * rstep), stream, memory_space=pltpu.SMEM),
         pl_spec,
         pl.BlockSpec((1, 1, f), stream, memory_space=pltpu.SMEM),
         hilo_spec,
@@ -1441,7 +1461,7 @@ class PlanarSpMV:
             jnp.asarray(lay.xperm),
             jnp.asarray(lay.a_vals.reshape(lay.nsteps, lay.cb * S, L)
                         .astype(vdt)),
-            jnp.asarray(lay.rg),
+            jnp.asarray(_rg_flat(lay.rg)),
             jnp.asarray(lay.triples if self.triples else lay.planes),
             jnp.asarray(lay.c_code.reshape(lay.nsteps, 1, lay.f)),
             jnp.asarray(lay.c_hi.reshape(lay.nsteps, lay.f * S, L)),
@@ -1683,7 +1703,7 @@ class RouterSpMV:
             jnp.asarray(lay.a_sub.reshape(lay.nsteps, lay.cb * S, L)),
             jnp.asarray(lay.a_vals.reshape(lay.nsteps, lay.cb * S, L)
                         .astype(vdt)),
-            jnp.asarray(lay.rg),
+            jnp.asarray(_rg_flat(lay.rg)),
             jnp.asarray(code.reshape(nsteps_c, 1, cbc)),
             jnp.asarray(hi.reshape(nsteps_c, cbc * S, L)),
             jnp.asarray(lo.reshape(nsteps_c, cbc * S, L)),

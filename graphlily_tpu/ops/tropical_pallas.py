@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import EngineConfig, DEFAULT_CONFIG
 from ..semiring import Semiring, OpType, MaskType, apply_mask, FLOAT_INF
 from .router_pallas import (_planar_scatter_call, _xperm_call, INF_BITS,
-                            PlanarArrays)
+                            PlanarArrays, _rg_flat)
 
 S = 8
 L = 128
@@ -55,12 +55,14 @@ def _make_split_kernel(kb: int, rstep: int, nreg: int,
     rstep2=765 -> tpu_compile_helper exit 1, while hollywood's 396
     compiled) — every index the body needs (plane ordinal, chunk, slot)
     is already dynamic, so only cross-block ILP is lost."""
-    def kernel(rg_ref,            # (1, rstep, 2) int32 SMEM
+    def kernel(qb_ref,            # scalar-prefetch: out block per step
+               rg_ref,            # (1, 1, 2*rstep) int32 SMEM (w1,w2 interleaved)
                g_ref,             # (1, kb, 8, 128) int32 region-major stream
                pl_ref,            # (1, dmax, 8, 128) int8 deposit planes
                o_ref,             # (1, f, 8, 128) int32 window stream block
                acc_ref,           # scratch (nreg, 8, 128) int32, even bank
                acc2_ref):         # odd-parity bank (router_pallas banks note)
+        del qb_ref               # consumed by the out index_map only
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -81,7 +83,7 @@ def _make_split_kernel(kb: int, rstep: int, nreg: int,
             # dynamic outer loop over blocks of `unroll` inlined bodies
             def dyn_body(j, parity):
                 bank = acc2_ref if (banks2 and parity) else acc_ref
-                dep_body(rg_ref[0, j, 0], rg_ref[0, j, 1], bank)
+                dep_body(rg_ref[0, 0, 2 * j], rg_ref[0, 0, 2 * j + 1], bank)
 
             nb = dstep // unroll
 
@@ -99,7 +101,7 @@ def _make_split_kernel(kb: int, rstep: int, nreg: int,
             DG = 8
             for j0 in range(0, dstep, DG):
                 n = min(DG, dstep - j0)
-                ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
+                ws = [(rg_ref[0, 0, 2 * (j0 + u)], rg_ref[0, 0, 2 * (j0 + u) + 1])
                       for u in range(n)]
                 anyact = ws[0][1]
                 for u in range(1, n):
@@ -112,7 +114,7 @@ def _make_split_kernel(kb: int, rstep: int, nreg: int,
                         dep_body(ws[u][0], ws[u][1], bank)
 
         for j in range(dstep, rstep):
-            w2 = rg_ref[0, j, 1]
+            w2 = rg_ref[0, 0, 2 * j + 1]
             slot = w2 & 0xFFF
 
             @pl.when(w2 < 0)   # flush: copy + zero (banks hold disjoint
@@ -131,41 +133,62 @@ def _make_split_kernel(kb: int, rstep: int, nreg: int,
 @functools.partial(
     jax.jit,
     static_argnames=("kb", "rstep", "f", "dmax", "nreg", "nsteps",
-                     "interpret", "dstep", "looped"))
-def _split_call(rg, g, planes, *, kb, rstep, f, dmax, nreg, nsteps,
-                interpret, dstep=0, looped=False):
+                     "interpret", "dstep", "looped", "nblocks"))
+def _split_call(qblk, rg, g, planes, *, kb, rstep, f, dmax, nreg, nsteps,
+                interpret, dstep=0, looped=False, nblocks=0):
+    # compact window stream (io/tropical_format.compact_window_stream):
+    # the output block index rides a scalar-prefetched monotone map —
+    # consecutive steps SHARE a block (Mosaic keeps a revisited output
+    # block in VMEM, writing it back once on advance), so the stream is
+    # sized by total flushes, not nsteps2 * max-flushes-per-step
+    nblocks = nblocks or nsteps
     kernel = _make_split_kernel(kb, rstep, nreg,
                                 banks2=not interpret, dstep=dstep,
                                 looped=looped)
-    stream = lambda i: (i, 0, 0)
+    stream = lambda i, qb: (i, 0, 0)
+    stream4 = lambda i, qb: (i, 0, 0, 0)
     fn = pl.pallas_call(
         kernel,
-        grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, rstep, 2), stream, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, kb, S, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dmax, S, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((nreg, S, L), jnp.int32),
-                        pltpu.VMEM((nreg, S, L), jnp.int32)],  # odd bank
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((1, 1, 2 * rstep), stream,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, kb, S, L), stream4,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dmax, S, L), stream4,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, f, S, L),
+                                   lambda i, qb: (qb[i], 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((nreg, S, L), jnp.int32),
+                            pltpu.VMEM((nreg, S, L), jnp.int32)]),
+        out_shape=jax.ShapeDtypeStruct((nblocks, f, S, L), jnp.int32),
         interpret=interpret,
     )
-    return fn(rg, g, planes)
+    return fn(qblk, rg, g, planes)
 
 
 def _make_split_kernel_triples(kb: int, rstep: int, nreg: int, TP: int,
-                               banks2: bool = True, dstep: int = 0):
+                               banks2: bool = True, dstep: int = 0,
+                               looped: bool = False, unroll: int = 16):
     """Triples split variant (io/tropical_format.derive_split_triples):
     each input chunk is digit-major sorted ONCE (xsort2), after which every
     deposit piece is one contiguous source run onto one contiguous
     accumulator run — decoded from 32 B of packed words instead of a 1 KB
-    gather plane (the permc deposit format, ops/router_pallas.py)."""
-    def kernel(rg_ref,            # (1, rstep, 2) int32 SMEM
+    gather plane (the permc deposit format, ops/router_pallas.py).
+
+    `looped` block-unrolls the deposit loop exactly like the planes split
+    kernel: the fully-unrolled kernel crashes the remote Mosaic compiler
+    past ~400 descriptor slots, and the triples format targets the graphs
+    whose rstep2 is far beyond that (products 765, orkut-class more). A
+    dynamic ordinal can't use the static-slice word decode, so the looped
+    dep_body decodes via one broadcast take_along_axis of the triple
+    word's column (the _make_planar_kernel_looped triples idiom)."""
+    def kernel(qb_ref,            # scalar-prefetch: out block per step
+               rg_ref,            # (1, 1, 2*rstep) int32 SMEM (w1,w2 interleaved)
                g_ref,             # (1, kb, 8, 128) int32 region-major stream
                xs_ref,            # (1, kb, 8, 128) int32 chunk sort planes
                tp_ref,            # (1, TP, 8, 128) int32 packed run words
@@ -173,6 +196,7 @@ def _make_split_kernel_triples(kb: int, rstep: int, nreg: int, TP: int,
                acc_ref,           # scratch (nreg, 8, 128) int32, even bank
                acc2_ref,          # odd-parity bank
                gs_ref):           # scratch (kb, 8, 128) int32 sorted chunks
+        del qb_ref               # consumed by the out index_map only
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -186,38 +210,75 @@ def _make_split_kernel_triples(kb: int, rstep: int, nreg: int, TP: int,
                                             axis=1)
 
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
-        dec = []
-        for tp in range(TP):
-            w = tp_ref[0, tp]
-            dec.append((w & 127, (w >> 7) & 127, (w >> 14) & 255))
+        if not looped:
+            dec = []
+            for tp in range(TP):
+                w = tp_ref[0, tp]
+                dec.append((w & 127, (w >> 7) & 127, (w >> 14) & 255))
 
-        def dep_body(j, w1, w2, bank):
-            c = j & 127
-            a0, d0, nn = (dd[:, c:c + 1] for dd in dec[j >> 7])
-            idx = (lane_i - d0 + a0) & 127
-            g = jnp.take_along_axis(gs_ref[w1 & 0xFF], idx, axis=1)
-            m = jnp.logical_and(
-                jnp.logical_and(lane_i >= d0, lane_i < d0 + nn), w2 > 0)
-            slot = w2 & 0xFFF
-            bank[slot] = jnp.where(m, g, bank[slot])
+        if looped:
+            # dynamic-ordinal word decode: the piece ordinal is w1 >> 8
+            # (stamped by derive_split_triples), its word is column
+            # (p & 127) of plane (p >> 7) — one broadcast gather
+            def dyn_body(j, parity):
+                w1 = rg_ref[0, 0, 2 * j]
+                w2 = rg_ref[0, 0, 2 * j + 1]
+                bank = acc2_ref if (banks2 and parity) else acc_ref
+                p_ = w1 >> 8
+                w = tp_ref[0, p_ >> 7]
+                wc = jnp.take_along_axis(
+                    w, jnp.full((S, L), p_ & 127, jnp.int32), axis=1)
+                a0 = wc & 127
+                d0 = (wc >> 7) & 127
+                nn = (wc >> 14) & 255
+                idx = (lane_i - d0 + a0) & 127
+                g = jnp.take_along_axis(gs_ref[w1 & 0xFF], idx, axis=1)
+                m = jnp.logical_and(
+                    jnp.logical_and(lane_i >= d0, lane_i < d0 + nn), w2 > 0)
+                slot = w2 & 0xFFF
+                bank[slot] = jnp.where(m, g, bank[slot])
 
-        DG = 8
-        for j0 in range(0, dstep, DG):
-            n = min(DG, dstep - j0)
-            ws = [(rg_ref[0, j0 + u, 0], rg_ref[0, j0 + u, 1])
-                  for u in range(n)]
-            anyact = ws[0][1]
-            for u in range(1, n):
-                anyact = jnp.maximum(anyact, ws[u][1])
+            nb = dstep // unroll
 
-            @pl.when(anyact > 0)
-            def _():
-                for u in range(n):
-                    bank = acc2_ref if (banks2 and u % 2) else acc_ref
-                    dep_body(j0 + u, ws[u][0], ws[u][1], bank)
+            def body(b, carry):
+                base = b * unroll
+                for u in range(unroll):
+                    dyn_body(base + u, u % 2)
+                return carry
+
+            if nb:
+                jax.lax.fori_loop(0, nb, body, 0, unroll=1)
+            for j in range(nb * unroll, dstep):   # static tail
+                dyn_body(j, j % 2)
+        else:
+            def dep_body(j, w1, w2, bank):
+                c = j & 127
+                a0, d0, nn = (dd[:, c:c + 1] for dd in dec[j >> 7])
+                idx = (lane_i - d0 + a0) & 127
+                g = jnp.take_along_axis(gs_ref[w1 & 0xFF], idx, axis=1)
+                m = jnp.logical_and(
+                    jnp.logical_and(lane_i >= d0, lane_i < d0 + nn), w2 > 0)
+                slot = w2 & 0xFFF
+                bank[slot] = jnp.where(m, g, bank[slot])
+
+            DG = 8
+            for j0 in range(0, dstep, DG):
+                n = min(DG, dstep - j0)
+                ws = [(rg_ref[0, 0, 2 * (j0 + u)],
+                       rg_ref[0, 0, 2 * (j0 + u) + 1])
+                      for u in range(n)]
+                anyact = ws[0][1]
+                for u in range(1, n):
+                    anyact = jnp.maximum(anyact, ws[u][1])
+
+                @pl.when(anyact > 0)
+                def _():
+                    for u in range(n):
+                        bank = acc2_ref if (banks2 and u % 2) else acc_ref
+                        dep_body(j0 + u, ws[u][0], ws[u][1], bank)
 
         for j in range(dstep, rstep):
-            w2 = rg_ref[0, j, 1]
+            w2 = rg_ref[0, 0, 2 * j + 1]
             slot = w2 & 0xFFF
 
             @pl.when(w2 < 0)   # flush: copy + zero
@@ -236,33 +297,41 @@ def _make_split_kernel_triples(kb: int, rstep: int, nreg: int, TP: int,
 @functools.partial(
     jax.jit,
     static_argnames=("kb", "rstep", "f", "dmax", "nreg", "nsteps",
-                     "interpret", "dstep", "TP"))
-def _split_call_triples(rg, g, xsort, triples, *, kb, rstep, f, dmax, nreg,
-                        nsteps, interpret, dstep=0, TP=1):
+                     "interpret", "dstep", "TP", "looped", "nblocks"))
+def _split_call_triples(qblk, rg, g, xsort, triples, *, kb, rstep, f, dmax,
+                        nreg, nsteps, interpret, dstep=0, TP=1, looped=False,
+                        nblocks=0):
+    nblocks = nblocks or nsteps
     kernel = _make_split_kernel_triples(kb, rstep, nreg, TP,
-                                        banks2=not interpret, dstep=dstep)
+                                        banks2=not interpret, dstep=dstep,
+                                        looped=looped)
+    stream = lambda i, qb: (i, 0, 0)
+    stream4 = lambda i, qb: (i, 0, 0, 0)
     fn = pl.pallas_call(
         kernel,
-        grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, rstep, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, kb, S, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kb, S, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP, S, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, f, S, L), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nsteps, f, S, L), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((nreg, S, L), jnp.int32),
-                        pltpu.VMEM((nreg, S, L), jnp.int32),
-                        pltpu.VMEM((kb, S, L), jnp.int32)],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((1, 1, 2 * rstep), stream,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, kb, S, L), stream4,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kb, S, L), stream4,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TP, S, L), stream4,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, f, S, L),
+                                   lambda i, qb: (qb[i], 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((nreg, S, L), jnp.int32),
+                            pltpu.VMEM((nreg, S, L), jnp.int32),
+                            pltpu.VMEM((kb, S, L), jnp.int32)]),
+        out_shape=jax.ShapeDtypeStruct((nblocks, f, S, L), jnp.int32),
         interpret=interpret,
     )
-    return fn(rg, g, xsort, triples)
+    return fn(qblk, rg, g, xsort, triples)
 
 
 def _make_window_reduce_kernel(cbc: int):
@@ -348,9 +417,10 @@ class TropicalArrays:
 
     FIELDS = ("a_page", "a_r", "xperm", "a_vals", "rg", "planes",
               "in_order", "rg2", "planes2", "c_win", "sort2", "rowids",
-              "inv2", "a_sub", "xsort2", "triples2")
+              "inv2", "a_sub", "xsort2", "triples2", "qblk2")
 
     def __init__(self, *children):
+        children = children + (None,) * (len(self.FIELDS) - len(children))
         for name, c in zip(self.FIELDS, children):
             setattr(self, name, c)
 
@@ -385,29 +455,36 @@ class TropicalSpMV:
         # triple-run words (io/planar_format.planes_to_triples) — they ride
         # the planes slot, with the scatter's triples decode switched on
         self.p1_triples = getattr(p, "triples", None) is not None
+        # compact window stream (io/tropical_format.compact_window_stream):
+        # legacy rectangular layouts (dist mesh pads, old cache entries)
+        # ride the identity block map — same kernel, same semantics
+        qblk2 = getattr(layout, "qblk2", None)
+        nblocks2 = (int(layout.nblocks2) if qblk2 is not None
+                    else layout.nsteps2)
+        if qblk2 is None:
+            qblk2 = np.arange(layout.nsteps2, dtype=np.int32)
+        self.nblocks2 = nblocks2
         self.arrays = TropicalArrays(
             jnp.asarray(p.a_page.reshape(p.nsteps, 1, p.cb)),
             jnp.asarray(p.a_r.reshape(p.nsteps, p.cb * S, L)),
             jnp.asarray(p.xperm),
             jnp.asarray(p.a_vals.reshape(p.nsteps, p.cb * S, L)),
-            jnp.asarray(p.rg),
+            jnp.asarray(_rg_flat(p.rg)),
             jnp.asarray(p.triples if self.p1_triples else p.planes),
             jnp.asarray(layout.in_order.reshape(layout.nsteps2, layout.kb)),
-            jnp.asarray(layout.rg2),
+            jnp.asarray(_rg_flat(layout.rg2)),
             jnp.asarray(layout.planes2),
-            jnp.asarray(layout.c_win.reshape(layout.nsteps2, 1, layout.f2)),
-            jnp.asarray(layout.sort2.reshape(layout.nsteps2,
-                                             layout.f2 * S, L)),
-            jnp.asarray(layout.rowids.reshape(layout.nsteps2,
-                                              layout.f2 * S, L)),
-            jnp.asarray(layout.inv2.reshape(layout.nsteps2,
-                                            layout.f2 * S, L)),
+            jnp.asarray(layout.c_win.reshape(nblocks2, 1, layout.f2)),
+            jnp.asarray(layout.sort2.reshape(nblocks2, layout.f2 * S, L)),
+            jnp.asarray(layout.rowids.reshape(nblocks2, layout.f2 * S, L)),
+            jnp.asarray(layout.inv2.reshape(nblocks2, layout.f2 * S, L)),
             (jnp.asarray(p.a_sub.reshape(p.nsteps, p.cb * S, L))
              if self.chained else None),
             (jnp.asarray(layout.xsort2)
              if layout.xsort2 is not None else None),
             (jnp.asarray(layout.triples2)
              if layout.triples2 is not None else None),
+            jnp.asarray(qblk2),
         )
         self.split_triples = layout.triples2 is not None
         self._static_scatter = dict(
@@ -419,17 +496,18 @@ class TropicalSpMV:
         self._static_split = dict(
             kb=layout.kb, rstep=layout.rstep2, f=layout.f2,
             dmax=layout.dmax2, dstep=layout.dstep2,
-            nreg=layout.num_slots2,
+            nreg=layout.num_slots2, nblocks=nblocks2,
             nsteps=layout.nsteps2, interpret=config.resolve_interpret())
         if self.split_triples:
             self._static_split["TP"] = layout.triples2.shape[1]
-        else:
-            # fully unrolled past ~400 slots crashes the Mosaic compiler
-            # (ogbn_products rstep2=765); hollywood's 396 compiled and is
-            # the measured config, so the threshold sits just above it
-            self._static_split["looped"] = layout.rstep2 > 448
+        # fully unrolled past ~400 slots crashes the Mosaic compiler
+        # (ogbn_products rstep2=765); hollywood's 396 compiled and is
+        # the measured config, so the threshold sits just above it.
+        # Applies to BOTH split formats: triples targets exactly the
+        # graphs whose rstep2 is far beyond the threshold (ADVICE r4).
+        self._static_split["looped"] = layout.rstep2 > 448
         self._static_reduce = dict(
-            cbc=layout.f2, nwin=layout.num_windows, nsteps=layout.nsteps2,
+            cbc=layout.f2, nwin=layout.num_windows, nsteps=nblocks2,
             interpret=config.resolve_interpret())
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
@@ -463,13 +541,18 @@ class TropicalSpMV:
         g1 = _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg, a.planes,
                                   x2, a.a_sub, **self._static_scatter)
         g1 = g1.reshape(p.nsteps * p.f, S, L)
-        gm = jnp.take(g1, a.in_order.reshape(-1), axis=0).reshape(
+        # in_order is in-bounds by construction (pads repeat a real chunk);
+        # the default fill mode materialized an extra g1-sized select temp
+        # (441-490 MB at products scale in the r4 OOM dumps)
+        gm = jnp.take(g1, a.in_order.reshape(-1), axis=0,
+                      mode="clip").reshape(
             lay.nsteps2, lay.kb, S, L)
         if self.split_triples:
-            g2 = _split_call_triples(a.rg2, gm, a.xsort2, a.triples2,
-                                     **self._static_split)
+            g2 = _split_call_triples(a.qblk2, a.rg2, gm, a.xsort2,
+                                     a.triples2, **self._static_split)
         else:
-            g2 = _split_call(a.rg2, gm, a.planes2, **self._static_split)
+            g2 = _split_call(a.qblk2, a.rg2, gm, a.planes2,
+                             **self._static_split)
         blocks = _window_reduce_call(a.c_win, g2, a.sort2, a.rowids, a.inv2,
                                      **self._static_reduce)
         ybits = INF_BITS - blocks.reshape(-1)[:self.num_rows]

@@ -38,7 +38,7 @@ from ..io.matrix import CSRMatrix
 from ..io.formatter import util_round_csr_matrix_dim
 from ..io.planar_format import (pack_planar, PlanarSpMVLayout,
                                 choose_planar_region_rows)
-from ..ops.router_pallas import PlanarSpMV, PlanarArrays, S, L
+from ..ops.router_pallas import PlanarSpMV, PlanarArrays, S, L, _rg_flat
 
 from .dist_spmv import _csr_from_sorted_coo
 
@@ -173,7 +173,7 @@ def pack_planar_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
             if fld == "xperm":
                 return l.xperm
             if fld == "rg":
-                return l.rg
+                return _rg_flat(l.rg)
             if fld == "planes":
                 return l.planes
             if fld == "c_code":
@@ -358,13 +358,13 @@ def pack_tropical_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
             if fld == "xperm":
                 return p.xperm
             if fld == "rg":
-                return p.rg
+                return _rg_flat(p.rg)
             if fld == "planes":
                 return p.planes
             if fld == "in_order":
                 return t.in_order.reshape(t.nsteps2, t.kb)
             if fld == "rg2":
-                return t.rg2
+                return _rg_flat(t.rg2)
             if fld == "planes2":
                 return t.planes2
             if fld == "c_win":
@@ -378,6 +378,10 @@ def pack_tropical_sharded(csr: CSRMatrix, rows_shards: int, col_shards: int,
             if fld == "a_sub":
                 return (p.a_sub.reshape(p.nsteps, p.cb * S, L)
                         if p.a_sub is not None else None)
+            if fld == "qblk2":
+                # sharded packs keep the rectangular window stream (no
+                # compact_window_stream pass): identity block map
+                return np.arange(t.nsteps2, dtype=np.int32)
             if fld in ("xsort2", "triples2"):
                 return getattr(t, fld)
             raise KeyError(fld)

@@ -263,3 +263,37 @@ def test_tropical_split_looped_bitwise(rng):
     yl = np.asarray(eng_l(jnp.asarray(x)))
     np.testing.assert_array_equal(yu, yl)
     np.testing.assert_array_equal(yu, oracle(csr, x))
+
+
+def test_tropical_split_triples_looped_bitwise(rng):
+    """The block-looped TRIPLES split kernel (dynamic-ordinal word decode,
+    ADVICE r4: the triples format targets exactly the graphs whose rstep2
+    crashes the fully-unrolled compile) is bit-equal to the unrolled one."""
+    csr = rmat_csr(num_rows=12000, nnz=60000, seed=48)
+    x = rand_x(rng, 12288)
+    lay = pack_tropical(csr, CFG, region_rows=2048, kb=4,
+                        split_format="triples")
+    eng_u = TropicalSpMV(lay, TropicalSemiring, CFG)
+    eng_l = TropicalSpMV(lay, TropicalSemiring, CFG)
+    assert eng_u.split_triples and not eng_u._static_split.get("looped")
+    eng_l._static_split["looped"] = True
+    yu = np.asarray(eng_u(jnp.asarray(x)))
+    yl = np.asarray(eng_l(jnp.asarray(x)))
+    np.testing.assert_array_equal(yu, yl)
+    np.testing.assert_array_equal(yu, oracle(csr, x))
+
+
+def test_resolve_tropical_split_format():
+    """The a-priori auto rule (nnz only) that keys the layout cache AND
+    picks the packed format — both sides must share it (ADVICE r4)."""
+    from graphlily_tpu.io.tropical_format import (
+        resolve_tropical_split_format, AUTO_TRIPLES_PLANES_BYTES,
+        PLANES2_BYTES_PER_NNZ)
+    thr = int(AUTO_TRIPLES_PLANES_BYTES / PLANES2_BYTES_PER_NNZ)
+    assert resolve_tropical_split_format(thr - 1, None, "auto") == "planes"
+    assert resolve_tropical_split_format(thr + 1, None, "auto") == "triples"
+    assert resolve_tropical_split_format(10**9, None, "planes") == "planes"
+    assert resolve_tropical_split_format(1, None, "triples") == "triples"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resolve_tropical_split_format(1, None, "bogus")

@@ -125,8 +125,9 @@ def main():
     t_dead = timeit("scatter, no deposits", loop_scatter, a_dead, xp)
 
     # 3) deposits only (flush slots deactivated): isolates flush-copy cost
-    rg_np = np.asarray(a.rg)
-    rg_dep = np.where(rg_np[:, :, 1:2] > 0, rg_np, 0)
+    rg_np = np.asarray(a.rg)          # flat (nsteps, 1, 2*rstep)
+    keep = np.repeat(rg_np[:, :, 1::2] > 0, 2, axis=2)
+    rg_dep = np.where(keep, rg_np, 0)
     a_dep = copy.copy(a)
     a_dep.rg = jnp.asarray(rg_dep)
     t_dep = timeit("scatter, deposits only", loop_scatter, a_dep, xp)

@@ -25,6 +25,7 @@ from graphlily_tpu import EngineConfig
 from graphlily_tpu.io import iccad_standin, util_round_csr_matrix_dim
 from graphlily_tpu.io.formatter import util_normalize_csr_matrix_by_outdegree
 from graphlily_tpu.io.router_format import pack_router, CHUNK
+from graphlily_tpu.ops.router_pallas import _rg_flat
 
 S, L = 8, 128
 
@@ -128,7 +129,7 @@ def run(lay, x2, variant):
     if variant != "smem":
         in_specs.append(pl.BlockSpec((1, rstep, 2), stream,
                                      memory_space=pltpu.SMEM))
-        args.append(jnp.asarray(lay.rg))
+        args.append(jnp.asarray(_rg_flat(lay.rg)))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     args.append(x2)
     kwargs = dict(
@@ -146,7 +147,7 @@ def run(lay, x2, variant):
             out_specs=kwargs["out_specs"], scratch_shapes=kwargs["scratch_shapes"])
         fn = pl.pallas_call(kernel, grid_spec=gs,
                             out_shape=kwargs["out_shape"])
-        call = lambda: fn(jnp.asarray(lay.rg), *args)
+        call = lambda: fn(jnp.asarray(_rg_flat(lay.rg)), *args)
     else:
         fn = pl.pallas_call(kernel, grid=(lay.nsteps,), in_specs=in_specs,
                             **kwargs)

@@ -42,7 +42,8 @@ def main():
         row = details.get(key, {})
         prev = {"sssp_pull_push_ms": row.get("sssp_pull_push_ms"),
                 "sssp_scale": row.get("sssp_scale")}
-        if row.get("sssp_scale") == sc and "sssp_pull_push_ms" in row:
+        if (row.get("sssp_scale") == sc
+                and row.get("sssp_pull_push_ms") is not None):
             bench.log(f"{name}: row already at scale {sc} "
                       f"({row['sssp_pull_push_ms']:.1f} ms); skipping")
             continue

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from graphlily_tpu import EngineConfig
 from graphlily_tpu.io import rmat_csr
 from graphlily_tpu.io.planar_format import pack_planar
-from graphlily_tpu.ops.router_pallas import _planar_scatter_call, S, L
+from graphlily_tpu.ops.router_pallas import (_planar_scatter_call, S, L,
+                                              _rg_flat)
 from graphlily_tpu.semiring import OpType
 
 from importlib.machinery import SourceFileLoader
@@ -38,7 +39,7 @@ def main():
     r = jnp.asarray(lay.a_r.reshape(lay.nsteps, lay.cb * S, L))
     sub = jnp.asarray(lay.a_sub.reshape(lay.nsteps, lay.cb * S, L))
     vals = jnp.asarray(lay.a_vals.reshape(lay.nsteps, lay.cb * S, L))
-    rg = jnp.asarray(lay.rg)
+    rg = jnp.asarray(_rg_flat(lay.rg))
     out_old = np.asarray(_planar_scatter_call(
         page, r, vals, rg, jnp.asarray(lay.planes), x, sub,
         op=OpType.MULADD, cb=lay.cb, rstep=lay.rstep, f=lay.f,

@@ -40,7 +40,7 @@ from graphlily_tpu import EngineConfig
 from graphlily_tpu.io import iccad_standin
 from graphlily_tpu.io.layout_cache import pack_cached
 from graphlily_tpu.ops.router_pallas import (_planar_scatter_call, _cparams,
-                                             S, L)
+                                             S, L, _rg_flat)
 from graphlily_tpu.semiring import OpType
 from bench import _prep, measure_floor
 
@@ -238,7 +238,7 @@ def main():
     r = jnp.asarray(lay.a_r.reshape(lay.nsteps, lay.cb * S, L))
     sub = jnp.asarray(lay.a_sub.reshape(lay.nsteps, lay.cb * S, L))
     vals = jnp.asarray(lay.a_vals.reshape(lay.nsteps, lay.cb * S, L))
-    rg = jnp.asarray(lay.rg)
+    rg = jnp.asarray(_rg_flat(lay.rg))
     planes = jnp.asarray(lay.planes)
     tri = jnp.asarray(tw)
     xj = jnp.asarray(x)

@@ -88,6 +88,64 @@ class PageRank(ModuleCollection):
             return dev
         return self._external(np.asarray(dev).reshape(-1))
 
+    def pull_time_breakdown(self, damping: float,
+                            num_iterations: int) -> dict:
+        """Instrumented pull: per-phase host timings with the fused loop's
+        iteration semantics — counterpart of the reference's instrumented
+        PageRank (app/pagerank.h:93-147, which splits SpMV from eWiseAdd
+        per iteration). Each phase is a separate jitted call synced per
+        iteration; subtract `dispatch_overhead_ms` to approximate on-chip
+        time. The summed `distance`-style result matches pull() exactly
+        (same ops, same order)."""
+        from ..utils.profiling import PhaseTimer
+        import time as _time
+        n = self.matrix_num_rows_
+        mstate = self.SpMV_.device_state()
+        if getattr(self, "_ops_instr", None) is None:
+            spmv = self.SpMV_.apply
+            use3d = self._use3d
+            self._ops_instr = dict(
+                spmv=jax.jit(lambda r, st: spmv(r, state=st, out_3d=use3d)),
+                ewise=jax.jit(ewise_add_scalar),
+            )
+        ops = self._ops_instr
+        shape = (n // 1024, 8, 128) if self._use3d else (n,)
+        rank = jnp.full(shape, 1.0 / n, self.config.jdtype)
+        offset = jnp.asarray((1 - damping) / n, self.config.jdtype)
+        ops["ewise"](ops["spmv"](rank, mstate), offset)  # compile warm-up
+        f = jax.jit(lambda v: v[:8].sum())
+        v = jnp.ones(128)
+        np.asarray(f(v))
+        t0 = _time.perf_counter()
+        for _ in range(4):
+            np.asarray(f(v))
+        floor_ms = (_time.perf_counter() - t0) / 4 * 1e3
+
+        timer = PhaseTimer()
+        calls = {"spmv": 0, "ewise_add": 0}
+        t_all = _time.perf_counter()
+        for _ in range(num_iterations):
+            with timer.phase("spmv"):
+                y = ops["spmv"](rank, mstate)
+                y.block_until_ready()
+            calls["spmv"] += 1
+            with timer.phase("ewise_add"):
+                rank = ops["ewise"](y, offset)
+                rank.block_until_ready()
+            calls["ewise_add"] += 1
+        total_ms = (_time.perf_counter() - t_all) * 1e3
+        ncalls = sum(calls.values())
+        return {
+            "phases_ms": dict(timer.times_ms),
+            "iterations": num_iterations,
+            "calls": calls,
+            "dispatch_floor_ms": floor_ms,
+            "dispatch_overhead_ms": floor_ms * ncalls,
+            "total_ms": total_ms,
+            "total_minus_dispatch_ms": max(total_ms - floor_ms * ncalls, 0.0),
+            "rank": self._external(np.asarray(rank).reshape(-1)),
+        }
+
     def compute_reference_results(self, damping: float, num_iterations: int):
         """pagerank.h:150-159."""
         n = self.matrix_num_rows_

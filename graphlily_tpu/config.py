@@ -56,13 +56,18 @@ class EngineConfig:
                                  # phase-A gather, quota-dealt sublanes —
                                  # flush fill ~0.98) | "bucket" (v3: snake
                                  # col buckets + xperm pre-pass)
-    tropical_split_format: str = "planes"  # split-pass deposit format:
+    tropical_split_format: str = "auto"  # split-pass deposit format:
                                  # "planes" (1 KB int8 gather plane/piece) |
                                  # "triples" (per-chunk digit sort plane +
                                  # 32 B packed run words/piece, ~32x smaller
                                  # deposit stream — the orkut-scale SSSP
-                                 # footprint lever) | "auto" (triples when
-                                 # the plane stream would exceed 2 GB)
+                                 # footprint lever) | "auto" (triples iff
+                                 # nnz >= ~67M, an a-priori rule shared
+                                 # with the layout-cache key — see
+                                 # io/tropical_format.resolve_tropical_
+                                 # split_format; TPU-validated bit-exact
+                                 # r5, measured 37 B/nnz all-in on full
+                                 # ogbn_products)
     interpret: Optional[bool] = None  # pallas interpret mode; None = auto (CPU->True)
     resident_kernel: Optional[bool] = None  # None = auto by VMEM footprint
     reduce_mode: str = "mxu"     # resident-kernel row reduce: "mxu" | "vpu"

@@ -9,7 +9,9 @@ device_output + probe-fetch + min-of-reps protocol as the canonical apps
 bench) and merges the result into BENCH_DETAILS.json, leaving the current
 PageRank/BFS fields untouched.
 
-Usage: python tools/sssp_full.py hollywood ogbn_products orkut
+Usage: python tools/sssp_full.py [--force] hollywood ogbn_products orkut
+(--force re-measures rows already at the target scale, e.g. after an
+engine-generation change)
 """
 import json
 import os
@@ -25,7 +27,9 @@ from graphlily_tpu.io import ICCAD_GRAPHS
 
 
 def main():
-    names = sys.argv[1:] or ["hollywood", "ogbn_products", "orkut"]
+    argv = sys.argv[1:]
+    force = "--force" in argv
+    names = [a for a in argv if a != "--force"]         or ["hollywood", "ogbn_products", "orkut"]
     config = EngineConfig(mxu_precision="default", sort_rows_by_degree=True,
                           layout_cache=".layout_cache")
     for name in names:
@@ -42,7 +46,7 @@ def main():
         row = details.get(key, {})
         prev = {"sssp_pull_push_ms": row.get("sssp_pull_push_ms"),
                 "sssp_scale": row.get("sssp_scale")}
-        if (row.get("sssp_scale") == sc
+        if (not force and row.get("sssp_scale") == sc
                 and row.get("sssp_pull_push_ms") is not None):
             bench.log(f"{name}: row already at scale {sc} "
                       f"({row['sssp_pull_push_ms']:.1f} ms); skipping")

@@ -110,6 +110,63 @@ def dist_bfs_pull_push(eng_pull: DistSpMV, source: int,
                            jnp.asarray(threshold, jnp.float32)))
 
 
+def dist_sssp_pull_push(eng_pull, source: int, num_iterations: int,
+                        threshold: float = 0.05, eng_push=None):
+    """Distributed adaptive-direction SSSP (the tropical twin of
+    dist_bfs_pull_push; single-chip counterpart apps/sssp.py
+    pull_push_fused / reference app/sssp.h:222-236): do-while push while
+    the improved-vertex frontier is sparse, then pull. The push step
+    relaxes distances where candidates improve them; improved entries form
+    the next frontier (inactive = tropical INF). Works with any
+    TropicalSemiring dist engine sharing the DistSpMV call surface
+    (DistSpMV chunked or DistTropicalSpMV)."""
+    if eng_push is None:
+        eng_push = eng_pull
+    assert eng_pull.num_rows == eng_pull.num_cols, (
+        "iterating apps need square padding (see dist_bfs_pull)")
+    n = eng_pull.num_rows
+    inf = jnp.asarray(eng_pull.semiring.zero, jnp.float32)
+
+    @jax.jit
+    def loop(frontier, distance, iters, thr):
+        def push_cond(carry):
+            it, _fr, nnz, _d = carry
+            sparse = nnz.astype(jnp.float32) / n < thr
+            return jnp.logical_or(it == 0,
+                                  jnp.logical_and(it + 1 < iters, sparse))
+
+        def push_body(carry):
+            it, fr, _nnz, dist = carry
+            y = eng_push(fr)
+            improved = y < dist
+            dist = jnp.where(improved, y, dist)
+            fr = eng_push.reshard_for_input(jnp.where(improved, y, inf))
+            nnz = jnp.sum(improved).astype(jnp.int32)
+            return (it + 1, fr, nnz, dist)
+
+        it, _fr, _nnz, dist = jax.lax.while_loop(
+            push_cond, push_body,
+            (jnp.asarray(0, jnp.int32), frontier,
+             jnp.asarray(1, jnp.int32), distance))
+
+        def pull_body(carry):
+            it2, d = carry
+            y = eng_pull(eng_pull.reshard_for_input(d))
+            return (it2 + 1, y)
+
+        _, dist = jax.lax.while_loop(lambda c: c[0] < iters, pull_body,
+                                     (it, dist))
+        return dist
+
+    f0 = np.full(eng_pull.num_cols, float(inf), np.float32)
+    f0[source] = 0.0
+    d0 = np.full(n, float(inf), np.float32)
+    d0[source] = 0.0
+    return np.asarray(loop(jnp.asarray(f0), jnp.asarray(d0),
+                           jnp.asarray(num_iterations),
+                           jnp.asarray(threshold, jnp.float32)))
+
+
 def dist_sssp_pull(eng: DistSpMV, source: int, num_iterations: int):
     """Distributed SSSP pull: eng must be a TropicalSemiring DistSpMV
     (cross-shard combine = pmin over 'cols'). The matrix must carry the

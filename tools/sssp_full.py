@@ -39,7 +39,7 @@ def main():
             bench.log(f"{name}: no feasible SSSP scale")
             continue
         bench.log(f"== {name} SSSP scale {sc} (nnz={g.nnz}, "
-                  f"est {g.nnz * 105e-9:.1f} GB) ==")
+                  f"est {g.nnz * 50e-9:.1f} GB) ==")
         key = f"{name}_s1.0"
         with open("BENCH_DETAILS.json") as f:
             details = json.load(f)

@@ -587,6 +587,13 @@ def get_graph(name, scale, seed):
     return _GRAPH_MEMO["g"]
 
 
+# bumped when ENGINE-side codegen changes timing without a pack-version
+# bump (cache entries stay valid but recorded rows are stale): r5 = flat
+# rg device streams (per-step SMEM DMA 64x smaller; measured pokec
+# free-fused 12.46 -> 10.41 ms in tools/permc_ab.py)
+ENGINE_GENERATION = "r5"
+
+
 def engine_sig(name: str, kinds=("planar", "router")) -> str:
     """Cheap layout+engine signature for row reuse: pack versions (bumped on
     any schedule-semantics change) + graph identity. A prior BENCH_DETAILS
@@ -600,7 +607,7 @@ def engine_sig(name: str, kinds=("planar", "router")) -> str:
     from graphlily_tpu.io.layout_cache import PACK_VERSION, KIND_VERSIONS
     return (f"v{PACK_VERSION}." +
             ".".join(str(KIND_VERSIONS[k]) for k in sorted(kinds))
-            + f"|{name}")
+            + f".{ENGINE_GENERATION}|{name}")
 
 
 def _gc_between_graphs():

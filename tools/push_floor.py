@@ -9,7 +9,16 @@ subtracted):
 The push module SHARES the pull module's engine (reuse_from), exactly as
 the fused apps do, so the numbers are the apps' pull_push economics.
 
-Usage: python tools/push_floor.py [graph] [scale] [sparsities]
+With --attr, additionally attributes the push floor (the ~4 ms tail that
+VERDICT r4 weak #2 flagged) into:
+  prologue   : the per-call predication chain only (frontier activity ->
+               _steps_sm_na -> _predicate_rg), jitted standalone
+  zero-floor : a full push call on an ALL-ZERO frontier (na=0: every grid
+               step skips its body; measures prologue + grid walk +
+               epilogue — the irreducible per-call cost)
+so for each sparsity: active-work = push(s) - zero-floor.
+
+Usage: python tools/push_floor.py [graph] [scale] [sparsities] [--attr]
 """
 import sys
 import time
@@ -24,6 +33,7 @@ def main():
     scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     spars = [float(s) for s in
              (sys.argv[3] if len(sys.argv) > 3
+              and not sys.argv[3].startswith("--")
               else "0.99,0.999,0.9999").split(",")]
 
     import jax
@@ -34,7 +44,11 @@ def main():
     from graphlily_tpu.module import SpMVModule, SpMSpVModule
     from bench import _prep, measure_floor
 
-    config = EngineConfig(mxu_precision="default",
+    engine = "auto"
+    for a in sys.argv:
+        if a.startswith("--engine="):
+            engine = a.split("=", 1)[1]
+    config = EngineConfig(mxu_precision="default", engine=engine,
                           layout_cache=".layout_cache")
     csr = iccad_standin(graph, scale=scale,
                         seed=0 if graph == "googleplus" else 1)
@@ -79,6 +93,46 @@ def main():
 
     pull = timeit("pull SpMV", loop_pull, st_pull, x3d)
 
+    def loop_push(st, x_):
+        def body(_i, v):
+            y, _nnz = mod.apply_dense(v, state=st, out_3d=True)
+            return y * 1e-20 + v
+        return jax.lax.fori_loop(0, iters, body, x_)
+
+    zero_floor = None
+    if "--attr" in sys.argv and not hasattr(eng, "_act_chunk"):
+        print("--attr: engine has no router predication chain "
+              f"({type(eng).__name__}); skipping attribution", flush=True)
+    elif "--attr" in sys.argv:
+        from graphlily_tpu.ops.router_pallas import (
+            RouterSpMV, _steps_sm_na, _predicate_rg)
+        flavor = "roll" if isinstance(eng, RouterSpMV) else "planar"
+        nct = eng.layout.num_col_tiles
+        unit = nct * 8 if flavor == "roll" else nct
+        zero = mod.semiring_.zero
+
+        def loop_prologue(a, x_):
+            # the exact per-call predication chain _run_engine pays;
+            # jnp.sum forces full rg materialization (as feeding the
+            # kernel would), the 1e-30 carry defeats LICM
+            def body(_i, v):
+                act = jnp.any(v.reshape(unit, -1)
+                              != jnp.asarray(zero, v.dtype), axis=1)
+                act_chunk = eng._act_chunk(a, act)
+                sm, na = _steps_sm_na(act_chunk, eng._minw)
+                rg = _predicate_rg(a.rg, act_chunk, flavor)
+                probe = (jnp.sum(rg).astype(jnp.float32)
+                         + sm[0].astype(jnp.float32) + na[0])
+                return v + probe * 1e-30
+            return jax.lax.fori_loop(0, iters, body, x_)
+
+        xj0 = jnp.zeros((n // 1024, 8, 128), jnp.float32)
+        prol = timeit("prologue only", loop_prologue, st_push, xj0)
+        zero_floor = timeit("push ZERO frontier", loop_push, st_push, xj0)
+        print(f"  floor attribution: prologue {prol*1e3:.3f} ms | "
+              f"grid+epilogue {max(0.0, zero_floor - prol)*1e3:.3f} ms "
+              f"(zero-frontier total {zero_floor*1e3:.3f})", flush=True)
+
     rng = np.random.default_rng(7)
     for s in spars:
         nv = max(1, int(round(n * (1 - s))))
@@ -87,14 +141,10 @@ def main():
         x[idx] = 1.0
         xj = jnp.asarray(x.reshape(n // 1024, 8, 128))
 
-        def loop_push(st, x_):
-            def body(_i, v):
-                y, _nnz = mod.apply_dense(v, state=st, out_3d=True)
-                return y * 1e-20 + v
-            return jax.lax.fori_loop(0, iters, body, x_)
-
         t = timeit(f"push s={s} nnz={nv}", loop_push, st_push, xj)
-        print(f"  -> push/pull = {t / pull:.2f}", flush=True)
+        extra = (f", active-work {max(0.0, t - zero_floor)*1e3:.3f} ms"
+                 if zero_floor is not None else "")
+        print(f"  -> push/pull = {t / pull:.2f}{extra}", flush=True)
 
 
 if __name__ == "__main__":

@@ -177,6 +177,13 @@ class SpMSpVModule(BaseModule):
         if self._predicated():
             return {"arrays": self._pallas.arrays,
                     "touch": jnp.asarray(touch)}
+        from ..ops.router_pallas import PlanarSpMV, RouterSpMV
+        if isinstance(self._pallas, (PlanarSpMV, RouterSpMV)):
+            # exact flush-predication index rides WITH the arrays as a jit
+            # argument (a products-scale index is ~MBs — far past the
+            # remote compiler's closure-constant payload limit)
+            return {"arrays": self._pallas.arrays,
+                    "fidx": self._pallas.flush_index_device()}
         return self._pallas.arrays
 
     def _predicated(self) -> bool:
@@ -228,8 +235,19 @@ class SpMSpVModule(BaseModule):
             unit = nct * 8 if isinstance(self._pallas, RouterSpMV) else nct
             act = jnp.any(x.reshape(unit, -1)
                           != jnp.asarray(zero, x.dtype), axis=1)
-            return self._pallas(x, None, MaskType.NO_MASK, arrays=state,
-                                tiles_active=act, out_3d=out_3d)
+            if isinstance(self._pallas, TropicalSpMV):
+                return self._pallas(x, None, MaskType.NO_MASK, arrays=state,
+                                    tiles_active=act, out_3d=out_3d)
+            # router/planar state is the device_state dict (arrays + exact
+            # flush-predication index); raw-arrays callers keep working on
+            # the window path
+            arrays, fidx = state, None
+            if isinstance(state, dict):
+                arrays, fidx = state["arrays"], state.get("fidx")
+            elif state is None:
+                fidx = self._pallas.flush_index_device()
+            return self._pallas(x, None, MaskType.NO_MASK, arrays=arrays,
+                                tiles_active=act, fidx=fidx, out_3d=out_3d)
         return self._pallas(x, None, MaskType.NO_MASK, arrays=state,
                             out_3d=out_3d)
 

@@ -557,6 +557,128 @@ def _predicate_rg(rg, act_chunk, flavor: str):
                      axis=-1).reshape(rg.shape)
 
 
+def _flush_index(rg, dstep: int, f: int):
+    """Host-side (engine-init) index for EXACT per-flush SpMSpV predication.
+
+    The window criterion (_flush_minw/_steps_sm_na) keeps a flush whenever
+    ANY step in its live window holds a frontier-active chunk — but a slot's
+    FIRST flush has window [0, t], so one active page early in the stream
+    keeps every first-cycle flush after it, and a kept step runs its whole
+    flush batch at full phase-C cost (~148 ns/flush). Measured on full
+    googleplus (tools/push_floor.py --attr): zero-frontier floor 1.08 ms,
+    yet an 11-vertex frontier still cost 3.3 ms ≈ a full pull — the gap is
+    exactly these window-kept flushes.
+
+    The exact criterion: a flush is needed iff some LIVE deposit targeted
+    its accumulator slot since the slot's previous flush (stream order).
+    Dead deposits never write (their in-kernel masks are empty), flushes
+    zero their slot after draining and accumulators start zeroed — so a
+    flush whose window holds no live deposit drains exactly zero and may be
+    masked (w2 -> 0: both kernels already treat 0 as a dead descriptor).
+
+    A live flush inside a kept step needs no descriptor masking at all: a
+    dead flush that EXECUTES drains a provably-zero slot into the output
+    (adding zero) and re-zeroes it — exactly its skipped semantics. So the
+    index only has to answer "does step t hold any live flush" (the step
+    keep-set), never "mask this flush word" — which keeps the per-call
+    device work to one D-gather + cumsum + two nsteps-gathers (an earlier
+    variant that also masked w2/code words through two (nsteps,rstep)-sized
+    maps paid ~1 ms/call of XLA:TPU gather at googleplus scale for zero
+    additional skipped work in kept steps).
+
+    Returns stream-order numpy index arrays (device copies ride as jit
+    ARGUMENTS via the module's device_state — a products-scale dep_flat is
+    ~1M int32s, far past the remote compiler's constant-payload limit):
+      dep_flat  (D,) deposit positions in the flat (nsteps*rstep) act_d
+                plane, sorted by (slot, stream position)
+      fl_start/fl_end (F,) that sorted array's [start, end) window per
+                flush, in stream order
+      step_off  (nsteps+1,) stream-order flush offsets per step, so
+                fl_any[t] = any(live_f[step_off[t]:step_off[t+1]])
+    or None for a degenerate flushless stream."""
+    rg = np.asarray(rg)
+    nsteps, rstep, _ = rg.shape
+    w2 = rg[..., 1]
+    dmask = w2[:, :dstep] > 0
+    dt_, dj = np.nonzero(dmask)
+    dep_pos = dt_.astype(np.int64) * rstep + dj
+    dep_slot = w2[:, :dstep][dmask].astype(np.int64) & 0xFFF
+    fmask = w2[:, dstep:] < 0
+    ft, fjr = np.nonzero(fmask)
+    if ft.size == 0:
+        return None
+    w2f = w2[:, dstep:][fmask].astype(np.int64)
+    f_slot = w2f & 0xFFF
+    f_q = (w2f >> 16) & 0xFF
+    f_pos = ft.astype(np.int64) * rstep + (fjr + dstep)
+    # deposits sorted by (slot, stream position); within a step all
+    # deposits ([0, dstep)) precede all flushes, matching kernel order
+    M = np.int64(nsteps) * rstep
+    dep_key = dep_slot * M + dep_pos
+    order = np.argsort(dep_key, kind="stable")
+    dep_key_sorted = dep_key[order]
+    # previous flush position per (slot, flush) in stream order
+    forder = np.lexsort((f_pos, f_slot))
+    fs, fp = f_slot[forder], f_pos[forder]
+    prev = np.full(ft.size, -1, np.int64)
+    if ft.size > 1:
+        same = fs[1:] == fs[:-1]
+        prev[1:][same] = fp[:-1][same]
+    start = np.searchsorted(dep_key_sorted, fs * M + prev + 1)
+    end = np.searchsorted(dep_key_sorted, fs * M + fp)
+    start_u = np.empty_like(start)
+    end_u = np.empty_like(end)
+    start_u[forder] = start
+    end_u[forder] = end
+    step_off = np.zeros(nsteps + 1, np.int32)
+    step_off[1:] = np.cumsum(np.bincount(ft, minlength=nsteps))
+    qmap = np.zeros((nsteps, f), np.int32)
+    qmap[ft, f_q] = np.arange(1, ft.size + 1, dtype=np.int32)
+    return dict(dep_flat=dep_pos[order].astype(np.int32),
+                fl_start=start_u.astype(np.int32),
+                fl_end=end_u.astype(np.int32),
+                step_off=step_off, qmap=qmap)
+
+
+def _predicate_exact(rg, act_chunk, flavor: str, fidx):
+    """Exact SpMSpV predication: deposits masked as in _predicate_rg, plus
+    the EXACT step-compaction keep-set — a step runs iff it holds a live
+    deposit or a live flush, where a flush is live iff a live deposit
+    targeted its accumulator slot since the slot's previous flush (the
+    _flush_index windows; segment-any = one gather + cumsum + two gathers
+    of F + two of nsteps). Dead flushes inside kept steps run unmasked:
+    they drain provably-zero slots (adding zero) and re-zero them, which
+    IS their skipped semantics — see _flush_index.
+
+    Returns (rg_pred, code_mask (nsteps,1,f) bool, sm, na). The code mask
+    (one small (nsteps,f) gather) disables the phase-C builds of dead
+    flushes inside kept steps — the flush COPY bodies stay unmasked (cheap;
+    they drain zero), but each code-driven one-hot build costs ~148 ns and
+    a kept step runs f of them."""
+    w1, w2 = rg[:, 0, 0::2], rg[:, 0, 1::2]
+    k = (w1 & 0xFF) if flavor == "planar" else (w1 >> 20)
+    act_d = jnp.take_along_axis(act_chunk, k, axis=1)   # (nsteps, rstep)
+    nsteps, rstep = w2.shape
+    live_d = jnp.logical_and(w2 > 0, act_d > 0)
+    w2m = jnp.where(jnp.logical_and(w2 > 0, act_d == 0), 0, w2)
+    da = jnp.take(live_d.reshape(-1).astype(jnp.int32), fidx["dep_flat"])
+    cs0 = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(da)])
+    live_f = (jnp.take(cs0, fidx["fl_end"])
+              - jnp.take(cs0, fidx["fl_start"])).astype(jnp.int32)
+    cs1 = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(live_f)])
+    fl_any = (jnp.take(cs1, fidx["step_off"][1:])
+              - jnp.take(cs1, fidx["step_off"][:-1])) > 0
+    live_pad = jnp.concatenate([jnp.zeros(1, bool), live_f > 0])
+    cmask = jnp.take(live_pad, fidx["qmap"])[:, None, :]
+    kept = jnp.logical_or(jnp.any(live_d, axis=1), fl_any)
+    iota = jnp.arange(nsteps, dtype=jnp.int32)
+    sm = jnp.nonzero(kept, size=nsteps, fill_value=0)[0].astype(jnp.int32)
+    na = jnp.sum(kept).astype(jnp.int32)
+    sm = jnp.where(iota < na, sm, sm[jnp.maximum(na - 1, 0)])
+    rgp = jnp.stack([w1, w2m], axis=-1).reshape(rg.shape)
+    return rgp, cmask, sm, na.reshape(1)
+
+
 def _make_reduce_kernel(cbc: int, rh: int, precision, ablate: str = "",
                         predicated: bool = False):
     """rh = region_rows // 128: the hi one-hot height. Smaller regions cut
@@ -1543,6 +1665,18 @@ class PlanarSpMV:
         # step-compaction live window (SpMSpV): small enough to ride as a
         # jit closure constant (nsteps int32)
         self._minw = jnp.asarray(_flush_minw(lay.rg, lay.dstep))
+        self._fidx_dev = None
+
+    def flush_index_device(self):
+        """Device copy of the exact flush-predication index (lazy; rides
+        as a jit argument through SpMSpVModule.device_state — see
+        _flush_index on why it must not be a closure constant)."""
+        if self._fidx_dev is None:
+            idx = _flush_index(self.layout.rg, self.layout.dstep,
+                               self.layout.f)
+            self._fidx_dev = ({} if idx is None else
+                              {k: jnp.asarray(v) for k, v in idx.items()})
+        return self._fidx_dev or None
 
     def _normalize_act(self, active):
         # planar chunks mix all 8 pages of their tile, so activity stays
@@ -1584,46 +1718,51 @@ class PlanarSpMV:
                                self.layout.num_col_tiles)
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
-                 arrays=None, out_3d: bool = False, tiles_active=None):
+                 arrays=None, out_3d: bool = False, tiles_active=None,
+                 fidx=None):
         """One SpMV. `out_3d=True` returns y as (num_rows/1024, 8, 128) —
         a FREE view of the region blocks (the (nregions, rh, 128) output's
         row tiling matches the vector tiling exactly), so 3D-iterating
         loops never pay the 1D<->tiled relayout. A 3D `mask` is required
         with out_3d. `tiles_active` (num_col_tiles,) predicates deposits for
         SpMSpV (see _predicate_rg) AND step-compacts the grid to the
-        frontier's flush-closed step footprint (see _steps_sm_na), so
-        HBM stream traffic and compute scale with the frontier."""
+        frontier's step footprint. With `fidx` (flush_index_device(), a jit
+        argument), flushes are ALSO predicated exactly (_predicate_exact):
+        phase-C cost then scales with the frontier's slot footprint instead
+        of paying every window-kept step's full flush batch."""
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
         tiles_active = self._normalize_act(tiles_active)
         sm = na = None
+        rg, code = a.rg, a.c_code
         if tiles_active is not None:
             act_chunk = self._act_chunk(a, tiles_active)
-            sm, na = _steps_sm_na(act_chunk, self._minw)
+            if fidx is not None:
+                rg, cmask, sm, na = _predicate_exact(a.rg, act_chunk,
+                                                     "planar", fidx)
+                code = jnp.where(cmask, a.c_code, -1)
+            else:
+                sm, na = _steps_sm_na(act_chunk, self._minw)
+                rg = _predicate_rg(a.rg, act_chunk, "planar")
+        x2 = self._x2(x, a, tiles_active)
         if self.fused:
-            x2 = self._x2(x, a, tiles_active)
-            rg = (a.rg if tiles_active is None
-                  else _predicate_rg(a.rg, act_chunk, "planar"))
             blocks = _planar_fused_call(a.a_page, a.a_r, a.a_vals, rg,
-                                        a.planes, a.c_code, a.c_hi, a.c_lo,
+                                        a.planes, code, a.c_hi, a.c_lo,
                                         x2, a.a_sub, sm, na, beg=a.c_beg,
                                         looped=self._looped,
                                         banks2=self.banks2,
                                         **self._static_fused)
         else:
-            x2 = self._x2(x, a, tiles_active)
-            rg = (a.rg if tiles_active is None
-                  else _predicate_rg(a.rg, act_chunk, "planar"))
             g = _planar_scatter_call(a.a_page, a.a_r, a.a_vals, rg,
                                      a.planes, x2, a.a_sub, sm, na,
                                      **self._static_scatter)
             if self.permc:
-                blocks = _permc_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
+                blocks = _permc_reduce_call(code, g, a.c_hi, a.c_lo,
                                             a.c_beg, sm, na,
                                             **self._static_reduce)
             else:
-                blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
+                blocks = _router_reduce_call(code, g, a.c_hi, a.c_lo,
                                              sm, na, **self._static_reduce)
         if out_3d:
             y = _blocks_to_3d(blocks, self.num_rows)
@@ -1746,6 +1885,18 @@ class RouterSpMV:
         self.fused = (base + (2 if self.banks2 else 1)
                       * lay.num_slots * 4096 <= 12e6)
         self._minw = jnp.asarray(_flush_minw(lay.rg, lay.dstep))
+        self._fidx_dev = None
+
+    def flush_index_device(self):
+        """Device copy of the exact flush-predication index (lazy; rides
+        as a jit argument through SpMSpVModule.device_state — see
+        _flush_index on why it must not be a closure constant)."""
+        if self._fidx_dev is None:
+            idx = _flush_index(self.layout.rg, self.layout.dstep,
+                               self.layout.f)
+            self._fidx_dev = ({} if idx is None else
+                              {k: jnp.asarray(v) for k, v in idx.items()})
+        return self._fidx_dev or None
 
     def _act_chunk(self, a, active):
         # roll A-chunks are page-local (a_sub rides the page's sublane,
@@ -1769,35 +1920,38 @@ class RouterSpMV:
 
     def __call__(self, x, mask=None, mask_type: MaskType | None = None,
                  arrays: RouterArrays | None = None, out_3d: bool = False,
-                 tiles_active=None):
+                 tiles_active=None, fidx=None):
         """One SpMV; x as (ncols,) or (nct, 8, 128). `out_3d=True` returns
         (num_rows/1024, 8, 128) — a free view of the region blocks — so
         3D-iterating loops skip the ~2.3 GB/s 1D<->tiled relayout.
         `tiles_active` — (num_col_tiles,) tile- or (num_col_tiles*8,)
         page-granular — predicates deposits for SpMSpV and step-compacts
-        the grid (see _steps_sm_na)."""
+        the grid. With `fidx` (flush_index_device(), a jit argument),
+        flushes are ALSO predicated exactly (_predicate_exact)."""
         mt = self.mask_type if mask_type is None else mask_type
         a = self.arrays if arrays is None else arrays
         lay = self.layout
         sm = na = None
+        rg, code = a.rg, a.c_code
         if tiles_active is not None:
             act_chunk = self._act_chunk(a, tiles_active)
-            sm, na = _steps_sm_na(act_chunk, self._minw)
+            if fidx is not None:
+                rg, cmask, sm, na = _predicate_exact(a.rg, act_chunk,
+                                                     "roll", fidx)
+                code = jnp.where(cmask, a.c_code, -1)
+            else:
+                sm, na = _steps_sm_na(act_chunk, self._minw)
+                rg = _predicate_rg(a.rg, act_chunk, "roll")
+        x2 = x.reshape(lay.num_col_tiles, S, L) if x.ndim == 1 else x
         if self.fused:
-            x2 = x.reshape(lay.num_col_tiles, S, L) if x.ndim == 1 else x
-            rg = (a.rg if tiles_active is None
-                  else _predicate_rg(a.rg, act_chunk, "roll"))
             blocks = _router_fused_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
-                                        rg, a.c_code, a.c_hi, a.c_lo, x2,
+                                        rg, code, a.c_hi, a.c_lo, x2,
                                         sm, na, banks2=self.banks2,
                                         **self._static_fused)
         else:
-            rg = (a.rg if tiles_active is None
-                  else _predicate_rg(a.rg, act_chunk, "roll"))
-            x2 = (x.reshape(lay.num_col_tiles, S, L) if x.ndim == 1 else x)
             g = _router_scatter_call(a.a_page, a.a_r, a.a_sub, a.a_vals,
                                      rg, x2, sm, na, **self._static_scatter)
-            blocks = _router_reduce_call(a.c_code, g, a.c_hi, a.c_lo,
+            blocks = _router_reduce_call(code, g, a.c_hi, a.c_lo,
                                          sm, na, **self._static_reduce)
         if out_3d:
             y = _blocks_to_3d(blocks, self.num_rows)

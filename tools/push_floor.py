@@ -94,9 +94,14 @@ def main():
     pull = timeit("pull SpMV", loop_pull, st_pull, x3d)
 
     def loop_push(st, x_):
+        # rebuild the EXACT frontier each iteration (bench_spmspv_sweep's
+        # loop_dense idiom): `y*1e-20 + v` densifies v after one iteration
+        # (every entry becomes nonzero), silently turning the "push" loop
+        # into an all-pages-active dense product
+        active = x_ != 0.0
         def body(_i, v):
             y, _nnz = mod.apply_dense(v, state=st, out_3d=True)
-            return y * 1e-20 + v
+            return jnp.where(active, 1.0, 0.0).astype(v.dtype) + y * 0.0
         return jax.lax.fori_loop(0, iters, body, x_)
 
     zero_floor = None
@@ -105,25 +110,33 @@ def main():
               f"({type(eng).__name__}); skipping attribution", flush=True)
     elif "--attr" in sys.argv:
         from graphlily_tpu.ops.router_pallas import (
-            RouterSpMV, _steps_sm_na, _predicate_rg)
+            RouterSpMV, _steps_sm_na, _predicate_rg, _predicate_exact)
         flavor = "roll" if isinstance(eng, RouterSpMV) else "planar"
         nct = eng.layout.num_col_tiles
         unit = nct * 8 if flavor == "roll" else nct
         zero = mod.semiring_.zero
 
-        def loop_prologue(a, x_):
+        def loop_prologue(st, x_):
             # the exact per-call predication chain _run_engine pays;
             # jnp.sum forces full rg materialization (as feeding the
-            # kernel would), the 1e-30 carry defeats LICM
+            # kernel would); the frontier is rebuilt each iteration
+            a = st["arrays"] if isinstance(st, dict) else st
+            fidx = st.get("fidx") if isinstance(st, dict) else None
+            active = x_ != 0.0
             def body(_i, v):
                 act = jnp.any(v.reshape(unit, -1)
                               != jnp.asarray(zero, v.dtype), axis=1)
                 act_chunk = eng._act_chunk(a, act)
-                sm, na = _steps_sm_na(act_chunk, eng._minw)
-                rg = _predicate_rg(a.rg, act_chunk, flavor)
-                probe = (jnp.sum(rg).astype(jnp.float32)
-                         + sm[0].astype(jnp.float32) + na[0])
-                return v + probe * 1e-30
+                if fidx is not None:
+                    rg, cmask, sm, na = _predicate_exact(a.rg, act_chunk,
+                                                         flavor, fidx)
+                    probe = jnp.sum(rg) + jnp.sum(cmask) + sm[0] + na[0]
+                else:
+                    sm, na = _steps_sm_na(act_chunk, eng._minw)
+                    rg = _predicate_rg(a.rg, act_chunk, flavor)
+                    probe = jnp.sum(rg) + sm[0] + na[0]
+                return (jnp.where(active, 1.0, 0.0).astype(v.dtype)
+                        + probe.astype(v.dtype) * 0.0)
             return jax.lax.fori_loop(0, iters, body, x_)
 
         xj0 = jnp.zeros((n // 1024, 8, 128), jnp.float32)

@@ -464,20 +464,25 @@ def _router_fused_call(page, r, sub, vals, rg, code, hi, lo, x2,
 def _flush_minw(rg, dstep: int):
     """Host-side (engine-init) flush live-window for step compaction:
     minw[t] = the earliest step whose deposits the flushes at step t could
-    drain = min over flushes at t of (previous flush step of that slot + 1).
-    Phase ordering (deposits [0,dstep) before flushes) makes each slot
-    cycle's window exactly [prev_flush_step+1, flush_step]."""
+    drain = min over flushes at t of the FIRST deposit step inside that
+    flush's slot window (r5: previously `previous flush step + 1`, which
+    made every slot's FIRST flush carry window [0, t] — one active early
+    page then kept every later first-cycle flush, the measured ~2.3 ms
+    push-floor leak on full googleplus). A flush's window deposits exist
+    only in [first_dep_step, t], so clipping there is exact at step
+    granularity; windowless flushes (static padding) contribute nothing."""
     rg = np.asarray(rg)
-    nsteps = rg.shape[0]
-    w2 = rg[:, dstep:, 1]
+    nsteps, rstep, _ = rg.shape
     minw = np.arange(nsteps, dtype=np.int32)
-    prev = np.full(4096, -1, np.int64)    # slot -> last flush step
-    for t in range(nsteps):
-        fl = w2[t]
-        slots = fl[fl < 0] & 0xFFF
-        if slots.size:
-            minw[t] = min(minw[t], int(prev[slots].min()) + 1)
-            prev[slots] = t
+    idx = _flush_index(rg, dstep)
+    if idx is None:
+        return minw
+    dep_step = idx["dep_flat"].astype(np.int64) // rstep
+    start, end, fl_t = idx["fl_start"], idx["fl_end"], idx["fl_t"]
+    has = start < end
+    if has.any():
+        first_step = dep_step[start[has]].astype(np.int32)
+        np.minimum.at(minw, fl_t[has], first_step)
     return minw
 
 
@@ -557,7 +562,7 @@ def _predicate_rg(rg, act_chunk, flavor: str):
                      axis=-1).reshape(rg.shape)
 
 
-def _flush_index(rg, dstep: int, f: int):
+def _flush_index(rg, dstep: int, f: int | None = None):
     """Host-side (engine-init) index for EXACT per-flush SpMSpV predication.
 
     The window criterion (_flush_minw/_steps_sm_na) keeps a flush whenever
@@ -632,12 +637,15 @@ def _flush_index(rg, dstep: int, f: int):
     end_u[forder] = end
     step_off = np.zeros(nsteps + 1, np.int32)
     step_off[1:] = np.cumsum(np.bincount(ft, minlength=nsteps))
-    qmap = np.zeros((nsteps, f), np.int32)
-    qmap[ft, f_q] = np.arange(1, ft.size + 1, dtype=np.int32)
-    return dict(dep_flat=dep_pos[order].astype(np.int32),
-                fl_start=start_u.astype(np.int32),
-                fl_end=end_u.astype(np.int32),
-                step_off=step_off, qmap=qmap)
+    out = dict(dep_flat=dep_pos[order].astype(np.int32),
+               fl_start=start_u.astype(np.int32),
+               fl_end=end_u.astype(np.int32),
+               step_off=step_off, fl_t=ft.astype(np.int32))
+    if f is not None:
+        qmap = np.zeros((nsteps, f), np.int32)
+        qmap[ft, f_q] = np.arange(1, ft.size + 1, dtype=np.int32)
+        out["qmap"] = qmap
+    return out
 
 
 def _predicate_exact(rg, act_chunk, flavor: str, fidx):
@@ -1668,15 +1676,15 @@ class PlanarSpMV:
         self._fidx_dev = None
 
     def flush_index_device(self):
-        """Device copy of the exact flush-predication index (lazy; rides
-        as a jit argument through SpMSpVModule.device_state — see
-        _flush_index on why it must not be a closure constant)."""
-        if self._fidx_dev is None:
-            idx = _flush_index(self.layout.rg, self.layout.dstep,
-                               self.layout.f)
-            self._fidx_dev = ({} if idx is None else
-                              {k: jnp.asarray(v) for k, v in idx.items()})
-        return self._fidx_dev or None
+        """Planar chunks mix all 8 pages of a tile (tile-granular
+        activity), so with cb~32 chunks/step nearly every step stays
+        active under sparse frontiers and the exact index's per-call
+        gathers (~2 ms at pokec scale, XLA:TPU gather ~0.05-0.1 G elem/s)
+        buy almost no skipped work — measured pokec sweep 9.7 -> 11.5 ms
+        FLAT. The planar engine therefore stays on the (first-deposit-
+        clipped) window path; the exact path remains callable by passing
+        fidx explicitly (tests do)."""
+        return None
 
     def _normalize_act(self, active):
         # planar chunks mix all 8 pages of their tile, so activity stays

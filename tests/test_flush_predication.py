@@ -97,8 +97,13 @@ def test_planar_exact_flush_predication_matches_dense(deal, rng):
     csr = rmat_csr(num_rows=4000, nnz=12000, seed=23)
     lay = pack_planar(csr, config, deal=deal)
     eng = PlanarSpMV(lay, ArithmeticSemiring, config)
-    fidx = eng.flush_index_device()
-    assert fidx is not None
+    # planar auto-selects the window path (flush_index_device() is None:
+    # tile-granular activity makes the exact prologue a net loss, see the
+    # engine docstring) — the exact path stays correct and is exercised
+    # here by passing fidx explicitly
+    assert eng.flush_index_device() is None
+    fidx = {k: jnp.asarray(v)
+            for k, v in _flush_index(lay.rg, lay.dstep, lay.f).items()}
     nct = lay.num_cols // 1024
     for sparsity in (0.9, 0.999):
         x = np.zeros(lay.num_cols, np.float32)
